@@ -1,0 +1,346 @@
+"""Core relational surface: scan-filter-aggregate, the join family, grouping sets.
+
+The reference has no aggregation/join SQL surface of its own (SURVEY §2.10) —
+its only joins are the metadata equi/semi joins (J2-J4). These queries cover
+that join family plus the full relational algebra the oracle corpus exercises,
+all as built-in DataFrame ops so Catalyst picks physical plans (broadcast for
+the small dims, sort-merge/shuffled-hash for the fact-fact joins, AQE rewrites
+at runtime).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                        AS sum_qty,
+           SUM(l_extendedprice)                                   AS sum_base_price,
+           SUM(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
+           SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+           AVG(l_quantity)                                        AS avg_qty,
+           AVG(l_extendedprice)                                   AS avg_price,
+           AVG(l_discount)                                        AS avg_disc,
+           COUNT(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed filter → partial+final agg → sort.
+
+    Flagship: single pass over the fact table, no joins, no Python. The
+    shipdate predicate reaches the parquet scan (PushedFilters) and only the
+    8 referenced columns are read (ReadSchema) — at 100 TB this is the
+    difference between scanning the table and scanning a fifth of it.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey                                   AS l_orderkey,
+           SUM(l.l_extendedprice * (1 - l.l_discount))    AS revenue,
+           o.o_orderdate                                  AS o_orderdate,
+           o.o_orderpriority                              AS o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-k.
+
+    customer is broadcast (dim side, filtered further by segment); the
+    orders⋈lineitem join shuffles on orderkey — the natural key both sides
+    are already bucketed on in a production layout. Top-k is orderBy+limit,
+    which Spark executes as TakeOrderedAndProject (no full sort materialized).
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table snowflake join with local-supplier predicate.
+
+    region/nation/supplier/customer are broadcast; only orders⋈lineitem
+    shuffles. The c_nationkey = s_nationkey equality rides on the supplier
+    join condition, so no extra shuffle stage.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the reference's meta-shard pre-filter semantics
+    (J3, /root/reference/sdata/datapipeline.py:400-404): keep left rows that
+    have a match, emit left columns only, never duplicate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: the complement of the semi-join pre-filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_outer_order_counts",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(SUM(o.o_totalprice), 0.0) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving unmatched customers (count 0, spend 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "agg_distinct_suppliers_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (expand-based plan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "rollup_order_totals",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           SUM(o_totalprice) AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("total_price"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k grouping combinations)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "having_big_part_groups",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts, AVG(p_retailprice) AS avg_price
+    FROM part
+    WHERE p_size >= 10
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 3
+    ORDER BY p_brand
+    """,
+)
+def having_big_part_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → group → HAVING-style post-aggregation filter."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.avg("p_retailprice").alias("avg_price"))
+        .where(F.col("n_parts") >= 3)
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "subquery_above_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (uncorrelated) — via crossJoin of a
+    1-row aggregate, the plan Catalyst itself produces for scalar subqueries."""
+    o = load_table(spark, sf_dir, "orders")
+    threshold = o.agg((F.avg("o_totalprice") * 1.5).alias("__thr"))
+    return (
+        o.crossJoin(F.broadcast(threshold))
+        .where(F.col("o_totalprice") > F.col("__thr"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )

@@ -1,0 +1,159 @@
+"""Window functions: ranking, frames, lag/lead — absent from the reference
+(SURVEY §2.10), supplied by Spark's Window API.
+
+Every ORDER BY inside a window carries a unique-key tiebreak so results are
+deterministic and oracle-hashable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+
+@query(
+    "window_topk_parts_per_supplier",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        GROUP BY l_suppkey, l_partkey
+    ), ranked AS (
+        SELECT l_suppkey, l_partkey, revenue,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY revenue DESC, l_partkey) AS rn
+        FROM part_rev
+    )
+    SELECT l_suppkey, l_partkey, revenue, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY l_suppkey, rn
+    """,
+)
+def window_topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: agg → row_number window → filter rn<=k.
+
+    The window partitions on the same key as the aggregation, so the sort
+    happens within already-shuffled partitions — one shuffle total.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    part_rev = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return (
+        part_rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+@query(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    ORDER BY o_custkey, order_seq
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT ROW) per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+                "running_spend"
+            ),
+            F.row_number().over(w).alias("order_seq"),
+        ).orderBy("o_custkey", "order_seq")
+    )
+
+
+@query(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic: days between a customer's consecutive orders."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@query(
+    "window_price_rank_in_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank,
+           CAST(NTILE(4) OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS price_quartile
+    FROM part
+    ORDER BY p_brand, p_retailprice DESC, p_partkey
+    """,
+)
+def window_price_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE in one window pass."""
+    p = load_table(spark, sf_dir, "part")
+    w_price = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    w_tiled = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w_price).alias("price_rank"),
+        F.dense_rank().over(w_price).alias("price_dense_rank"),
+        F.ntile(4).over(w_tiled).alias("price_quartile"),
+    ).orderBy("p_brand", F.desc("p_retailprice"), "p_partkey")
+
+
+@query(
+    "window_moving_avg_events",
+    oracle="""
+    SELECT user_id, event_id,
+           AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_max_3
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row frame (3-row moving average/max) over the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.avg("value").over(w).alias("moving_avg_3"),
+        F.max("value").over(w).alias("moving_max_3"),
+    ).orderBy("user_id", "event_id")

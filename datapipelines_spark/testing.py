@@ -1,0 +1,102 @@
+"""Differential-test harness: Spark result vs DuckDB oracle.
+
+Local replica of the driver's correctness gate (BASELINE.md t2): run a
+catalog query on Spark and its oracle SQL on DuckDB over the same parquet,
+normalize (column order sorted by name, rows sorted, doubles rounded to 9
+significant digits, timestamps naive UTC), and compare values.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.sources.parquet import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm_value(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if f == 0:
+            return 0.0
+        # 9 significant digits (FIXTURES.md determinism rules)
+        return float(f"{f:.9g}")
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return out
+
+
+def spark_result(df: DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    return cols, rows
+
+
+def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def compare_query(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[bool, str]:
+    """Run one catalog query both ways; return (match, detail)."""
+    from datapipelines_spark.catalog import all_queries
+
+    spec = all_queries()[name]
+    s_cols, s_rows = spark_result(spec.builder(spark, sf_dir))
+    if spec.oracle is None:
+        return True, f"rows-only check: {len(s_rows)} rows"
+    con = duckdb_connection(sf_dir)
+    try:
+        d_cols, d_rows = duckdb_result(con, spec.oracle)
+    finally:
+        con.close()
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    sn = normalize_rows(s_cols, s_rows)
+    dn = normalize_rows(d_cols, d_rows)
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"match: {len(s_rows)} rows"
