@@ -1,0 +1,95 @@
+"""Distribution operators: seeded shuffle, weighted mixing, epoch repeat
+(SURVEY §2.3 D1-D7, re-expressed relationally).
+
+All randomness is a pure function of row data (portable md5-derived hashing),
+so every operator is deterministic under task retries, repartitioning, and
+across engines — the property the reference approximates with per-worker RNG
+seeding (D6, custom_datapipes.py:108-141), obtained here by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from datapipelines_spark.functions.hashing import portable_hash_seeded
+
+
+def deterministic_shuffle(df: DataFrame, seed: int | str = 42, key_cols: Sequence[str] | None = None) -> DataFrame:
+    """D1/D2 parity: a seeded global permutation — order by a data-derived
+    hash. Same seed ⇒ same order, on any cluster, after any retry.
+
+    At 100 TB a *global* sort is one range-partitioned shuffle (Spark's sort
+    is distributed); when only decorrelation is needed, prefer
+    ``repartition(n, hash)`` + ``sortWithinPartitions`` which skips the
+    global range exchange.
+    """
+    keys = [F.col(c) for c in (key_cols or df.columns)]
+    h = portable_hash_seeded(F.concat_ws("\x1f", *[k.cast("string") for k in keys]), seed)
+    return df.orderBy(h, *keys)
+
+
+def weighted_mix(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    key_col: str,
+    seed: int | str = 42,
+) -> DataFrame:
+    """D3 PrefixResampler parity (custom_datapipes.py:177-281): mix datasets
+    at normalized probabilities. The reference buffers shards per prefix and
+    draws categorically (dropping on overflow); relationally each source
+    contributes an exact, deterministic fraction — no buffers, no drops.
+
+    Weights are normalized to the max weight so the heaviest source is taken
+    whole and lighter sources are subsampled proportionally, preserving the
+    requested ratios while maximizing data retention.
+    """
+    total = max(weights.get(name, 0.0) for name in sources)
+    if total <= 0:
+        raise ValueError("at least one source needs a positive weight")
+    parts: list[DataFrame] = []
+    for name, df in sources.items():
+        frac = weights.get(name, 0.0) / total
+        if frac <= 0:
+            continue
+        tagged = df.withColumn("__source", F.lit(name))
+        if frac < 1.0:
+            pred = (
+                portable_hash_seeded(F.col(key_col), f"{seed}-{name}") % 1_000_000
+                < int(frac * 1_000_000)
+            )
+            tagged = tagged.where(pred)
+        parts.append(tagged)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def epoch_repeat(df: DataFrame, count: int) -> DataFrame:
+    """D7 ``.cycle(count)`` parity: materialized repetition with an ``epoch``
+    column (each epoch independently shuffle-able by seeding with epoch)."""
+    spark = df.sparkSession
+    epochs = spark.range(count).select(F.col("id").cast("long").alias("epoch"))
+    return df.crossJoin(epochs)
+
+
+def split_proportions(df: DataFrame, key_col: str, fractions: Sequence[float], seed: int | str = 42) -> list[DataFrame]:
+    """Deterministic train/val/test-style split on a data-derived hash —
+    stable across runs and engines (unlike randomSplit)."""
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    h = portable_hash_seeded(F.col(key_col), seed) % 1_000_000
+    bounds = []
+    acc = 0.0
+    for f in fractions:
+        acc += f
+        bounds.append(int(acc * 1_000_000))
+    out = []
+    lo = 0
+    for hi in bounds:
+        out.append(df.where((h >= lo) & (h < hi)))
+        lo = hi
+    return out

@@ -1,0 +1,187 @@
+"""Multimodal (image/audio/video) column operators.
+
+Representation (SURVEY §1.4): media payloads are opaque ``BinaryType``
+columns next to a typed metadata struct — schema-stable, splittable, and
+shuffle-friendly (parquet stores them as byte arrays; column pruning keeps
+them out of queries that don't touch them).
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+Pandas UDFs over ``mapInPandas``: the Spark-side plumbing (schemas, batch
+iteration, error quarantine, partition sizing) is real and tested; the codec
+call itself is pluggable and STUBBED here (PIL/cv2/ffmpeg are not in this
+container) — ``decode_fn`` defaults to a deterministic fake that derives
+pixel stats from the bytes, and raises ``NotImplementedError`` if a real
+codec is requested without one installed.
+
+Scale notes: media rows are wide (MBs), so these stages cap Arrow batch
+sizes (``spark.sql.execution.arrow.maxRecordsPerBatch``) and should follow a
+``repartition`` that brings partitions to ~128 MB of payload; never collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+#: Output schema of decode_images: per-row metadata + a small feature vector.
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("__key__", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image codec: derives stable
+    width/height/mean from the payload digest. Replace with a real
+    PIL/cv2-backed fn in production."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    digest = hashlib.md5(payload).digest()
+    return {
+        "width": 16 + digest[0] % 64,
+        "height": 16 + digest[1] % 64,
+        "n_channels": 3,
+        "mean_pixel": digest[2] / 255.0,
+    }
+
+
+def real_decode(payload: bytes) -> dict:  # pragma: no cover - env lacks codecs
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; pass "
+            "decode_fn=fake_decode or install Pillow"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    import numpy as np
+
+    arr = np.asarray(img)
+    return {
+        "width": img.width,
+        "height": img.height,
+        "n_channels": arr.shape[2] if arr.ndim == 3 else 1,
+        "mean_pixel": float(arr.mean()) / 255.0,
+    }
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "jpg",
+    key_col: str = "__key__",
+    decode_fn: Callable[[bytes], dict] = fake_decode,
+    on_error: str = "quarantine",
+) -> DataFrame:
+    """Decode a binary image column into typed features via mapInPandas.
+
+    ``on_error``: 'quarantine' (E1 warn_and_continue parity — emit the row
+    with ``decode_error`` set and null features), 'skip' (drop failed rows),
+    or 'fail' (raise, E2 reraise parity).
+    """
+    cols = [key_col, payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                try:
+                    feats = decode_fn(bytes(payload) if payload is not None else b"")
+                    out.append(
+                        {
+                            "__key__": key,
+                            **{k: feats.get(k) for k in ("width", "height", "n_channels", "mean_pixel")},
+                            "decode_error": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 - permissive mode is the point
+                    if on_error == "fail":
+                        raise
+                    if on_error == "quarantine":
+                        out.append(
+                            {
+                                "__key__": key,
+                                "width": None,
+                                "height": None,
+                                "n_channels": None,
+                                "mean_pixel": None,
+                                "decode_error": f"{type(e).__name__}: {e}",
+                            }
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return df.select(*cols).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_stub(
+    df: DataFrame,
+    payload_col: str = "jpg",
+    key_col: str = "__key__",
+    target: tuple[int, int] = (224, 224),
+) -> DataFrame:
+    """Resize plumbing: emits (key, resized binary, target dims). The pixel
+    transform is a stub (payload passthrough + recorded dims); the schema,
+    batching, and partition behavior match what a real resampler needs."""
+    schema = T.StructType(
+        [
+            T.StructField("__key__", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    w, h = target
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "__key__": pdf[key_col],
+                    "payload": pdf[payload_col],
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(batches, schema)
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    payload_col: str = "mp4",
+    key_col: str = "__key__",
+    every_n: int = 30,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    (explode shape), frame payloads stubbed as slices of the source bytes."""
+    schema = T.StructType(
+        [
+            T.StructField("__key__", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                n_frames = max(1, len(data) // max(every_n, 1))
+                for i in range(min(n_frames, 8)):
+                    rows.append({"__key__": key, "frame_idx": i, "frame": data[i : i + 16]})
+            yield pd.DataFrame(rows, columns=["__key__", "frame_idx", "frame"])
+
+    return df.select(key_col, payload_col).mapInPandas(batches, schema)

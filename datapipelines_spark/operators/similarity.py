@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and
+random-hyperplane LSH bucketing.
+
+Brute force is exact and O(n·q); LSH prunes candidates to same-signature
+buckets — at 100 TB the bucket join replaces the cross join, trading recall
+for a ~buckets-fold cost reduction. Hyperplanes are integer-arithmetic
+pseudo-random (deterministic, engine-portable, exactly representable in
+doubles) so signatures are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from datapipelines_spark.operators.dedup import _dot, _norm
+
+#: Integer hyperplane component for plane j, dimension i:
+#: ((j+1)*2654435761 + i*40503) % 2001 - 1000  — in [-1000, 1000].
+_PLANE_MULT_J = 2_654_435_761
+_PLANE_MULT_I = 40_503
+_PLANE_MOD = 2_001
+_PLANE_SHIFT = 1_000
+
+
+def hyperplane(j: int, dim: int) -> list[int]:
+    return [
+        ((j + 1) * _PLANE_MULT_J + i * _PLANE_MULT_I) % _PLANE_MOD - _PLANE_SHIFT
+        for i in range(dim)
+    ]
+
+
+def lsh_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
+    """Random-hyperplane signature: bit j = 1 iff dot(v, plane_j) >= 0."""
+    sig = F.lit(0).cast("long")
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(float(w)) for w in hyperplane(j, dim)])
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def lsh_signatures(
+    df: DataFrame, vec_col: str, id_col: str, dim: int, num_planes: int = 16
+) -> DataFrame:
+    """(id, sig) per vector — the bucketing key for approximate search."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(F.col(id_col), lsh_signature(v, dim, num_planes).alias("sig"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every row matching ``query_pred``.
+
+    The query side is broadcast (few queries vs the corpus); ranking is a
+    window partitioned per query — one shuffle of (query, candidate, score)
+    triples, and only scores survive the projection (vectors are dropped
+    before the shuffle).
+    """
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = e.where(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = e.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rank")
+    )

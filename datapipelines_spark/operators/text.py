@@ -1,0 +1,101 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+fingerprinting. All JVM-side expressions (split/regexp/higher-order array
+functions) — a 100 TB corpus pass stays inside whole-stage codegen with zero
+Python workers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: Tiny per-language lexicons for the n-gram/stopword language-ID heuristic.
+#: Deterministic and engine-portable (plain IN-list membership counting).
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "que", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "zh": ("的", "是", "了", "在", "我", "有", "他", "这"),
+}
+
+STOPWORDS_EN = LANG_LEXICONS["en"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document token/char counts and mean token length."""
+    toks = tokens(F.col(text_col))
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.round(total_tok_chars / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+def _count_matches(toks: Column, words: tuple[str, ...]) -> Column:
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t))).cast("bigint")
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features: length, stopword ratio, punctuation ratio,
+    repetition (unique-token ratio), plus a coarse keep/review/drop bucket —
+    the shape of a C4/Gopher-style quality filter."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = _count_matches(toks, STOPWORDS_EN) / n_tokens
+    n_chars = F.length(text_col).cast("double")
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    score = (
+        F.when(n_tokens < 5, 0.0).otherwise(1.0)
+        * (F.lit(0.5) + stop_ratio)
+        * (F.lit(1.5) - punct / n_chars)
+        * uniq_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        F.when(score >= 0.5, "keep").when(score >= 0.2, "review").otherwise("drop").alias(
+            "quality_bucket"
+        ),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-lexicon language ID: per-language match counts, argmax with
+    alphabetical tiebreak, 'und' (undetermined) when nothing matches."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = {lang: _count_matches(toks, lex) for lang, lex in sorted(LANG_LEXICONS.items())}
+    out = df.select(
+        F.col(id_col), *[c.alias(f"score_{lang}") for lang, c in scores.items()]
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_LEXICONS)])
+    pred = F.lit("und")
+    # alphabetical-first argmax: walk langs in reverse alphabetical order so
+    # the earliest alphabetically wins ties.
+    for lang in sorted(LANG_LEXICONS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), lang).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — a canonical form robust to shuffling/duplication of words."""
+    toks = tokens(F.col(text_col))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))

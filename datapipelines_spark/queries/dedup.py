@@ -1,1 +1,248 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` table — exact, normalized,
+n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+None of these exist in the reference (SURVEY §2.10); they are the
+training-data-pipeline extensions the engine treats as first-class operators
+(implemented as composable DataFrame transforms in
+``datapipelines_spark.operators.dedup``; these catalog entries bind them to
+the fixture tables with DuckDB oracles).
+
+Scale design: every variant is shuffle-bounded by (a) hashing to a compact
+key first (exact/fingerprint), or (b) candidate generation via equi-join on
+shingles / LSH bands rather than any O(n²) cross join. The only cross join in
+this family is embedding near-dup at small n — the LSH variants are the
+100 TB path.
+
+Portability: hash = first 8 hex chars of md5 → bigint (functions/hashing.py),
+identical in Spark and DuckDB, so signatures are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.operators import dedup as ops
+from datapipelines_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest; canonical = min doc_id.
+
+    One shuffle on a 32-byte key regardless of document size — the md5 is
+    computed map-side so full text never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return ops.exact_duplicates(d, text_col="text", id_col="doc_id").orderBy("content_hash")
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after casefold + whitespace normalization."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return ops.exact_duplicates(
+        d.withColumn("text", normalized), text_col="text", id_col="doc_id"
+    ).orderBy("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+
+_SHINGLES_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5.
+
+    Candidates come from an equi-join on shared shingles (inverted-index
+    join), never a cross join: cost is Σ per-shingle df² — bounded because
+    natural-language shingles are rare. Hot shingles at 100 TB get handled by
+    the MinHash variant below.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return ops.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+_MINHASH = ops.MinHashConfig(num_hashes=16, bands=4, ngram=3)
+
+
+def _minhash_oracle() -> str:
+    """DuckDB CTE computing the identical minhash signatures + band-bucket
+    candidate pairs + exact-jaccard verification the Spark operator emits."""
+    h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    mins = ",\n            ".join(
+        f"MIN(({a} * {h} + {b}) % {ops.MERSENNE_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH.coefficients())
+    )
+    band_rows = _MINHASH.num_hashes // _MINHASH.bands
+    band_exprs = []
+    for b in range(_MINHASH.bands):
+        cols = " || '-' || ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(b * band_rows, (b + 1) * band_rows)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig")
+    bands = "\n        UNION ALL\n        ".join(band_exprs)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+            {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2
+    )
+    SELECT v.doc_a, v.doc_b,
+           round(v.n_common * 1.0 / (sa.n + sb.n - v.n_common), 6) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON v.doc_a = sa.doc_id
+    JOIN sizes sb ON v.doc_b = sb.doc_id
+    WHERE v.n_common * 1.0 / (sa.n + sb.n - v.n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup, verified by exact Jaccard.
+
+    The 100 TB dedup path: shingle → 16 portable minhashes (one shuffle,
+    map-side partial min) → band keys → equi-join on (band, key) buckets →
+    exact-jaccard verification only on candidates. Candidate volume scales
+    with true-duplicate density, not corpus size², and band keys are md5'd to
+    fixed 32-byte join keys regardless of signature width.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return ops.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", config=_MINHASH, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h, COUNT(*) AS w
+        FROM toks GROUP BY doc_id, tok
+    ),
+    bits AS (
+        SELECT doc_id, j.j,
+               SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN w ELSE -w END) AS weight
+        FROM th, (SELECT unnest(generate_series(0, 31)) AS j) j
+        GROUP BY doc_id, j.j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN weight > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from term-frequency-weighted token hashes.
+
+    Near-dup docs land within small Hamming distance; clustering then joins
+    on rotated prefixes. The signature itself is oracle-checked bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return ops.simhash(d, text_col="text", id_col="doc_id", bits=32).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    norms AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+          / (a.nrm * b.nrm) >= 0.45
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ 0.45 (brute force).
+
+    Correctness baseline for small n; the LSH-bucketed variant in
+    similarity.py is the scale path (this cross join is O(n²) and says so).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return ops.embedding_cosine_pairs(
+        e, vec_col="embedding", id_col="vec_id", threshold=0.45
+    ).orderBy("vec_a", "vec_b")

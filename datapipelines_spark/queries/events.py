@@ -1,1 +1,199 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time windowed aggregation over the ``events`` table — the batch
+mirror of the streaming operators in datapipelines_spark/streaming/.
+
+The reference has no event-time semantics at all (its only notion of time is
+epoch cycling, SURVEY §2.10); these queries define the engine's tumbling /
+sliding / session window behavior on bounded data so DuckDB can oracle the
+exact same semantics Structured Streaming applies unbounded (same F.window /
+session_window expressions — see streaming/windows.py and the streaming
+tests).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+
+@query(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (F.window) per event type.
+
+    Identical expression works under readStream + withWatermark; tested as a
+    stream in tests/test_streaming.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH win AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+        FROM events
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events,
+           round(AVG(value), 6) AS avg_value
+    FROM win
+    GROUP BY 1 ORDER BY window_start
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, 1 h length / 30 min slide: every event lands in two
+    overlapping windows (Spark expands this internally; the oracle expands it
+    explicitly via UNION ALL of the two epoch-aligned bucket starts)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 21600000000
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           SUM(value) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 6-hour inactivity gap per user
+    (F.session_window — a new session starts when the gap since the previous
+    event is ≥ the timeout; the oracle replays that rule as gaps-and-islands
+    with microsecond-exact arithmetic)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "events_user_lifetime_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           SUM(value) AS total_value,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lifetime state — the batch shape of an
+    applyInPandasWithState / mapGroupsWithState accumulator (streaming
+    version in streaming/stateful.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.sum("value").alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (event_type = 'view')     AS first_view,
+               MIN(ts) FILTER (event_type = 'click')    AS first_click,
+               MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_view) AS n_viewed,
+           COUNT(CASE WHEN first_click > first_view THEN 1 END) AS n_clicked_after_view,
+           COUNT(CASE WHEN first_purchase > first_click AND first_click > first_view
+                      THEN 1 END) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel (view → click → purchase) via conditional
+    min-timestamp aggregation — a single shuffle, no self-joins."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count(F.when(F.col("first_click") > F.col("first_view"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_click"))
+                & (F.col("first_click") > F.col("first_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )

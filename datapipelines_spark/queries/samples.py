@@ -1,1 +1,149 @@
-"""Placeholder — populated in a later milestone."""
+"""Reference-parity sample-pipeline operators bound to fixture tables:
+key/size filters (F3/F4), rescale mapper (M3), metadata join with
+rename-on-collision (J4), and binary-column (multimodal) plumbing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+
+@query(
+    "filter_required_keys",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def filter_required_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleKeyFilter parity (F3,
+    /root/reference/sdata/filters/metadata_filters.py:9-28): keep rows where
+    every required key is present — under a fixed schema, presence ≡ non-null.
+    """
+    from datapipelines_spark.operators.transforms import KeyFilter
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        KeyFilter(keys=["text", "lang", "source"])
+        .apply(d)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "filter_size_range",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    WHERE n_chars >= 200 AND n_chars <= 1500
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def filter_size_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleSizeFilter parity (F4,
+    /root/reference/sdata/filters/metadata_filters.py:31-104): min/max bound
+    predicate on a size attribute; strict-mode missing-key handling is the
+    null-filter above composed with this."""
+    from datapipelines_spark.operators.transforms import SizeFilter
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SizeFilter(size_col="n_chars", min_size=200, max_size=1500)
+        .apply(d)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "mapper_rescale_embeddings",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * 2 - 1), 'sum'), 5)
+               AS rescaled_sum,
+           round(list_transform(embedding::DOUBLE[], x -> x * 2 - 1)[1], 6) AS rescaled_first
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def mapper_rescale_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaler parity (M3, /root/reference/sdata/mappers/sample_mappers.py:14-85):
+    float-mode x*2-1 normalization over a tensor column, as a codegen'd
+    higher-order array transform instead of a per-sample Python call."""
+    from datapipelines_spark.operators.transforms import Rescaler
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rescaled = Rescaler(key="embedding", isfloat=True).apply(
+        e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    v = F.col("embedding")
+    return rescaled.select(
+        "vec_id",
+        F.round(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 5).alias("rescaled_sum"),
+        F.round(F.element_at(v, 1), 6).alias("rescaled_first"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "join_metadata_rename_collision",
+    oracle="""
+    SELECT d.doc_id, d.lang, m.lang AS lang_meta, m.label
+    FROM documents d
+    JOIN (SELECT vec_id, label,
+                 CASE WHEN label % 2 = 0 THEN 'even' ELSE 'odd' END AS lang
+          FROM embeddings) m
+      ON d.doc_id = m.vec_id
+    ORDER BY d.doc_id
+    """,
+)
+def join_metadata_rename_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata sample join parity (J4 merge_samples,
+    /root/reference/sdata/datapipeline.py:225-245): equi-join on the sample
+    key; colliding metadata columns are renamed with a suffix instead of
+    clobbering the main column."""
+    from datapipelines_spark.operators.joins import metadata_join
+
+    d = load_table(spark, sf_dir, "documents")
+    meta = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.when(F.col("label") % 2 == 0, "even").otherwise("odd").alias("lang"),
+    )
+    joined = metadata_join(d, meta, on="doc_id", collision_suffix="_meta")
+    return joined.select("doc_id", "lang", "lang_meta", "label").orderBy("doc_id")
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payload size + digest over a
+    BinaryType column (the engine's representation for image/audio/video
+    members, SURVEY §1.4). Decode/resize UDF stages live in
+    operators/multimodal.py (pytest-covered; the libs are stubbed)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("payload_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    ).orderBy("doc_id")

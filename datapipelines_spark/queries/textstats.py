@@ -1,1 +1,147 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis catalog entries over the ``documents`` table."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.operators import text as ops
+from datapipelines_spark.sources.parquet import load_table
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           round(list_sum(list_transform(string_split(text, ' '),
+                                         t -> CAST(length(t) AS DOUBLE)))
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: chars, whitespace tokens, distinct tokens, mean length."""
+    d = load_table(spark, sf_dir, "documents")
+    return ops.token_stats(d, text_col="text", id_col="doc_id").orderBy("doc_id")
+
+
+_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'is', 'in', 'that']"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS toks,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                   / len(toks) AS stop_ratio,
+               (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / n_chars
+                   AS punct_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+               CASE WHEN len(toks) < 5 THEN 0.0 ELSE 1.0 END AS len_ok
+        FROM t
+    )
+    SELECT doc_id,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(uniq_ratio, 6) AS unique_token_ratio,
+           round(len_ok * (0.5 + stop_ratio) * (1.5 - punct_ratio) * uniq_ratio, 6)
+               AS quality_score,
+           CASE WHEN len_ok * (0.5 + stop_ratio) * (1.5 - punct_ratio) * uniq_ratio >= 0.5
+                THEN 'keep'
+                WHEN len_ok * (0.5 + stop_ratio) * (1.5 - punct_ratio) * uniq_ratio >= 0.2
+                THEN 'review'
+                ELSE 'drop' END AS quality_bucket
+    FROM feat
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword/punct/repetition features + keep bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    return ops.quality_score(d, text_col="text", id_col="doc_id").orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, lex in sorted(ops.LANG_LEXICONS.items()):
+        lst = "[" + ", ".join(f"'{w}'" for w in lex) + "]"
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"x -> list_contains({lst}, x))) AS score_{lang}"
+        )
+    langs = sorted(ops.LANG_LEXICONS)
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    pred = "'und'"
+    for lang in sorted(langs, reverse=True):
+        pred = f"CASE WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+    cols = ",\n           ".join(f"score_{la}" for la in langs)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, {', '.join(score_cols)}
+        FROM documents
+    )
+    SELECT doc_id, {cols}, {pred} AS pred_lang
+    FROM scored ORDER BY doc_id
+    """
+
+
+@query("text_language_id", oracle=_langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language identification with per-language scores."""
+    d = load_table(spark, sf_dir, "documents")
+    return ops.language_id(d, text_col="text", id_col="doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical token-set fingerprint (order/duplication-insensitive)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ops.fingerprint(d, text_col="text", id_col="doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(floor(n_chars / 100.0) AS BIGINT) AS chars_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, chars_bucket
+    ORDER BY lang, chars_bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: document-length histogram per language tag."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang", F.floor(F.col("n_chars") / 100).cast("bigint").alias("chars_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "chars_bucket")
+    )

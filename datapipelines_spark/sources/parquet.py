@@ -50,9 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import types as T
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
+        # Integer division: nanos ~1.7e18 exceed double precision (2^53), so
+        # `/ 1000` through double would be off by ±1 µs on some rows.
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 

@@ -1,0 +1,119 @@
+"""Structured Streaming operators: event-time windows with watermarks.
+
+The reference has no event-time streaming (its infinite iteration is epoch
+cycling, SURVEY §2.10); this module supplies the unbounded counterparts of
+queries/events.py using the *same* window expressions, so bounded replays
+are oracle-checkable while the operators themselves run on real streams.
+
+Sources: any streaming DataFrame works. ``read_events_stream`` replays the
+``events`` fixture through a bounded file stream (one parquet), which is how
+the tests drive late/out-of-order data; production would point at Kafka /
+file drops with the identical downstream code.
+
+Watermark discipline: every aggregation takes ``watermark`` (how late data
+may arrive). State eviction follows from it — without a watermark, session
+and window state grows unboundedly at 100 TB/day rates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events fixture as a file-source stream.
+
+    The fixture's TIMESTAMP(NANOS) column is read as long
+    (``nanosAsLong``) and truncated to microsecond timestamps exactly like
+    the batch reader (sources/parquet.py), so stream and batch results are
+    comparable row-for-row.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    path = sf_dir if sf_dir.endswith(".parquet") else os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        # The file-stream source monitors directories; stage a symlink dir so
+        # a single-file fixture replays without copying bytes.
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(stage, os.path.basename(path)))
+        path = stage
+    raw = spark.readStream.schema(schema).parquet(path)
+    # Watermarks require TimestampType (not NTZ); with the session pinned to
+    # UTC the values match the batch reader's timestamp_ntz microseconds.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts per event type (append-able once the
+    watermark passes the window end)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (width/slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "6 hours", watermark: str = "12 hours"
+) -> DataFrame:
+    """Session windows per user (dynamic-length state merged by gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_bounded_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a bounded stream to completion into an in-memory sink and
+    return the result table — the test harness for streaming operators
+    (availableNow processes all data then stops)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
