@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         textstats,
         events,
         samples,
+        advanced,
     )
 
     return dict(_REGISTRY)

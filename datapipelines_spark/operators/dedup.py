@@ -5,6 +5,14 @@ Python UDFs anywhere in this module), composable with any upstream pipeline.
 Hashing is the portable md5-derived 32-bit scheme from functions/hashing.py,
 so every signature is deterministic, retry-stable, and reproducible outside
 Spark (the DuckDB oracles in queries/dedup.py recompute them exactly).
+
+Plan-shape notes (what keeps this fast at 100 TB):
+- Shingle sets live as per-row ARRAY columns; signatures (minhash, sizes)
+  are higher-order array expressions — zero shuffles until candidates exist.
+- Candidate generation is the only explode+equi-join (inverted index / LSH
+  band buckets) — volume tracks duplicate density, not corpus size².
+- Verification joins candidate pairs back to the compact (id, shingles)
+  table and intersects arrays per pair; no second pass over the corpus.
 """
 
 from __future__ import annotations
@@ -64,36 +72,62 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
 # shingles
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles: one row per (id, shingle).
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of one document, as an array column."""
+    words = F.split(text, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
 
-    Built with higher-order array functions (codegen'd, no Python): split →
-    sliding slice → distinct → explode.
+
+def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles array<string>, n_sh) — one row per doc, no explode.
+
+    Shingle construction is an interpreted higher-order expression (no
+    codegen), so parallelism is everything: widen narrow inputs first.
     """
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
     words = F.split(F.col(text_col), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
     return (
-        df.where(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("s"))
+        parallelize_small(df.select(F.col(id_col), F.col(text_col)))
+        .where(F.size(words) >= n)
+        .select(F.col(id_col), shingle_array(F.col(text_col), n).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
     )
 
 
-def _shingle_sizes(sh: DataFrame, id_col: str) -> DataFrame:
-    return sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) view — the inverted-index side."""
+    return doc_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    )
 
 
-def _jaccard_from_common(
-    pairs: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+def _pair_jaccard(
+    cand: DataFrame, docs: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "n_a")
-    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "n_b")
-    j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    """Join candidate (doc_a, doc_b) pairs back to shingle arrays and compute
+    exact Jaccard via array_intersect — one row of work per candidate. The
+    doc-side is broadcast: after LSH/banding, candidates ≪ corpus."""
+    a = F.broadcast(
+        docs.select(
+            F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a")
+        )
+    )
+    b = F.broadcast(
+        docs.select(
+            F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b")
+        )
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    j = n_common / (F.col("n_a") + F.col("n_b") - n_common)
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .where(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
@@ -104,12 +138,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard via inverted-index join.
 
-    Shuffle pattern: one explode+distinct per doc, an equi-join on the
-    shingle string, one count per pair — no cross join. For 100 TB add a
-    document-frequency cap on shingles (drop shingles appearing in > k docs)
-    before the self-join; not needed at fixture scale.
+    Candidates come from an equi-join on the shingle string (never a cross
+    join); the shared-shingle count from the join IS the intersection size,
+    so one shuffle produces (pair, n_common) and union sizes arrive by
+    broadcast. For 100 TB add a document-frequency cap on shingles (drop
+    shingles appearing in > k docs) before the self-join; not needed at
+    fixture scale.
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    docs = doc_shingles(df, text_col, id_col, n)
+    # pre-partition the inverted index on the join key: both self-join
+    # branches arrive already co-partitioned, so the join adds no exchange
+    sh = docs.select(F.col(id_col), F.explode("shingles").alias("s")).repartition("s")
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")
     pairs = (
@@ -118,33 +157,58 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _jaccard_from_common(pairs, _shingle_sizes(sh, id_col), id_col, threshold)
+    sizes = docs.select(F.col(id_col), F.col("n_sh"))
+    sa = F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")))
+    j = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
 
+def _with_signature_columns(docs: DataFrame, config: MinHashConfig) -> DataFrame:
+    """Append h0..h{k-1} minhash columns, computed entirely inside the row:
+    hash every shingle once, then take per-function array minima. No shuffle.
+    """
+    hashed = docs.withColumn(
+        "__sh_hash",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        ),
+    )
+    def _permute(a: int, b: int):
+        # closure factory: PySpark introspects lambda arity, so default-arg
+        # binding (lambda x, a=a: ...) would be mistaken for a 2-arg lambda
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_PRIME
+
+    for i, (a, b) in enumerate(config.coefficients()):
+        hashed = hashed.withColumn(
+            f"h{i}", F.array_min(F.transform(F.col("__sh_hash"), _permute(a, b)))
+        )
+    return hashed.drop("__sh_hash")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, config: MinHashConfig = MinHashConfig()
 ) -> DataFrame:
-    """One row per doc with columns h0..h{k-1}: min over shingles of
-    (a_i * H(shingle) + b_i) mod p. Partial (map-side) min makes the shuffle
-    carry k bigints per doc, independent of document size."""
-    sh = word_shingles(df, text_col, id_col, config.ngram)
-    h = portable_hash64(F.col("s"))
-    mins = [
-        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_PRIME).alias(f"h{i}")
-        for i, (a, b) in enumerate(config.coefficients())
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+    """One row per doc with columns h0..h{k-1}."""
+    docs = doc_shingles(df, text_col, id_col, config.ngram)
+    return _with_signature_columns(docs, config).select(
+        id_col, *[f"h{i}" for i in range(config.num_hashes)]
+    )
 
 
-def lsh_band_keys(sig: DataFrame, id_col: str, config: MinHashConfig) -> DataFrame:
-    """Explode signatures into (id, band_id, band_key) rows; band_key is the
-    md5 of the band's hash values so the join key is fixed-width."""
+def _band_struct(config: MinHashConfig) -> Column:
     rows_per_band = config.num_hashes // config.bands
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -161,7 +225,12 @@ def lsh_band_keys(sig: DataFrame, id_col: str, config: MinHashConfig) -> DataFra
             for b in range(config.bands)
         ]
     )
-    return sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
+
+
+def lsh_band_keys(sig: DataFrame, id_col: str, config: MinHashConfig) -> DataFrame:
+    """Explode signatures into (id, band_id, band_key) rows; band_key is the
+    md5 of the band's hash values so the join key is fixed-width."""
+    return sig.select(F.col(id_col), F.explode(_band_struct(config)).alias("band")).select(
         id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
     )
 
@@ -176,12 +245,13 @@ def minhash_lsh_pairs(
     """Candidate pairs from LSH band buckets, verified by exact Jaccard.
 
     Only bucket-mates are ever compared: candidate volume tracks duplicate
-    density, not n². The verification join touches shingles again but only
-    for candidate ids (semi-joined), so it stays proportional to candidates.
+    density, not n². Signatures are row-local array math; the band bucket
+    join and the per-candidate verification join are the only shuffles.
     """
-    sh = word_shingles(df, text_col, id_col, config.ngram)
-    sig = minhash_signatures(df, text_col, id_col, config)
-    bands = lsh_band_keys(sig, id_col, config)
+    docs = _with_signature_columns(
+        doc_shingles(df, text_col, id_col, config.ngram), config
+    )
+    bands = lsh_band_keys(docs, id_col, config)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band_id", "band_key"])
@@ -189,15 +259,7 @@ def minhash_lsh_pairs(
         .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
         .distinct()
     )
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("s_a"))
-    sh_b = sh.select(F.col(id_col).alias("__doc_b"), F.col("s").alias("s_b"))
-    verified = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, (F.col("doc_b") == F.col("__doc_b")) & (F.col("s_a") == F.col("s_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return _jaccard_from_common(verified, _shingle_sizes(sh, id_col), id_col, threshold)
+    return _pair_jaccard(cand, docs, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -207,33 +269,73 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """Term-frequency-weighted SimHash: (id, simhash bigint).
 
-    Pipeline: token counts → portable token hash → per-bit ±weight sums →
-    bit assembly. Two shuffles (token group, bit group), both on compact keys.
+    Entirely row-local: token counts via array grouping, per-bit ±weight sums
+    via a fold over the token-hash array — no shuffle at all.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    toks = F.split(F.col(text_col), " ")
+    # distinct tokens with their counts, hashed once each
+    tok_hash_w = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint").alias("h"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("w"),
+        ),
     )
-    th = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w")).select(
-        F.col(id_col), portable_hash64(F.col("tok")).alias("h"), "w"
+    d = parallelize_small(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tok_hash_w.alias("thw")
     )
-    bits_df = (
-        th.select(F.col(id_col), "h", "w", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"))
-        .groupBy(id_col, "j")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("shiftright(h, CAST(j AS INT))").bitwiseAND(F.lit(1)) == 1,
-                    F.col("w"),
-                ).otherwise(-F.col("w"))
-            ).alias("weight")
-        )
+    # for each bit j: weight_j = sum over tokens of (bit set ? +w : -w)
+    def _bit_weight(j: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(t["h"], j).bitwiseAND(F.lit(1)) == 1, t["w"]
+        ).otherwise(-t["w"])
+
+    bit_cols = []
+    for j in range(bits):
+        wj = F.aggregate(F.col("thw"), F.lit(0).cast("long"), _bit_weight(j))
+        bit_cols.append(F.when(wj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0)))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return d.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding (pigeonhole: pairs within
+    ``max_hamming`` share at least one of ``bands`` equal bit-slices),
+    verified by exact Hamming distance via bit_count(xor)."""
+    sigs = simhash(df, text_col, id_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(f"shiftright(simhash, {b * width})").bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
-    return bits_df.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
+    bands_df = sigs.select(F.col(id_col), "simhash", F.explode(band_arr).alias("b")).select(
+        id_col, "simhash", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    x = bands_df.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band_id", "band_key"
+    )
+    y = bands_df.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band_id", "band_key"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        x.join(y, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )
 
 
@@ -258,7 +360,9 @@ def embedding_cosine_pairs(
     similarity.lsh_signatures to bucket first; this operator then runs per
     bucket.
     """
-    e = df.select(
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    e = parallelize_small(df).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
     a = e.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))

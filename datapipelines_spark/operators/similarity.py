@@ -44,8 +44,12 @@ def lsh_signatures(
     df: DataFrame, vec_col: str, id_col: str, dim: int, num_planes: int = 16
 ) -> DataFrame:
     """(id, sig) per vector — the bucketing key for approximate search."""
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
     v = F.col(vec_col).cast("array<double>")
-    return df.select(F.col(id_col), lsh_signature(v, dim, num_planes).alias("sig"))
+    return parallelize_small(df.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col), lsh_signature(v, dim, num_planes).alias("sig")
+    )
 
 
 def cosine_topk(
@@ -62,7 +66,9 @@ def cosine_topk(
     triples, and only scores survive the projection (vectors are dropped
     before the shuffle).
     """
-    e = df.select(
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    e = parallelize_small(df).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
     q = e.where(query_pred).select(

@@ -1,0 +1,202 @@
+"""Advanced relational coverage: as-of join, range (non-equi) join, pivot,
+percentiles/statistics, string aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+
+@query(
+    "asof_join_last_order_before_event",
+    oracle="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def asof_join_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each event picks the user's most recent
+    order at-or-before the event time.
+
+    Implemented with the union+carry-forward operator (operators/asof.py):
+    one shuffle on the key, no range-join explosion — at 100 TB this is a
+    sort-merge pass, while the oracle's inequality-join formulation would
+    materialize every (event, earlier-order) pair.
+
+    Tiebreak note: at equal o_orderdate the carry-forward keeps the row that
+    sorts last; the oracle mirrors that with ORDER BY ... o_orderkey DESC.
+    """
+    from datapipelines_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    # at equal timestamps, later orderkey wins (deterministic carry-forward)
+    ).orderBy("o_orderdate", "last_orderkey")
+    out = asof_join(
+        e,
+        o,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["last_orderkey", "last_totalprice"],
+    )
+    return out.select("event_id", "user_id", "ts", "last_orderkey", "last_totalprice").orderBy(
+        "event_id"
+    )
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 970.0), ('premium', 970.0, 100000.0)
+    )
+    SELECT b.band, COUNT(*) AS n_parts, round(AVG(p.p_retailprice), 6) AS avg_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny banding dimension — broadcast the
+    band table so the theta-join is a map-side interval probe, never a
+    shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 0.0) AS total_F,
+           COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 0.0) AS total_O,
+           COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 0.0) AS total_P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order totals spread across status columns (explicit value list
+    keeps the plan single-pass; without it Spark needs a distinct-values
+    pre-query)."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("total_F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("total_O"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("total_P"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "percentile_order_values",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+           round(stddev_samp(o_totalprice), 6) AS sd,
+           round(avg(o_totalprice), 6) AS mean
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles + dispersion statistics per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99"),
+            F.round(F.stddev_samp("o_totalprice"), 6).alias("sd"),
+            F.round(F.avg("o_totalprice"), 6).alias("mean"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "corr_discount_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_discount, l_quantity), 6) AS corr_dq,
+           round(covar_pop(l_discount, l_quantity), 6) AS covar_dq,
+           round(var_samp(l_discount), 9) AS var_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def corr_discount_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covariance / variance) per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_discount", "l_quantity"), 6).alias("corr_dq"),
+            F.round(F.covar_pop("l_discount", "l_quantity"), 6).alias("covar_dq"),
+            F.round(F.var_samp("l_discount"), 9).alias("var_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "string_agg_nation_names",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def string_agg_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect → sort → join) per group."""
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
