@@ -60,6 +60,8 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         samples,
         advanced,
+        sqlapi,
+        vectors,
     )
 
     return dict(_REGISTRY)

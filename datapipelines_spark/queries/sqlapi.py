@@ -1,0 +1,61 @@
+"""SQL entry point: queries expressed as ``spark.sql`` over registered views
+(SURVEY §7.3 — the free third entry point next to the DataFrame API and the
+config builder). The SQL strings are dialect-shared: the same text runs on
+Spark and DuckDB, so the oracle IS the query."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import register_views
+
+_Q6 = """
+SELECT SUM(l_extendedprice * l_discount) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+_TOP_CUSTOMERS = """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       SUM(o.o_totalprice) AS total_spend,
+       COUNT(*) AS n_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 20
+"""
+
+_REVENUE_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       SUM(o_totalprice) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, mo
+"""
+
+
+def _sql_builder(sql: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return build
+
+
+query("sql_q6_forecast_revenue", oracle=_Q6, doc="TPC-H Q6 shape via the SQL entry point")(
+    _sql_builder(_Q6)
+)
+query("sql_top_customers", oracle=_TOP_CUSTOMERS, doc="join+agg+top-k via the SQL entry point")(
+    _sql_builder(_TOP_CUSTOMERS)
+)
+query(
+    "sql_revenue_by_month", oracle=_REVENUE_BY_MONTH, doc="date rollup via the SQL entry point"
+)(_sql_builder(_REVENUE_BY_MONTH))

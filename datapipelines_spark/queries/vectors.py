@@ -1,0 +1,148 @@
+"""Vector analytics beyond pair search: per-label centroids (the building
+block of IVF training) and IVF cell assignment (the coarse quantizer of an
+IVF ANN index)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+_DIM = 64
+
+
+@query(
+    "vector_label_centroids",
+    oracle="""
+    WITH elems AS (
+        SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    means AS (
+        SELECT label, i, AVG(x) AS m FROM elems GROUP BY label, i
+    )
+    SELECT label,
+           round(list_aggregate(list(round(m, 9) ORDER BY i), 'sum'), 6) AS centroid_sum,
+           round(list(round(m, 9) ORDER BY i)[1], 6) AS centroid_first,
+           (SELECT COUNT(*) FROM embeddings e WHERE e.label = means.label) AS n_vecs
+    FROM means GROUP BY label
+    ORDER BY label
+    """,
+)
+def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label — distributed centroid
+    computation (one shuffle on (label, position); at 100 TB this is the
+    k-means update step)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x")
+    )
+    means = elems.groupBy("label", "i0").agg(F.avg("x").alias("m"))
+    centroids = (
+        means.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i0"), F.round(F.col("m"), 9).alias("m")))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.transform(F.col("pairs"), lambda p: p["m"]).alias("centroid"),
+        )
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        centroids.join(counts, "label")
+        .select(
+            "label",
+            F.round(
+                F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("centroid_sum"),
+            F.round(F.element_at(F.col("centroid"), 1), 6).alias("centroid_first"),
+            "n_vecs",
+        )
+        .orderBy("label")
+    )
+
+
+def _ivf_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {_DIM} + 1), i -> {a}[i] * {b}[i]))"
+
+
+@query(
+    "sim_ivf_cell_assign",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, c.cell_id,
+               {_ivf_dot('e.v', 'c.cv')} / (e.nrm * c.cn) AS cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_ivf_dot('e.v', 'c.cv')} / (e.nrm * c.cn) DESC,
+                                           c.cell_id) AS rn
+        FROM e JOIN cents c ON true
+    )
+    SELECT vec_id, cell_id, round(cos_raw, 6) AS cell_cosine
+    FROM scored WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def sim_ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest of 8 fixed
+    centroids (here: the first 8 vectors, a deterministic stand-in for
+    trained centroids). At scale the centroid table is broadcast and
+    assignment is a map-only pass; ANN search then probes only the query's
+    cell(s) — the candidates-by-equi-join pattern again, keyed on cell_id."""
+    from datapipelines_spark.operators.dedup import _dot, _norm
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos_raw"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id", F.round("cos_raw", 6).alias("cell_cosine"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "text_regex_token_classes",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+'))      AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+'))          AS n_number_tokens,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))   AS n_symbol_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_regex_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization counts: alphabetic runs, digit runs,
+    symbol characters — the pre-tokenizer split of byte-pair encoders,
+    counted per document without leaving codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]+")).cast("bigint").alias("n_word_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]+")).cast("bigint").alias("n_number_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]")).cast("bigint").alias(
+            "n_symbol_chars"
+        ),
+    ).orderBy("doc_id")
