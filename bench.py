@@ -33,8 +33,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "text_token_stats",
+    "text_quality_score",
     "sim_topk_bruteforce",
+    "sim_lsh_candidate_pairs",
+    "sim_ivf_cell_assign",
+    "asof_join_last_order_before_event",
+    "sql_q6_forecast_revenue",
+    "percentile_order_values",
 ]
 
 
