@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         advanced,
         sqlapi,
         vectors,
+        tpch_extra,
     )
 
     return dict(_REGISTRY)

@@ -183,14 +183,17 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
     ORDER BY c_custkey
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: the complement of the semi-join pre-filter."""
+    """Left-anti join: customers lacking any very-large order (the filtered
+    right side keeps the result non-trivial — every fixture customer has at
+    least one order)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")

@@ -54,14 +54,19 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9500
     ORDER BY nationkey
     """,
 )
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customer nations with no supplier."""
+    """EXCEPT: customer nations with no high-balance supplier (the filter
+    keeps the difference non-empty across scale factors)."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s).orderBy("nationkey")
 
 

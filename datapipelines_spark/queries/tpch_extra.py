@@ -1,0 +1,277 @@
+"""Additional TPC-H-shape queries adapted to the fixture schema — the
+classic decision-support patterns: EXISTS, conditional aggregation, ratio
+aggregates, NOT IN, HAVING over a grouped subquery, disjunctive multi-column
+predicates, correlated minima, and anti-join + scalar-subquery composition.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+
+@query(
+    "q4_order_priority_waiting",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi-join with a cross-table
+    inequality, then priority histogram. The inequality rides on the
+    semi-join condition — one shuffle, no row explosion."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q12_priority_shipping_split",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS high_priority,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS low_priority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(100.00 * SUM(CASE WHEN p.p_type LIKE 'ECONOMY%'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share_pct,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional to total aggregate (broadcast
+    part onto the filtered fact slice)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("ECONOMY%"), rev).otherwise(F.lit(0))
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p.p_size >= 5
+    GROUP BY p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_type, p.p_size
+    LIMIT 50
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN dimension filter + count-distinct per group."""
+    p = load_table(spark, sf_dir, "part").where(
+        (~F.col("p_brand").isin("Brand#1", "Brand#2")) & (F.col("p_size") >= 5)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           SUM(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a HAVING-grouped subquery (semi-join against
+    the aggregated key set), then enrich and re-aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size >= 1 AND p.p_size <= 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size >= 1 AND p.p_size <= 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size >= 1 AND p.p_size <= 25
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst pushes
+    the common single-table residuals to each scan and keeps the cross-table
+    disjunction as the join filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return j.where(
+        arm("Brand#12", 15, 1, 21) | arm("Brand#23", 20, 10, 30) | arm("Brand#34", 25, 20, 40)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ranked AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+               MIN(s.s_acctbal) OVER (PARTITION BY s.s_nationkey) AS min_bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM ranked WHERE s_acctbal = min_bal
+    ORDER BY n_name, s_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated minimum (the min-per-group rewritten as a
+    window, which is exactly how Catalyst decorrelates it)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).withColumn(
+        "min_bal", F.min("s_acctbal").over(w)
+    )
+    return (
+        joined.where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+@query(
+    "q22_inactive_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c.c_name, 1, 9) AS name_prefix,
+           COUNT(*) AS n_customers,
+           SUM(c.c_acctbal) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+    GROUP BY 1
+    ORDER BY name_prefix
+    """,
+)
+def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + anti-join + substring
+    grouping ("rich customers who never placed a very large order")."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("c_acctbal").alias("total_bal"))
+        .orderBy("name_prefix")
+    )
