@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sqlapi,
         vectors,
         tpch_extra,
+        cleaning,
     )
 
     return dict(_REGISTRY)

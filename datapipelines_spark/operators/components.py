@@ -1,0 +1,81 @@
+"""Connected components over a pair graph — near-dup *clustering*.
+
+Pair lists (from minhash/jaccard/simhash) aren't directly actionable for
+dedup; the keep/drop decision needs clusters: every document in a connected
+component of the similarity graph is one duplicate group, and the canonical
+survivor is the min id. This is the alternating-minimum label propagation of
+the "Connected Components in MapReduce and Beyond" (Kiveris et al.) family,
+expressed as iterative DataFrame joins:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint. Each round is two shuffles (join + groupBy); rounds
+needed = graph diameter in the worst case, O(log n) for the short, dense
+chains duplicate clusters actually form. Driver-side iteration with a
+convergence check via an aggregate — the loop control is metadata-only, the
+data never leaves executors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in the pair graph; component = min
+    node id reachable. ``pairs`` is an undirected edge list."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(node, cluster_id, is_canonical): cluster_id = min member id;
+    canonical row survives dedup, the rest drop."""
+    comp = connected_components(pairs, src, dst)
+    return comp.select(
+        F.col("node"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

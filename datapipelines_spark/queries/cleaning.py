@@ -1,0 +1,147 @@
+"""Corpus-cleaning pipeline: near-dup clustering and the composed
+quality→exact-dedup→near-dedup keep/drop decision — the actual end-product a
+training-data pipeline runs, as single oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.operators import dedup as dd
+from datapipelines_spark.operators.components import duplicate_clusters
+from datapipelines_spark.sources.parquet import load_table
+
+# Shared candidate-pair SQL (word-3-gram jaccard >= 0.5), both directions.
+_PAIRS_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM rawpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT c.node, e.v FROM closure c JOIN edges e ON c.r = e.u
+    )
+    SELECT node, MIN(r) AS cluster_id, node = MIN(r) AS is_canonical
+    FROM closure GROUP BY node
+    ORDER BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the jaccard≥0.5 pair
+    graph (operators/components.py, iterative min-label propagation). The
+    oracle recomputes components with a recursive transitive-closure CTE —
+    fine at fixture scale, quadratic in general, which is exactly why the
+    engine uses label propagation instead."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return duplicate_clusters(pairs).orderBy("node")
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    quality AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) >= 10
+               AND len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) >= 0.2 AS passed_quality
+        FROM documents
+    ),
+    exact_canon AS (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_canonical
+        FROM documents
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT c.node, e.v FROM closure c JOIN edges e ON c.r = e.u
+    ),
+    clusters AS (SELECT node, MIN(r) AS cluster_id FROM closure GROUP BY node)
+    SELECT d.doc_id,
+           q.passed_quality,
+           e.is_exact_canonical,
+           COALESCE(cl.cluster_id, d.doc_id) AS near_cluster_id,
+           q.passed_quality AND e.is_exact_canonical
+               AND COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS kept
+    FROM documents d
+    JOIN quality q USING (doc_id)
+    JOIN exact_canon e USING (doc_id)
+    LEFT JOIN clusters cl ON cl.node = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning decision per document: quality gate + exact-dup
+    canonicalization + near-dup cluster canonicalization → ``kept``.
+
+    One declarative plan: quality is a scan-local expression, exact-canon a
+    window over the content hash, near-dup the pair-graph clustering. At
+    100 TB each stage is the operator already benchmarked; the composition
+    adds joins on doc_id only (no new data-volume shuffles).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = d.select(
+        "doc_id",
+        (
+            (F.size(toks) >= 10)
+            & (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.2)
+        ).alias("passed_quality"),
+    )
+    w = Window.partitionBy(F.md5("text"))
+    exact = d.select(
+        "doc_id", (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_exact_canonical")
+    )
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    clusters = duplicate_clusters(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster_id")
+    )
+    out = (
+        d.select("doc_id")
+        .join(quality, "doc_id")
+        .join(exact, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("near_cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .drop("cluster_id")
+    )
+    kept = (
+        F.col("passed_quality")
+        & F.col("is_exact_canonical")
+        & (F.col("near_cluster_id") == F.col("doc_id"))
+    )
+    return out.withColumn("kept", kept).orderBy("doc_id")

@@ -255,6 +255,43 @@ def agg_distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "agg_approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): sketches are engine-specific,
+    so the oracle contract is accuracy, not equality — the query emits the
+    exact count plus a flag asserting the sketch landed within its 5%
+    relative-error budget. At 100 TB the sketch is the only option: fixed
+    memory per group vs an exact distinct's shuffle of every key.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "rollup_order_totals",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -1,0 +1,30 @@
+from datapipelines_spark.operators.components import connected_components, duplicate_clusters
+
+
+def _comp(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter > 1 forces multiple iterations
+    got = _comp(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components(spark):
+    got = _comp(spark, [(1, 2), (10, 11), (11, 12), (20, 21)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cycle(spark):
+    got = _comp(spark, [(5, 6), (6, 7), (7, 5)])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_clusters_canonical_flags(spark):
+    df = spark.createDataFrame([(3, 7), (7, 9)], "doc_a long, doc_b long")
+    rows = {r["node"]: r for r in duplicate_clusters(df).collect()}
+    assert rows[3]["is_canonical"] and rows[3]["cluster_id"] == 3
+    assert not rows[7]["is_canonical"] and rows[7]["cluster_id"] == 3
+    assert not rows[9]["is_canonical"] and rows[9]["cluster_id"] == 3
