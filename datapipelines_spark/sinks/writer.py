@@ -41,6 +41,31 @@ def write_dataset(
     writer.save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    The production layout for fact-fact joins: two tables bucketed on the
+    same key with the same bucket count join with NO exchange on either side
+    (Spark trusts the on-disk hash partitioning) — at 100 TB that removes
+    the dominant shuffle from every lineitem⋈orders-shaped query. Bucketed
+    writes must go through the catalog (saveAsTable), hence the table name.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_sample_shards(
     df: DataFrame,
     path: str,
