@@ -158,6 +158,77 @@ def resize_stub(
     return df.select(key_col, payload_col).mapInPandas(batches, schema)
 
 
+#: Output schema of decode_audio: duration/channels/sample-rate metadata +
+#: a fixed-length loudness envelope feature.
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("__key__", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("envelope", T.ArrayType(T.DoubleType())),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def fake_audio_decode(payload: bytes, envelope_bins: int = 8) -> dict:
+    """Deterministic stand-in for an audio codec (ffmpeg/librosa not in this
+    container): derives stable metadata + a loudness envelope from payload
+    bytes. Replace with a real decoder in production."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    digest = hashlib.md5(payload).digest()
+    step = max(len(payload) // envelope_bins, 1)
+    env = [
+        sum(payload[i : i + step]) / (255.0 * max(len(payload[i : i + step]), 1))
+        for i in range(0, step * envelope_bins, step)
+    ]
+    return {
+        "sample_rate": 8000 * (1 + digest[0] % 6),
+        "n_channels": 1 + digest[1] % 2,
+        "duration_s": len(payload) / 16000.0,
+        "envelope": env,
+    }
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "wav",
+    key_col: str = "__key__",
+    decode_fn: Callable[[bytes], dict] = fake_audio_decode,
+    on_error: str = "quarantine",
+) -> DataFrame:
+    """Audio analogue of decode_images: binary column -> typed features via
+    Arrow-batched mapInPandas; same on_error contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                try:
+                    feats = decode_fn(bytes(payload) if payload is not None else b"")
+                    out.append({"__key__": key, **feats, "decode_error": None})
+                except Exception as e:  # noqa: BLE001 - permissive mode is the point
+                    if on_error == "fail":
+                        raise
+                    if on_error == "quarantine":
+                        out.append(
+                            {
+                                "__key__": key,
+                                "sample_rate": None,
+                                "n_channels": None,
+                                "duration_s": None,
+                                "envelope": None,
+                                "decode_error": f"{type(e).__name__}: {e}",
+                            }
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(key_col, payload_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_stub(
     df: DataFrame,
     payload_col: str = "mp4",

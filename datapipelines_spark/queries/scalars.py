@@ -189,6 +189,30 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_fuzzy_string",
+    oracle="""
+    SELECT n_nationkey,
+           levenshtein(n_name, 'GERMANY') AS dist_germany,
+           CASE WHEN levenshtein(n_name, 'GERMANY') <= 3 THEN 1 ELSE 0 END AS near_germany,
+           CAST(length(n_name) AS BIGINT) AS name_len
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def scalar_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein edit distance (typo-tolerant
+    entity matching, a standard data-cleaning scalar)."""
+    n = load_table(spark, sf_dir, "nation")
+    dist = F.levenshtein(F.col("n_name"), F.lit("GERMANY"))
+    return n.select(
+        "n_nationkey",
+        dist.alias("dist_germany"),
+        F.when(dist <= 3, 1).otherwise(0).cast("int").alias("near_germany"),
+        F.length("n_name").cast("bigint").alias("name_len"),
+    ).orderBy("n_nationkey")
+
+
+@query(
     "scalar_array_funcs",
     oracle="""
     SELECT vec_id,

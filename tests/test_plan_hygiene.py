@@ -1,0 +1,67 @@
+"""Plan-shape regression tests: the scale properties we rely on (pushdown,
+pruning, broadcast choice, no Python in hot paths) asserted against the
+optimizer's actual output, so a refactor that silently breaks them fails CI
+rather than a 100 TB run."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datapipelines_spark.catalog import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    df = all_queries()["q1_pricing_summary"].builder(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 referenced columns are scanned, not all 11
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans and all("l_orderkey" not in s and "l_partkey" not in s for s in scans)
+
+
+def test_q3_dimension_broadcast(spark):
+    plan = _plan(all_queries()["q3_shipping_priority"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter reached the scan
+
+
+def test_q5_all_dims_broadcast_no_python(spark):
+    plan = _plan(all_queries()["q5_local_supplier_volume"].builder(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semi_and_anti_joins_planned_as_such(spark):
+    semi = _plan(all_queries()["join_semi_customers_with_orders"].builder(spark, SF))
+    anti = _plan(all_queries()["join_anti_customers_without_orders"].builder(spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(all_queries()["q3_shipping_priority"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no full global sort for LIMIT
+
+
+def test_no_python_udfs_in_relational_catalog(spark):
+    """Every relational/dedup/text query stays JVM-side (SURVEY rule: UDFs
+    are the slow path; only multimodal stages may use Python)."""
+    for name, spec in all_queries().items():
+        plan = _plan(spec.builder(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_events_scan_prunes_columns(spark):
+    import re
+
+    df = all_queries()["events_tumbling_1h"].builder(spark, SF)
+    plan = _plan(df)
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans and all("props" not in s for s in scans)  # json column not read
