@@ -70,7 +70,7 @@ def asof_join_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataF
     WITH bands(band, lo, hi) AS (
         VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 970.0), ('premium', 970.0, 100000.0)
     )
-    SELECT b.band, COUNT(*) AS n_parts, round(AVG(p.p_retailprice), 6) AS avg_price
+    SELECT b.band, COUNT(*) AS n_parts, AVG(p.p_retailprice) AS avg_price
     FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
     GROUP BY b.band ORDER BY b.band
     """,
@@ -92,7 +92,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.avg("p_retailprice").alias("avg_price"),
         )
         .orderBy("band")
     )

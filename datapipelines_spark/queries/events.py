@@ -61,7 +61,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(window_start AS TIMESTAMP) AS window_start,
            COUNT(*) AS n_events,
-           round(AVG(value), 6) AS avg_value
+           SUM(value) AS sum_value
     FROM win
     GROUP BY 1 ORDER BY window_start
     """,
@@ -73,8 +73,13 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        # SUM, not AVG: avg = sum/2^k of centile-valued doubles has a finite
+        # decimal expansion ending exactly in "...5" at the normalization
+        # digit, so cross-engine accumulation-order ULPs flip the rounding
+        # tie (observed at sf0.1). Sums keep ULP noise far below the 9th
+        # significant digit.
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
         .orderBy("window_start")
     )
 

@@ -82,8 +82,8 @@ def sliding_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
 
 
