@@ -78,20 +78,51 @@ def real_decode(payload: bytes) -> dict:  # pragma: no cover - env lacks codecs
     }
 
 
+class CallTimeout(Exception):
+    """Raised when a per-record decode exceeds its time budget (E4 parity)."""
+
+
+def _with_timeout(fn: Callable[[bytes], dict], seconds: float) -> Callable[[bytes], dict]:
+    """Per-call watchdog for Python stages (E4,
+    /root/reference/sdata/datapipeline.py:31-83 uses a watchdog thread; here
+    SIGALRM, which is valid because Python UDF workers execute user code on
+    the main thread). Only wrap *Python* stages — JVM expressions have no
+    per-row timeout, which remains a documented limitation (SURVEY §7.6)."""
+    import signal
+
+    def wrapped(payload: bytes) -> dict:
+        def handler(signum, frame):
+            raise CallTimeout(f"decode exceeded {seconds}s")
+
+        old = signal.signal(signal.SIGALRM, handler)
+        signal.setitimer(signal.ITIMER_REAL, seconds)
+        try:
+            return fn(payload)
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old)
+
+    return wrapped
+
+
 def decode_images(
     df: DataFrame,
     payload_col: str = "jpg",
     key_col: str = "__key__",
     decode_fn: Callable[[bytes], dict] = fake_decode,
     on_error: str = "quarantine",
+    timeout_s: float | None = None,
 ) -> DataFrame:
     """Decode a binary image column into typed features via mapInPandas.
 
     ``on_error``: 'quarantine' (E1 warn_and_continue parity — emit the row
     with ``decode_error`` set and null features), 'skip' (drop failed rows),
-    or 'fail' (raise, E2 reraise parity).
+    or 'fail' (raise, E2 reraise parity). ``timeout_s`` bounds each decode
+    call (E4 parity); a timeout is handled like any other decode error.
     """
     cols = [key_col, payload_col]
+    if timeout_s is not None:
+        decode_fn = _with_timeout(decode_fn, timeout_s)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
