@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QuerySpec]:
         vectors,
         tpch_extra,
         cleaning,
+        breadth,
     )
 
     return dict(_REGISTRY)

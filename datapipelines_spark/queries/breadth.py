@@ -1,0 +1,210 @@
+"""Breadth queries: window value functions, latest-per-key dedup, positional
+array stats, extended string catalog, null semantics, schema-evolving union.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_order_price,
+           LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS last_order_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE window value functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.last("o_totalprice").over(w_full).alias("last_order_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "events_latest_per_user",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, ts, value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key (upsert compaction / CDC snapshot semantics): the
+    single most common dedup-by-recency operator in ETL."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "vector_position_stats",
+    oracle="""
+    SELECT i - 1 AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(embedding[i] AS DOUBLE)) AS dim_sum,
+           MAX(CAST(embedding[i] AS DOUBLE)) AS dim_max
+    FROM embeddings, LATERAL unnest(generate_series(1, 8)) AS t(i)
+    GROUP BY dim ORDER BY dim
+    """,
+)
+def vector_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: per-dimension statistics over the first 8 embedding
+    positions (lateral array flattening + group on position)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)).alias("dim", "x")
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("dim_sum"),
+            F.max("x").alias("dim_max"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "scalar_string_funcs_extended",
+    oracle="""
+    SELECT n_nationkey,
+           reverse(n_name)                       AS name_rev,
+           repeat(substr(n_name, 1, 2), 3)       AS name_rep,
+           left(n_name, 3)                       AS name_left,
+           right(n_name, 3)                      AS name_right,
+           CAST(strpos(n_name, 'A') AS BIGINT)   AS first_a,
+           CAST(ascii(n_name) AS BIGINT)         AS first_char_code,
+           translate(n_name, 'AEIOU', 'aeiou')   AS vowels_lower,
+           concat(upper(substr(n_name, 1, 1)), lower(substr(n_name, 2))) AS name_title
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def scalar_string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string catalog: reverse/repeat/left/right/instr/ascii/
+    translate/initcap-style casing."""
+    n = load_table(spark, sf_dir, "nation")
+    name = F.col("n_name")
+    return n.select(
+        "n_nationkey",
+        F.reverse(name).alias("name_rev"),
+        F.repeat(F.substring(name, 1, 2), 3).alias("name_rep"),
+        F.substring(name, 1, 3).alias("name_left"),
+        F.substring(name, -3, 3).alias("name_right"),
+        F.instr(name, "A").cast("bigint").alias("first_a"),
+        F.ascii(name).cast("bigint").alias("first_char_code"),
+        F.translate(name, "AEIOU", "aeiou").alias("vowels_lower"),
+        F.concat(F.upper(F.substring(name, 1, 1)), F.lower(F.substring(name, 2, 1000))).alias(
+            "name_title"
+        ),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS maybe_price,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS maybe_prio
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(maybe_price) AS n_price_nonnull,
+           CAST(SUM(CASE WHEN maybe_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_price_null,
+           SUM(COALESCE(maybe_price, 0.0)) AS total_coalesced,
+           CAST(SUM(CASE WHEN maybe_prio IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_nullsafe,
+           COUNT(DISTINCT maybe_prio) AS n_prio_distinct
+    FROM t
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: COUNT(col) vs COUNT(*), coalesce totals, null-safe
+    equality (<=> / IS NOT DISTINCT FROM), distinct-ignores-null."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("maybe_price"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("maybe_prio"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("maybe_price").alias("n_price_nonnull"),
+        F.sum(F.when(F.col("maybe_price").isNull(), 1).otherwise(0)).alias("n_price_null"),
+        F.sum(F.coalesce("maybe_price", F.lit(0.0))).alias("total_coalesced"),
+        F.sum(F.col("maybe_prio").eqNullSafe(F.lit(None)).cast("int")).cast("bigint").alias(
+            "n_prio_nullsafe"
+        ),
+        F.countDistinct("maybe_prio").alias("n_prio_distinct"),
+    )
+
+
+@query(
+    "union_by_name_missing_columns",
+    oracle="""
+    SELECT src, COUNT(*) AS n, CAST(SUM(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_extra
+    FROM (
+        SELECT 'a' AS src, r_regionkey AS k, r_name AS extra FROM region
+        UNION ALL
+        SELECT 'b' AS src, n_nationkey AS k, NULL AS extra FROM nation
+    )
+    GROUP BY src ORDER BY src
+    """,
+)
+def union_by_name_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: unionByName(allowMissingColumns=True) fills
+    absent columns with nulls — open-schema samples (SURVEY §1.3) meeting
+    fixed-schema DataFrames."""
+    r = load_table(spark, sf_dir, "region").select(
+        F.lit("a").alias("src"), F.col("r_regionkey").alias("k"), F.col("r_name").alias("extra")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.lit("b").alias("src"), F.col("n_nationkey").alias("k")
+    )
+    u = r.unionByName(n, allowMissingColumns=True)
+    return (
+        u.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("extra").isNull().cast("int")).cast("bigint").alias("n_null_extra"),
+        )
+        .orderBy("src")
+    )
