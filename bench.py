@@ -57,12 +57,16 @@ def main() -> None:
     # Warm-up: JVM, parquet footer caches, Python worker pool.
     registry["q1_pricing_summary"].builder(spark, sf_dir).count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        n = registry[name].builder(spark, sf_dir).count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            n = registry[name].builder(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(sorted(times)[len(times) // 2], 3)
+        print(f"# {name}: {per_query[name]:.3f}s median of {repeats} ({n} rows)", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
