@@ -52,6 +52,86 @@ def lsh_signatures(
     )
 
 
+def cosine_topk_vectorized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred: Column,
+    k: int = 5,
+) -> DataFrame:
+    """BLAS path for exact top-k: queries collected to a numpy matrix
+    (broadcast-sized by assumption), corpus streamed through mapInPandas in
+    Arrow batches, scored as one matrix product per batch, and reduced to
+    per-partition partial top-k before the final global top-k window.
+
+    Same results as ``cosine_topk`` (tested), but the per-candidate cost is
+    a fused BLAS op instead of an interpreted per-row fold — the shape that
+    wins when the corpus is billions of vectors: shuffle volume is
+    O(partitions × queries × k), never O(corpus).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine_raw", T.DoubleType()),
+        ]
+    )
+    q_rows = (
+        df.where(query_pred).select(F.col(id_col), F.col(vec_col)).collect()
+    )
+    if not q_rows:
+        empty = df.sparkSession.createDataFrame([], out_schema)
+        return empty.select(
+            "query_id", "neighbor_id", F.col("cosine_raw").alias("cosine"), F.lit(1).alias("rank")
+        ).limit(0)
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (q_mat @ mat.T) / (q_norm[:, None] * norms[None, :])  # (nq, nb)
+            out = []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                top = cand_idx[np.argsort(-row[cand_idx], kind="stable")[: k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": ids[top],
+                            "cosine_raw": row[top],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_raw": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine_raw": "float64"})
+
+    partials = parallelize_small(df.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rank")
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     vec_col: str,

@@ -177,6 +177,55 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "calendar_fill_monthly_orders",
+    oracle="""
+    WITH months AS (
+        SELECT CAST(m AS TIMESTAMP) AS month_start
+        FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01',
+                             INTERVAL 1 MONTH) t(m)
+    ),
+    actual AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               COUNT(*) AS n_orders,
+               SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT m.month_start,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(a.revenue, 0.0) AS revenue
+    FROM months m LEFT JOIN actual a USING (month_start)
+    ORDER BY m.month_start
+    """,
+)
+def calendar_fill_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling time series: generate the full month spine
+    (sequence + explode), left-join actual aggregates, zero-fill empty
+    months — the standard reporting/feature-engineering densification."""
+    o = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp_ntz"),
+                F.lit("2001-12-01").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    actual = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month_start")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("revenue")
+    )
+    return (
+        months.join(actual, "month_start", "left")
+        .select(
+            "month_start",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("month_start")
+    )
+
+
+@query(
     "union_by_name_missing_columns",
     oracle="""
     SELECT src, COUNT(*) AS n, CAST(SUM(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT)
