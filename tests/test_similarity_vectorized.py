@@ -23,3 +23,10 @@ def test_vectorized_topk_excludes_self(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     out = cosine_topk_vectorized(e, "embedding", "vec_id", F.col("vec_id") < 3, k=3)
     assert out.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_vectorized_topk_empty_query_set(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_vectorized(e, "embedding", "vec_id", F.col("vec_id") < 0, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
