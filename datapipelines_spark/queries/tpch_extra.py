@@ -245,6 +245,144 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_nation_trade_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY cust_nation, supp_nation, ship_year
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume — the same dimension table
+    (nation) joined twice under different roles, plus a cross-role
+    inequality filter.
+
+    Sums go through DECIMAL(18,4): per-group volumes here are small enough
+    that the 9th significant digit sits exactly on the data's 4-decimal
+    boundary, where double accumulation-order ULPs flip rounding ties;
+    decimal aggregation is exact and engine-identical."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.c_nk)
+        .join(F.broadcast(sn), s.s_nationkey == sn.s_nk)
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("volume")
+        )
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH all_vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               l.l_extendedprice * (1 - l.l_discount) AS vol,
+               sr.r_name AS supp_region
+        FROM lineitem l
+        JOIN orders o  ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        JOIN region sr  ON sn.n_regionkey = sr.r_regionkey
+    )
+    SELECT order_year,
+           SUM(CASE WHEN supp_region = 'ASIA' THEN vol ELSE 0 END) / SUM(vol)
+               AS asia_share,
+           COUNT(*) AS n_rows
+    FROM all_vol GROUP BY order_year ORDER BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a region's share of total volume per year (ratio of
+    conditional to total aggregate through a snowflake join)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("r_name") == "ASIA", vol).otherwise(F.lit(0.0))) / F.sum(vol)
+            ).alias("asia_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish real NULL group keys from rollup
+    subtotal rows — the correct way to consume grouping-set output."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
     "q22_inactive_rich_customers",
     oracle="""
     WITH avg_bal AS (
