@@ -413,3 +413,379 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("c_acctbal").alias("total_bal"))
         .orderBy("name_prefix")
     )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit per supplier nation per year.
+    The fixture has no partsupp, so supply cost is proxied as
+    0.1 * p_retailprice * l_quantity; the pattern — substring filter on the
+    part dimension, a 5-table snowflake, nation/year aggregate — is intact.
+
+    The part filter is applied BEFORE the broadcast so only matching parts
+    ship to executors; at 100 TB the lineitem-side join is then a broadcast
+    hash join with no shuffle on the fact table until the final aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit.cast("decimal(18,4)")).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "q10_returned_item_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, c.c_acctbal,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned items
+    in a two-quarter window. Decimal sums make the top-20 cutoff exact;
+    c_custkey breaks revenue ties deterministically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_part_value",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_dec
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(value_dec AS DOUBLE) >
+          1.3 * (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) FROM pv)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a global threshold —
+    a grouped aggregate filtered by a scalar subquery over its own result.
+    No partsupp in the fixture, so value = lineitem revenue, and the
+    threshold is mean-relative (1.3x the per-part mean; the fixture's
+    max/mean ratio is ~1.8 at every SF) so the result is a stable non-empty
+    tail at any scale factor.
+
+    The scalar total is a one-row broadcast cross join, so the per-part side
+    is never reshuffled; decimal sums make the threshold comparison exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value_dec")
+    )
+    total = pv.agg(
+        (F.sum("value_dec").cast("double") / F.count(F.lit(1))).alias("mean_value")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec").cast("double") > F.lit(1.3) * F.col("mean_value"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts, with the
+    filter INSIDE the outer-join condition (customers keep a zero count
+    rather than being dropped — the classic left-join-with-predicate trap).
+    The fixture lacks o_comment, so the stand-in predicate is on status."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderstatus != "F"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-07-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev = (SELECT MAX(rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue in a
+    window — a CTE consumed twice (group + scalar max over the group).
+    Decimal revenue makes the max-equality exact, so ALL tied suppliers
+    surface, matching the reference semantics."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("rev")
+    )
+    max_rev = revenue.agg(F.max("rev").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH brand_lines AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#13'
+    ),
+    pavg AS (
+        SELECT l_partkey, SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+        FROM brand_lines GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM brand_lines b JOIN pavg a ON b.l_partkey = a.l_partkey
+    WHERE b.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below the part's average
+    quantity — a correlated per-group average consumed as a row filter.
+    avg is computed as SUM/COUNT (quantities are integral doubles, so the
+    sums are exact and the 0.2*avg threshold is bit-identical across
+    engines)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    l = load_table(spark, sf_dir, "lineitem")
+    brand_lines = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = brand_lines.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
+    )
+    return (
+        brand_lines.join(pavg, "l_partkey")
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q20_high_volume_part_suppliers",
+    oracle="""
+    WITH vol AS (
+        SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'large%'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN vol v ON v.l_suppkey = s.s_suppkey
+    WHERE v.qty > 1.1 * (SELECT SUM(qty) / COUNT(qty) FROM vol)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_high_volume_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers moving outsized volume of a name-prefixed
+    part family — nested semi-join chains ending in a scalar threshold.
+    The threshold is relative (1.1x the mean per-supplier volume — roughly
+    the fixture's top decile at every SF, since per-supplier volumes
+    concentrate as SF grows) so the query stays selective AND non-empty at
+    every scale factor; quantity sums are exact."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("large%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    vol = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thresh = vol.agg((F.sum("qty") / F.count("qty")).alias("mean_qty"))
+    return (
+        vol.crossJoin(F.broadcast(thresh))
+        .where(F.col("qty") > F.lit(1.1) * F.col("mean_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_suppliers_kept_orders_waiting",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    ) w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finalized order ("late" = shipped >60 days after the
+    order date; the fixture has no receipt/commit dates).
+
+    The classic formulation is EXISTS + NOT EXISTS self-joins on the fact
+    table (the oracle keeps that shape). Here it is re-expressed as two
+    aggregations — per (order, supplier) lateness, then per-order supplier
+    and late-supplier counts — which turns three fact-table self-joins into
+    one shuffle plus a cheap re-aggregation; at 100 TB that is the
+    difference between 4x and 1x lineitem scans."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    pair = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "late",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = (
+        pair.where(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
