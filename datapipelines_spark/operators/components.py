@@ -30,15 +30,22 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in the pair graph; component = min
     node id reachable. ``pairs`` is an undirected edge list."""
+    # the edge list is re-joined every iteration: persist it, or each round
+    # re-runs the whole upstream pair pipeline (LSH, verification, ...)
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .persist()
     )
+    # labels lineage would otherwise grow by two joins per round (and the
+    # convergence count re-executes the entire stack each time) — truncate
+    # it at every iteration
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -54,6 +61,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -65,6 +73,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # labels is checkpointed (materialized), so the edge cache can go
+    edges.unpersist()
     return labels
 
 

@@ -1,10 +1,22 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
-embedding-cosine. All pure DataFrame transforms (JVM expressions only — no
-Python UDFs anywhere in this module), composable with any upstream pipeline.
+embedding-cosine. All pure DataFrame transforms, composable with any
+upstream pipeline.
 
 Hashing is the portable md5-derived 32-bit scheme from functions/hashing.py,
 so every signature is deterministic, retry-stable, and reproducible outside
 Spark (the DuckDB oracles in queries/dedup.py recompute them exactly).
+
+Shingle/signature construction has two interchangeable implementations that
+produce bit-identical results (equality-tested in
+tests/test_dedup_arrow_parity.py):
+
+- ``impl='expr'``: pure JVM higher-order array expressions. Zero Python,
+  but Spark interprets HOF lambdas (no whole-stage codegen), so per-row
+  cost is high.
+- ``impl='arrow'`` (default): one Arrow-batched pandas UDF per doc computes
+  shingles + all minhash mins (numpy) in a single pass. Row-at-a-time
+  Python UDFs remain banned (tests/test_plan_hygiene.py); Arrow vectorized
+  stages are the sanctioned escape hatch for CPU-bound per-row work.
 
 Plan-shape notes (what keeps this fast at 100 TB):
 - Shingle sets live as per-row ARRAY columns; signatures (minhash, sizes)
@@ -17,10 +29,15 @@ Plan-shape notes (what keeps this fast at 100 TB):
 
 from __future__ import annotations
 
+import hashlib
+from collections import Counter
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
 
 from datapipelines_spark.functions.hashing import portable_hash64
 
@@ -83,20 +100,77 @@ def shingle_array(text: Column, n: int = 3) -> Column:
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def _shingle_list_py(text: str, n: int) -> list[str]:
+    """Python replica of shingle_array: split on single spaces (keeping
+    empties, like Spark/Java split), first-occurrence-distinct n-grams."""
+    words = text.split(" ")
+    return list(
+        dict.fromkeys(" ".join(words[i : i + n]) for i in range(len(words) - n + 1))
+    )
+
+
+def _shingle_udf(n: int):
+    @pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _shingle_list_py(t, n))
+
+    return sh
+
+
+def _doc_sig_udf(config: MinHashConfig):
+    """Fused Arrow stage: text → struct(shingles, sig[num_hashes]) in one
+    Python round trip. Signatures are exact int64 math — identical to the
+    expression path and the DuckDB oracle."""
+    coeffs = np.array(config.coefficients(), dtype=np.int64)
+    A = coeffs[:, 0][:, None]
+    B = coeffs[:, 1][:, None]
+    n = config.ngram
+
+    @pandas_udf("struct<shingles:array<string>,sig:array<long>>")
+    def ds(texts: pd.Series) -> pd.DataFrame:
+        shingles, sigs = [], []
+        for t in texts:
+            sh = _shingle_list_py(t, n)
+            shingles.append(sh)
+            if not sh:
+                sigs.append(np.empty(0, dtype=np.int64))
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            sigs.append(((A * hs[None, :] + B) % MERSENNE_PRIME).min(axis=1))
+        return pd.DataFrame({"shingles": shingles, "sig": sigs})
+
+    return ds
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, impl: str = "arrow"
+) -> DataFrame:
     """(id, shingles array<string>, n_sh) — one row per doc, no explode.
 
-    Shingle construction is an interpreted higher-order expression (no
-    codegen), so parallelism is everything: widen narrow inputs first.
+    ``impl='expr'`` shingle construction is an interpreted higher-order
+    expression (no codegen); ``impl='arrow'`` computes the same arrays in a
+    vectorized pandas stage. Either way parallelism is everything on narrow
+    inputs: widen first.
     """
     from datapipelines_spark.functions.partitioning import parallelize_small
 
     words = F.split(F.col(text_col), " ")
-    return (
-        parallelize_small(df.select(F.col(id_col), F.col(text_col)))
-        .where(F.size(words) >= n)
-        .select(F.col(id_col), shingle_array(F.col(text_col), n).alias("shingles"))
-        .withColumn("n_sh", F.size("shingles"))
+    base = parallelize_small(df.select(F.col(id_col), F.col(text_col))).where(
+        F.size(words) >= n
+    )
+    if impl == "arrow":
+        shingles = _shingle_udf(n)(F.col(text_col))
+    else:
+        shingles = shingle_array(F.col(text_col), n)
+    return base.select(F.col(id_col), shingles.alias("shingles")).withColumn(
+        "n_sh", F.size("shingles")
     )
 
 
@@ -145,7 +219,9 @@ def ngram_jaccard_pairs(
     shingles appearing in > k docs) before the self-join; not needed at
     fixture scale.
     """
-    docs = doc_shingles(df, text_col, id_col, n)
+    # the shingle table feeds three plan branches (two self-join sides +
+    # the sizes broadcast); persist so shingling runs once, not three times
+    docs = doc_shingles(df, text_col, id_col, n).persist()
     # pre-partition the inverted index on the join key: both self-join
     # branches arrive already co-partitioned, so the join adds no exchange
     sh = docs.select(F.col(id_col), F.explode("shingles").alias("s")).repartition("s")
@@ -196,14 +272,52 @@ def _with_signature_columns(docs: DataFrame, config: MinHashConfig) -> DataFrame
     return hashed.drop("__sh_hash")
 
 
+def _docs_with_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    config: MinHashConfig,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(id, shingles, n_sh, h0..h{k-1}) — one row per doc, no shuffle.
+
+    Arrow path: ONE fused pandas stage computes shingles + every minhash
+    min per doc (the UDF is planned as a single ArrowEvalPython node;
+    field extraction afterwards does not re-run it)."""
+    if impl == "arrow":
+        from datapipelines_spark.functions.partitioning import parallelize_small
+
+        words = F.split(F.col(text_col), " ")
+        base = parallelize_small(df.select(F.col(id_col), F.col(text_col))).where(
+            F.size(words) >= config.ngram
+        )
+        ds = base.select(
+            F.col(id_col), _doc_sig_udf(config)(F.col(text_col)).alias("__ds")
+        )
+        return ds.select(
+            F.col(id_col),
+            F.col("__ds.shingles").alias("shingles"),
+            F.size("__ds.shingles").alias("n_sh"),
+            *[
+                F.col("__ds.sig").getItem(i).alias(f"h{i}")
+                for i in range(config.num_hashes)
+            ],
+        )
+    return _with_signature_columns(
+        doc_shingles(df, text_col, id_col, config.ngram, impl="expr"), config
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, config: MinHashConfig = MinHashConfig()
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    config: MinHashConfig = MinHashConfig(),
+    impl: str = "arrow",
 ) -> DataFrame:
     """One row per doc with columns h0..h{k-1}."""
-    docs = doc_shingles(df, text_col, id_col, config.ngram)
-    return _with_signature_columns(docs, config).select(
-        id_col, *[f"h{i}" for i in range(config.num_hashes)]
-    )
+    docs = _docs_with_signatures(df, text_col, id_col, config, impl)
+    return docs.select(id_col, *[f"h{i}" for i in range(config.num_hashes)])
 
 
 def _band_struct(config: MinHashConfig) -> Column:
@@ -242,6 +356,7 @@ def minhash_lsh_pairs(
     config: MinHashConfig = MinHashConfig(),
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Candidate pairs from LSH band buckets, verified by exact Jaccard.
 
@@ -256,9 +371,9 @@ def minhash_lsh_pairs(
     as too-common (quadratic pair blowup for near-zero-information bands) —
     leave None for exact parity with the all-pairs oracle.
     """
-    docs = _with_signature_columns(
-        doc_shingles(df, text_col, id_col, config.ngram), config
-    )
+    # docs feeds the band-bucket branch AND both verification broadcasts;
+    # persist so the signature stage runs once
+    docs = _docs_with_signatures(df, text_col, id_col, config, impl).persist()
     bands = lsh_band_keys(docs, id_col, config)
     buckets = (
         bands.groupBy("band_id", "band_key")
@@ -287,13 +402,50 @@ def minhash_lsh_pairs(
 # SimHash
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+def _simhash_udf(bits: int):
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            cnt = Counter(t.split(" "))
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                    for tok in cnt
+                ),
+                dtype=np.int64,
+                count=len(cnt),
+            )
+            ws = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+            # (bits, m) matrix of ±1 per (bit, token), weighted column sums
+            wsum = (((hs[None, :] >> shifts[:, None]) & 1) * 2 - 1) @ ws
+            out.append(int(((wsum > 0).astype(np.int64) << shifts).sum()))
+        return pd.Series(out, dtype="object")
+
+    return sim
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32, impl: str = "arrow"
+) -> DataFrame:
     """Term-frequency-weighted SimHash: (id, simhash bigint).
 
-    Entirely row-local: token counts via array grouping, per-bit ±weight sums
-    via a fold over the token-hash array — no shuffle at all.
+    Entirely row-local, no shuffle at all. expr path: token counts via
+    array grouping (the nested count filter is O(tokens²) interpreted —
+    fine for short docs, the reason 'arrow' is the default); arrow path:
+    one vectorized pandas stage, numpy bit math.
     """
     from datapipelines_spark.functions.partitioning import parallelize_small
+
+    if impl == "arrow":
+        return parallelize_small(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), _simhash_udf(bits)(F.col(text_col)).alias("simhash")
+        )
 
     toks = F.split(F.col(text_col), " ")
     # distinct tokens with their counts, hashed once each
