@@ -537,7 +537,7 @@ def embedding_cosine_pairs(
 
     e = parallelize_small(df).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    ).withColumn("nrm", _norm(F.col("v"))).persist()
     a = e.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))

@@ -99,3 +99,69 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = tokens(F.col(text_col))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` highest-weighted terms per document.
+
+    Weight = tf * N / df (linear inverse document frequency). The classic
+    log-IDF is deliberately avoided: ln() is not guaranteed to round
+    identically across engines, while this rational form is exact IEEE
+    arithmetic on identically-derived integers — bit-stable between Spark
+    and any oracle. Monotone in the same direction as log-IDF for ranking
+    within a fixed term (tf) and corpus (N).
+
+    Plan: explode→two partial-aggregated shuffles (doc+term, then term), a
+    term-keyed join that reuses the second shuffle's partitioning, and a
+    per-doc window for the top-k. All JVM expressions.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are distinct (doc, term), so a plain count IS document frequency
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing ≥ ``min_overlap``
+    distinct word ``n``-grams with ANY eval document.
+
+    The eval n-gram set is deduplicated then broadcast (eval sets are tiny
+    next to a training corpus), so the check is a map-side hash join over
+    the train corpus — no shuffle of the 100 TB side; one final aggregate
+    on the surviving (train doc, shingle) hits.
+    """
+    from datapipelines_spark.operators.dedup import word_shingles
+
+    tr = word_shingles(train, text_col, id_col, n)
+    ev = word_shingles(eval_df, text_col, id_col, n).select("s").distinct()
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )

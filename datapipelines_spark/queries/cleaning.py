@@ -145,3 +145,37 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("near_cluster_id") == F.col("doc_id"))
     )
     return out.withColumn("kept", kept).orderBy("doc_id")
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, COUNT(*) AS n_overlap
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id
+    HAVING COUNT(*) >= 1
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs that share any distinct word
+    5-gram with the held-out eval slice (doc_id % 97 = 0 stands in for the
+    eval set). The eval shingle set is broadcast, so the training corpus is
+    never shuffled — the 100 TB-side plan is scan → hash semi-join → agg."""
+    from datapipelines_spark.operators.text import contamination_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return contamination_overlap(
+        d.where(~is_eval), d.where(is_eval), "text", "doc_id", n=5, min_overlap=1
+    ).orderBy("doc_id")

@@ -111,8 +111,12 @@ def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from datapipelines_spark.operators.dedup import _dot, _norm
 
-    sigs = e.withColumn("nrm", _norm(F.col("v"))).withColumn(
-        "sig", ops.lsh_signature(F.col("v"), _DIM, _PLANES)
+    # both join branches read the signature table: persist so the 16-plane
+    # signature + norm stage runs once, not twice
+    sigs = (
+        e.withColumn("nrm", _norm(F.col("v")))
+        .withColumn("sig", ops.lsh_signature(F.col("v"), _DIM, _PLANES))
+        .persist()
     )
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "sig"

@@ -145,3 +145,37 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "chars_bucket")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf,
+               CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (rational IDF = N/df for cross-engine
+    bit stability — see operators/text.py:tfidf_top_terms)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ops.tfidf_top_terms(d, text_col="text", id_col="doc_id", k=3).orderBy(
+        "doc_id", "rank"
+    )
