@@ -42,6 +42,16 @@ HEADLINE = [
     "asof_join_last_order_before_event",
     "sql_q6_forecast_revenue",
     "percentile_order_values",
+    # training-pipeline showcase: snowflake profit, sole-late-supplier,
+    # near-dup clustering, composed cleaning, TF-IDF, decontamination,
+    # sequence packing
+    "q9_profit_by_nation_year",
+    "q21_suppliers_kept_orders_waiting",
+    "dedup_clusters",
+    "corpus_clean_pipeline",
+    "text_tfidf_top_terms",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_budget",
 ]
 
 

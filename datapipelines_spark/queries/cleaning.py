@@ -179,3 +179,41 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_overlap(
         d.where(~is_eval), d.where(is_eval), "text", "doc_id", n=5, min_overlap=1
     ).orderBy("doc_id")
+
+
+@query(
+    "pack_sequences_budget",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST((cum_before - cum_before % 2048) / 2048 AS BIGINT) AS pack_id,
+           cum_before % 2048 AS pack_offset
+    FROM c
+    ORDER BY source, doc_id
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (2048-token packs per source) —
+    the training-batch layout: each doc's pack id + offset from an ordered
+    running token sum. See operators/packing.py."""
+    from datapipelines_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        d, "n_tokens", "doc_id", budget=2048, partition_cols=("source",)
+    ).orderBy("source", "doc_id")
