@@ -146,3 +146,108 @@ def text_regex_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_symbol_chars"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "sim_ivf_topk_probe2",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+    ranked AS (
+        SELECT e.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_ivf_dot('e.v', 'c.cv')} / (e.nrm * c.cn) DESC,
+                                           c.cell_id) AS rn
+        FROM e JOIN cents c ON true
+    ),
+    corpus_cells AS (SELECT vec_id AS c_id, cell_id FROM ranked WHERE rn = 1),
+    probe_cells AS (SELECT vec_id AS q_id, cell_id FROM ranked
+                    WHERE rn <= 2 AND vec_id % 100 = 0),
+    cand AS (
+        SELECT q_id, c_id FROM probe_cells JOIN corpus_cells USING (cell_id)
+        WHERE q_id <> c_id
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.c_id,
+               {_ivf_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                                  ORDER BY {_ivf_dot('q.v', 'c.v')} / (q.nrm * c.nrm) DESC,
+                                           cand.c_id) AS rank
+        FROM cand
+        JOIN e q ON q.vec_id = cand.q_id
+        JOIN e c ON c.vec_id = cand.c_id
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id,
+           round(cos_raw, 6) AS cosine, rank
+    FROM scored WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search: coarse-quantize the corpus (nearest of 8 cells),
+    probe each query's 2 nearest cells, exact-score only cell-mates, top-5.
+
+    The 100 TB plan: centroids broadcast (map-only assignment of the
+    corpus), probe lists broadcast against cell-keyed candidates — the
+    scored pair count is corpus/cells * probes per query instead of the
+    brute-force corpus * queries. Assignment table feeds both the corpus
+    and probe branches, so it is persisted."""
+    from datapipelines_spark.operators.dedup import _dot, _norm
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    e = (
+        parallelize_small(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .persist()
+    )
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("cell_id"))
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell_id",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .persist()
+    )
+    corpus_cells = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("c_id"), "cell_id"
+    )
+    probe_cells = ranked.where((F.col("rn") <= 2) & (F.col("vec_id") % 100 == 0)).select(
+        F.col("vec_id").alias("q_id"), "cell_id"
+    )
+    cand = (
+        F.broadcast(probe_cells)
+        .join(corpus_cells, "cell_id")
+        .where(F.col("q_id") != F.col("c_id"))
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    cv = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv2"), F.col("nrm").alias("cn2"))
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(F.broadcast(cv), "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            (_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2"))).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
