@@ -773,6 +773,9 @@ def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataF
         )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("late"))
+        # pair feeds both the per-order roll-up and the waiting filter;
+        # persist so the fact-table join+aggregate runs once, not twice
+        .persist()
     )
     per_order = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")

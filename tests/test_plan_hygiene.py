@@ -65,3 +65,41 @@ def test_events_scan_prunes_columns(spark):
     plan = _plan(df)
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     assert scans and all("props" not in s for s in scans)  # json column not read
+
+
+def test_q9_snowflake_broadcasts_filtered_part(spark):
+    """Part is filtered BEFORE broadcast and every dimension joins as a
+    broadcast hash join — the fact table shuffles only for the aggregate."""
+    plan = _plan(all_queries()["q9_profit_by_nation_year"].builder(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the LIKE filter must sit under the broadcast exchange, not after the join
+    assert "Contains(p_name,widget)" in plan or "widget" in plan
+
+
+def test_q21_single_fact_scan(spark):
+    """The EXISTS/NOT-EXISTS rewrite must not re-scan lineitem per branch:
+    the (order, supplier, late) table is cached and BOTH consumers (per-order
+    roll-up and waiting filter) read the cache, so the fact join+aggregate
+    executes once."""
+    plan = _plan(all_queries()["q21_suppliers_kept_orders_waiting"].builder(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval n-gram set must broadcast; the training side must never
+    build a shuffle exchange for the contamination join."""
+    plan = _plan(all_queries()["decontaminate_ngram_overlap"].builder(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Packing is one hash-partitioning exchange (the window) plus the
+    final presentation sort — no joins, no extra shuffles."""
+    plan = _plan(all_queries()["pack_sequences_budget"].builder(spark, SF))
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") == 0 and plan.count("SortMergeJoin") == 0
+
+
+def test_ivf_probe_search_broadcasts_centroids_and_probes(spark):
+    plan = _plan(all_queries()["sim_ivf_topk_probe2"].builder(spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
