@@ -59,3 +59,19 @@ query("sql_top_customers", oracle=_TOP_CUSTOMERS, doc="join+agg+top-k via the SQ
 query(
     "sql_revenue_by_month", oracle=_REVENUE_BY_MONTH, doc="date rollup via the SQL entry point"
 )(_sql_builder(_REVENUE_BY_MONTH))
+
+_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+query(
+    "sql_grouping_sets_mixed",
+    oracle=_GROUPING_SETS,
+    doc="arbitrary GROUPING SETS (two one-column sets + grand total) via the "
+    "SQL entry point — complements rollup/cube/GROUPING() coverage",
+)(_sql_builder(_GROUPING_SETS))

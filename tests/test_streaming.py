@@ -137,3 +137,82 @@ def test_stream_handles_late_data_with_watermark(spark, tmp_path):
     ]
     # emitted exactly once, without the late row's value
     assert [(r["n"], r["s"]) for r in first_window] == [(1, 1.0)]
+
+
+def test_stream_transform_with_state_profile(spark, sf_dir, events_stream):
+    """transformWithStateInPandas (typed MapState) must reproduce the batch
+    per-user event-type profile on a bounded replay.
+
+    Requires google.protobuf (the TWS driver-worker protocol); skipped where
+    the package is unavailable — see streaming/tws.py docstring."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from datapipelines_spark.sources.parquet import load_table
+    from datapipelines_spark.streaming.tws import user_event_type_profile
+
+    streamed = run_bounded_to_memory(
+        user_event_type_profile(events_stream), "tws_test", "update"
+    )
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    batch = (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_event_types"),
+            F.array_sort(F.collect_list(F.struct(F.col("n"), F.col("event_type")))).alias(
+                "pairs"
+            ),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_event_types",
+            F.expr(
+                "element_at(filter(pairs, p -> p.n = pairs[size(pairs)-1].n), 1).event_type"
+            ).alias("top_event_type"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["n_event_types"], r["top_event_type"])
+           for r in streamed.collect()}
+    want = {r["user_id"]: (r["n_events"], r["n_event_types"], r["top_event_type"])
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_tws_processor_logic_with_fake_state():
+    """The StatefulProcessor's accumulation/mode logic, driven directly with
+    a fake MapState — exercises everything but the protobuf wire protocol
+    (which the container lacks; see streaming/tws.py)."""
+    import pandas as pd
+
+    from datapipelines_spark.streaming.tws import UserEventTypeProfile
+
+    class FakeMapState:
+        def __init__(self):
+            self.d = {}
+
+        def containsKey(self, k):
+            return k in self.d
+
+        def getValue(self, k):
+            return self.d[k]
+
+        def updateValue(self, k, v):
+            self.d[k] = v
+
+        def iterator(self):
+            return iter(sorted(self.d.items()))
+
+    p = UserEventTypeProfile()
+    p._counts = FakeMapState()
+    batch1 = pd.DataFrame({"event_type": ["click", "view", "click"]})
+    (out1,) = p.handleInputRows((7,), iter([batch1]), None)
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "n_event_types": 2, "top_event_type": "click",
+    }
+    # second microbatch: 'view' ties 'click' at 2 -> lexicographic winner
+    batch2 = pd.DataFrame({"event_type": ["view"]})
+    (out2,) = p.handleInputRows((7,), iter([batch2]), None)
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 4, "n_event_types": 2, "top_event_type": "click",
+    }
