@@ -12,7 +12,7 @@ tests).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipelines_spark.catalog import query
 from datapipelines_spark.sources.parquet import load_table
@@ -202,3 +202,95 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "events_interpolate_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT user_id, hr, n,
+               LEAD(hr) OVER (PARTITION BY user_id ORDER BY hr) AS nxt_hr,
+               LEAD(n)  OVER (PARTITION BY user_id ORDER BY hr) AS nxt_n
+        FROM hourly
+    ),
+    gaps AS (
+        SELECT p.user_id, g.ghr AS hr,
+               round(CAST(p.n AS DOUBLE)
+                     + (p.nxt_n - p.n)
+                       * (CAST(date_diff('hour', p.hr, g.ghr) AS DOUBLE)
+                          / date_diff('hour', p.hr, p.nxt_hr)), 6) AS rate,
+               TRUE AS interpolated
+        FROM pairs p,
+             LATERAL unnest(generate_series(p.hr + INTERVAL 1 HOUR,
+                                            p.nxt_hr - INTERVAL 1 HOUR,
+                                            INTERVAL 1 HOUR)) AS g(ghr)
+        WHERE p.nxt_hr > p.hr + INTERVAL 1 HOUR
+    )
+    SELECT user_id, hr, rate, interpolated FROM (
+        SELECT user_id, hr, CAST(n AS DOUBLE) AS rate, FALSE AS interpolated
+        FROM hourly
+        UNION ALL
+        SELECT * FROM gaps
+    ) ORDER BY user_id, hr
+    """,
+)
+def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification by LINEAR INTERPOLATION (the companion to
+    zero-fill gap-filling): per-user hourly event rates, with missing hours
+    between observations filled along the line between their neighbors.
+
+    All interpolation arithmetic derives from integers (counts and hour
+    offsets), so the interpolated doubles are bit-identical across engines.
+    One shuffle for the hourly aggregate, one window pass for neighbors;
+    the gap explosion is bounded by the observed gap length."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy("hr")
+    pairs = hourly.select(
+        "user_id",
+        "hr",
+        "n",
+        F.lead("hr").over(w).alias("nxt_hr"),
+        F.lead("n").over(w).alias("nxt_n"),
+    )
+    one_h = F.expr("INTERVAL 1 HOUR")
+    gaps = (
+        pairs.where(F.col("nxt_hr") > F.col("hr") + one_h)
+        .select(
+            "user_id",
+            "hr",
+            "n",
+            "nxt_hr",
+            "nxt_n",
+            F.explode(
+                F.sequence(F.col("hr") + one_h, F.col("nxt_hr") - one_h, one_h)
+            ).alias("ghr"),
+        )
+        .select(
+            "user_id",
+            F.col("ghr").alias("hr"),
+            F.round(
+                F.col("n").cast("double")
+                + (F.col("nxt_n") - F.col("n"))
+                * (
+                    F.expr("timestampdiff(HOUR, hr, ghr)").cast("double")
+                    / F.expr("timestampdiff(HOUR, hr, nxt_hr)")
+                ),
+                6,
+            ).alias("rate"),
+            F.lit(True).alias("interpolated"),
+        )
+    )
+    real = hourly.select(
+        "user_id",
+        "hr",
+        F.col("n").cast("double").alias("rate"),
+        F.lit(False).alias("interpolated"),
+    )
+    return real.unionByName(gaps).orderBy("user_id", "hr")

@@ -157,3 +157,47 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").over(w).alias("moving_avg_3"),
         F.max("value").over(w).alias("moving_max_3"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_range_frame_30d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS n_orders_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame: per customer, the rolling 30-day
+    spend and order count ending at each order — peers are chosen by ORDER
+    KEY DISTANCE, not row position, so same-day orders aggregate together
+    regardless of row order (the property ROWS frames cannot express).
+
+    Expressed through the SQL window spec (the DataFrame API's rangeBetween
+    takes long offsets only; interval ranges are SQL-first in both engines).
+    Decimal sums keep rolling totals exact."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_range_frame")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spend_30d,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ) AS n_orders_30d
+        FROM __orders_range_frame
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
