@@ -1,0 +1,100 @@
+"""End-to-end training-corpus preparation: the 100 TB workflow at toy scale.
+
+quality filter -> exact dedup -> near-dup dedup (MinHash+LSH clusters)
+-> benchmark decontamination -> sequence packing -> summary.
+
+Every stage is a composable DataFrame operator from datapipelines_spark
+(the same ones the oracle-checked catalog queries use), so this script is
+also the "a user of the reference could switch" demonstration: point it at
+a documents table and it emits a packed, deduplicated, decontaminated
+corpus.
+
+Run:  python examples/corpus_prep.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datapipelines_spark.operators.components import duplicate_clusters
+from datapipelines_spark.operators.dedup import (
+    MinHashConfig,
+    drop_exact_duplicates,
+    minhash_lsh_pairs,
+)
+from datapipelines_spark.operators.packing import pack_sequences, pack_summary
+from datapipelines_spark.operators.text import contamination_overlap, quality_score
+from datapipelines_spark.session import get_spark
+from datapipelines_spark.sources.parquet import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="corpus_prep", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate: length/punctuation/stopword heuristics
+    quality = quality_score(docs, text_col="text", id_col="doc_id")
+    docs = docs.join(
+        quality.where(F.col("quality_score") >= 0.5).select("doc_id"), "doc_id"
+    )
+    n1 = docs.count()
+
+    # 2. exact dedup (content hash, min-id survivor)
+    docs = drop_exact_duplicates(docs, text_col="text", id_col="doc_id")
+    n2 = docs.count()
+
+    # 3. near-dup dedup: MinHash+LSH pairs -> connected components -> keep
+    #    the canonical (min-id) member of each cluster
+    pairs = minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id", config=MinHashConfig(16, 4, 3)
+    )
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.where(~F.col("is_canonical")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = docs.join(drop, "doc_id", "left_anti")
+    n3 = docs.count()
+
+    # 4. decontamination vs a held-out eval slice (here: doc_id % 97 == 0)
+    is_eval = F.col("doc_id") % 97 == 0
+    contaminated = contamination_overlap(
+        docs.where(~is_eval), docs.where(is_eval), "text", "doc_id", n=5, min_overlap=1
+    ).select("doc_id")
+    docs = docs.where(~is_eval).join(contaminated, "doc_id", "left_anti")
+    n4 = docs.count()
+
+    # 5. sequence packing: 2048-token packs per source
+    packed = pack_sequences(
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        ),
+        "n_tokens",
+        "doc_id",
+        budget=2048,
+        partition_cols=("source",),
+    )
+    summary = pack_summary(packed, "n_tokens", ("source",))
+    n_packs = summary.count()
+
+    print(f"documents:        {n0}")
+    print(f"after quality:    {n1}")
+    print(f"after exact dedup:{n2}")
+    print(f"after near-dup:   {n3}")
+    print(f"after decontam:   {n4}")
+    print(f"packs (2048 tok): {n_packs}")
+    summary.orderBy("source", "pack_id").show(10, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,35 @@ class TestAsofProperty:
             t, q, key="sym", left_time="tts", right_time="qts", right_values=["px"]
         )
         assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_pack_sequences_invariants_and_repartition_stability(spark):
+    """Packing must (a) be invariant under physical partitioning, (b) keep
+    every offset inside the budget, (c) start each partition group at pack 0
+    offset 0, and (d) be contiguous: consecutive docs differ by exactly the
+    previous doc's token count (mod budget)."""
+    import pyspark.sql.functions as F
+
+    from datapipelines_spark.operators.packing import pack_sequences
+
+    base = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("src"),
+        ((F.col("id") * 37) % 190 + 10).alias("n_tokens"),
+    )
+    budget = 512
+    outs = []
+    for n in (1, 5, 32):
+        out = pack_sequences(
+            base.repartition(n), "n_tokens", "doc_id", budget, ("src",)
+        )
+        outs.append(sorted(tuple(r) for r in out.collect()))
+    assert outs[0] == outs[1] == outs[2]
+
+    rows = sorted(outs[0], key=lambda r: (r[1], r[0]))  # (src, doc_id)
+    by_src = {}
+    for doc_id, src, n_tokens, pack_id, offset in rows:
+        assert 0 <= offset < budget
+        cum = by_src.get(src, 0)
+        assert pack_id == cum // budget and offset == cum % budget
+        by_src[src] = cum + n_tokens
