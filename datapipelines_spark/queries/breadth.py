@@ -257,3 +257,59 @@ def union_by_name_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("src")
     )
+
+
+@query(
+    "skew_salted_quantity_by_flag",
+    oracle="""
+    SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def skew_salted_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (functions/skew.py) promoted into the
+    graded catalog: the l_returnflag key space is 3 values over the whole
+    fact table — exactly the hot-aggregation-key shape AQE cannot split.
+    Salting shuffles on (key, salt) so a hot key spreads over 16 reducers;
+    the oracle is the PLAIN sum, proving the rewrite changes the shuffle
+    shape and nothing else (quantities are integral doubles, so partial
+    sums are exact in any order)."""
+    from datapipelines_spark.functions.skew import salted_sum
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        salted_sum(
+            l, group_cols=("l_returnflag",), value_col="l_quantity",
+            unique_col="l_orderkey", n_salts=16,
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "join_null_safe_segments",
+    oracle="""
+    WITH k AS (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n
+        FROM customer GROUP BY 1
+    )
+    SELECT a.seg, a.n AS n_a, b.n AS n_b
+    FROM k a JOIN k b ON a.seg IS NOT DISTINCT FROM b.seg
+    ORDER BY a.seg NULLS FIRST
+    """,
+)
+def join_null_safe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): the BUILDING
+    segment is NULLed out, and the self-join must still pair the null group
+    with itself — plain equality would silently drop it."""
+    c = load_table(spark, sf_dir, "customer")
+    k = c.groupBy(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = k.select(F.col("seg"), F.col("n").alias("n_a"))
+    b = k.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, a.seg.eqNullSafe(b.seg_b))
+        .select("seg", "n_a", "n_b")
+        .orderBy(F.col("seg").asc_nulls_first())
+    )
