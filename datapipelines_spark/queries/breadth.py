@@ -313,3 +313,39 @@ def join_null_safe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg", "n_a", "n_b")
         .orderBy(F.col("seg").asc_nulls_first())
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+        SELECT 'l_discount' AS measure, l_discount AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure ORDER BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long UNPIVOT (DataFrame unpivot/melt): four measure columns
+    become (measure, value) rows, then a per-measure roll-up. The oracle
+    spells the same reshape as UNION ALL — the portable relational
+    definition of unpivot."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.unpivot(
+            ids=[],
+            values=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .orderBy("measure")
+    )

@@ -75,3 +75,20 @@ query(
     doc="arbitrary GROUPING SETS (two one-column sets + grand total) via the "
     "SQL entry point — complements rollup/cube/GROUPING() coverage",
 )(_sql_builder(_GROUPING_SETS))
+
+_LATERAL_TOP2 = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+query(
+    "sql_lateral_top2_orders",
+    oracle=_LATERAL_TOP2,
+    doc="correlated LATERAL subquery join with per-row ORDER BY + LIMIT "
+    "(top-2 orders per customer) — dialect-shared SQL; Spark plans it as a "
+    "ranked lateral join, the window-free way to express per-key top-k",
+)(_sql_builder(_LATERAL_TOP2))
