@@ -349,3 +349,41 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+@query(
+    "map_type_status_counts",
+    oracle="""
+    WITH per AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT p AS o_orderpriority,
+           CAST(COUNT(*) AS INTEGER) AS n_statuses,
+           CAST(SUM(CASE WHEN s = 'F' THEN n END) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN s = 'O' THEN n END) AS BIGINT) AS n_open,
+           list(s ORDER BY s) AS statuses
+    FROM per GROUP BY p ORDER BY p
+    """,
+)
+def map_type_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType in-plan: per priority, a status->count MAP built with
+    map_from_entries, consumed via size / element_at / map_keys. The oracle
+    states the same facts relationally, so the map stays a Spark plan
+    construct (DuckDB's MAP dialect differs) while the RESULTS are checked."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.size("m").alias("n_statuses"),
+        F.element_at("m", "F").alias("n_final"),
+        F.element_at("m", "O").alias("n_open"),
+        F.array_sort(F.map_keys("m")).alias("statuses"),
+    ).orderBy("o_orderpriority")
