@@ -198,7 +198,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, doc_id, n_tokens,
            CAST((cum_before - cum_before % 2048) / 2048 AS BIGINT) AS pack_id,
-           cum_before % 2048 AS pack_offset
+           CAST(cum_before % 2048 AS BIGINT) AS pack_offset
     FROM c
     ORDER BY source, doc_id
     """,

@@ -205,7 +205,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, j.j
     )
     SELECT doc_id,
-           SUM(CASE WHEN weight > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN weight > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     ORDER BY doc_id
     """,

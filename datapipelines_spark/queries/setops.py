@@ -129,7 +129,7 @@ def shuffle_deterministic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "epoch_repeat_cycle",
     oracle="""
-    SELECT epoch, COUNT(*) AS n_rows, SUM(doc_id) AS sum_ids
+    SELECT epoch, COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
     FROM documents, (SELECT UNNEST(generate_series(0, 2)) AS epoch)
     GROUP BY epoch ORDER BY epoch
     """,

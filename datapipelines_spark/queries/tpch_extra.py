@@ -51,10 +51,10 @@ def q4_order_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping_split",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS high_priority,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS low_priority
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_priority,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS low_priority
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'

@@ -75,6 +75,41 @@ def duckdb_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, cur.fetchall()
 
 
+def _pandas_kinds(pdf) -> dict[str, str]:
+    return {c: pdf[c].dtype.kind for c in pdf.columns}
+
+
+def check_numeric_kinds(
+    spark_df: DataFrame, s_cols: list[str], s_rows: list[tuple], oracle_pdf
+) -> str | None:
+    """Driver-faithful dtype check: the driver materializes BOTH sides via
+    pandas before hashing, so a DuckDB HUGEINT column (uncast integer SUM)
+    becomes float64 while Spark's stays int64 — a hash mismatch even when
+    every value is numerically equal. Flag a column when Spark's schema is
+    integral, Spark produced no NULLs in it (NULLs float both sides alike),
+    but DuckDB's pandas dtype is float. Return an error string, else None."""
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    d_kinds = _pandas_kinds(oracle_pdf)
+    bad = []
+    for idx, field in enumerate(spark_df.schema.fields):
+        if not isinstance(field.dataType, integral):
+            continue
+        if field.name not in d_kinds or d_kinds[field.name] != "f":
+            continue
+        if any(r[idx] is None for r in s_rows):
+            continue
+        bad.append(field.name)
+    if bad:
+        return (
+            "pandas dtype kind mismatch — DuckDB returns float64 where Spark "
+            "is integral (uncast HUGEINT in oracle? wrap the integer SUM in "
+            "CAST(... AS BIGINT)): " + ", ".join(bad)
+        )
+    return None
+
+
 def compare_query(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[bool, str]:
@@ -82,18 +117,23 @@ def compare_query(
     from datapipelines_spark.catalog import all_queries
 
     spec = all_queries()[name]
-    s_cols, s_rows = spark_result(spec.builder(spark, sf_dir))
+    s_df = spec.builder(spark, sf_dir)
+    s_cols, s_rows = spark_result(s_df)
     if spec.oracle is None:
         return True, f"rows-only check: {len(s_rows)} rows"
     con = duckdb_connection(sf_dir)
     try:
         d_cols, d_rows = duckdb_result(con, spec.oracle)
+        d_pdf = con.execute(spec.oracle).df()
     finally:
         con.close()
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    kind_err = check_numeric_kinds(s_df, s_cols, s_rows, d_pdf)
+    if kind_err is not None:
+        return False, kind_err
     sn = normalize_rows(s_cols, s_rows)
     dn = normalize_rows(d_cols, d_rows)
     if sn != dn:
