@@ -36,7 +36,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 
 from datapipelines_spark.functions.hashing import portable_hash64
@@ -208,16 +208,29 @@ def _pair_jaccard(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard via inverted-index join.
 
     Candidates come from an equi-join on the shingle string (never a cross
     join); the shared-shingle count from the join IS the intersection size,
     so one shuffle produces (pair, n_common) and union sizes arrive by
-    broadcast. For 100 TB add a document-frequency cap on shingles (drop
-    shingles appearing in > k docs) before the self-join; not needed at
-    fixture scale.
+    broadcast.
+
+    ``max_doc_freq`` is the 100 TB safety valve: a shingle appearing in k
+    documents contributes k·(k-1)/2 join rows, so ONE boilerplate phrase
+    ("all rights reserved …") across a few million docs is a quadratic hot
+    bucket — the classic dedup scale-killer. Shingles with document
+    frequency above the cap are dropped from the inverted index BEFORE the
+    self-join (they carry ~zero discriminative signal; dropping them can
+    only lower the estimated intersection, never invent a pair). Default
+    1000 never engages at fixture duplicate densities but bounds any one
+    shingle's cost at scale; None disables for exact parity.
     """
     # the shingle table feeds three plan branches (two self-join sides +
     # the sizes broadcast); persist so shingling runs once, not three times
@@ -225,6 +238,14 @@ def ngram_jaccard_pairs(
     # pre-partition the inverted index on the join key: both self-join
     # branches arrive already co-partitioned, so the join adds no exchange
     sh = docs.select(F.col(id_col), F.explode("shingles").alias("s")).repartition("s")
+    if max_doc_freq is not None:
+        # document frequency over a window partitioned by the shingle key:
+        # the data is already hash-partitioned on "s", so this adds a sort
+        # within partitions but NO new exchange
+        w = Window.partitionBy("s")
+        sh = sh.withColumn("__df", F.count(F.lit(1)).over(w)).where(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")
     pairs = (
@@ -355,7 +376,7 @@ def minhash_lsh_pairs(
     id_col: str,
     config: MinHashConfig = MinHashConfig(),
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 512,
     impl: str = "arrow",
 ) -> DataFrame:
     """Candidate pairs from LSH band buckets, verified by exact Jaccard.
@@ -367,21 +388,31 @@ def minhash_lsh_pairs(
     the equivalent band self-join, which recomputes the signature pipeline
     on both branches.
 
-    ``max_bucket_size`` (100 TB knob): buckets larger than this are skipped
-    as too-common (quadratic pair blowup for near-zero-information bands) —
-    leave None for exact parity with the all-pairs oracle.
+    ``max_bucket_size`` is the 100 TB safety valve: a band key shared by k
+    docs yields k·(k-1)/2 candidate pairs, so one degenerate band (all-same
+    minima over boilerplate text) goes quadratic. Oversized buckets are
+    dropped BEFORE ``collect_list`` via a windowed count on the same
+    partitioning (no extra exchange), so no unbounded member array is ever
+    materialized either. Default 512 never engages at fixture duplicate
+    densities; None disables for exact parity with the all-pairs oracle.
     """
     # docs feeds the band-bucket branch AND both verification broadcasts;
     # persist so the signature stage runs once
     docs = _docs_with_signatures(df, text_col, id_col, config, impl).persist()
     bands = lsh_band_keys(docs, id_col, config)
+    if max_bucket_size is not None:
+        # filter before aggregating: the window's hash partitioning on
+        # (band_id, band_key) is the same as the groupBy's, so Catalyst
+        # plans ONE exchange and the collect_list arrays stay bounded
+        wb = Window.partitionBy("band_id", "band_key")
+        bands = bands.withColumn("__bs", F.count(F.lit(1)).over(wb)).where(
+            F.col("__bs") <= max_bucket_size
+        ).drop("__bs")
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
         .where(F.size("members") > 1)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.where(F.size("members") <= max_bucket_size)
     cand = (
         buckets.select(
             F.explode(
