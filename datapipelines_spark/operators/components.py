@@ -18,8 +18,14 @@ data never leaves executors.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+
+class ConvergenceError(RuntimeError):
+    """Label propagation exhausted max_iterations before reaching fixpoint."""
 
 
 def connected_components(
@@ -27,9 +33,19 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(node, component) for every node in the pair graph; component = min
-    node id reachable. ``pairs`` is an undirected edge list."""
+    node id reachable. ``pairs`` is an undirected edge list.
+
+    If the loop exhausts ``max_iterations`` without the fixpoint check
+    passing, the labels are NOT components — one duplicate group would be
+    silently split into several, keeping extra "canonical" copies. Default
+    ``on_nonconverged='raise'`` turns that into a ``ConvergenceError``;
+    ``'warn'`` returns the partial labels with a ``warnings.warn`` (for
+    exploratory use where approximate clusters are acceptable)."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
     # the edge list is re-joined every iteration: persist it, or each round
     # re-runs the whole upstream pair pipeline (LSH, verification, ...)
     edges = (
@@ -47,6 +63,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
@@ -72,9 +89,20 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     # labels is checkpointed (materialized), so the edge cache can go
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within "
+            f"max_iterations={max_iterations}; the graph diameter exceeds the "
+            f"round budget and the labels would split real components. "
+            f"Raise max_iterations (rounds needed ≈ diameter)."
+        )
+        if on_nonconverged == "raise":
+            raise ConvergenceError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

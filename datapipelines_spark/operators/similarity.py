@@ -58,16 +58,25 @@ def cosine_topk_vectorized(
     id_col: str,
     query_pred: Column,
     k: int = 5,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """BLAS path for exact top-k: queries collected to a numpy matrix
-    (broadcast-sized by assumption), corpus streamed through mapInPandas in
-    Arrow batches, scored as one matrix product per batch, and reduced to
-    per-partition partial top-k before the final global top-k window.
+    (size-guarded by ``max_query_rows``), corpus streamed through
+    mapInPandas in Arrow batches, scored as one matrix product per batch,
+    and reduced to per-partition partial top-k before the final global
+    top-k window.
 
-    Same results as ``cosine_topk`` (tested), but the per-candidate cost is
-    a fused BLAS op instead of an interpreted per-row fold — the shape that
-    wins when the corpus is billions of vectors: shuffle volume is
-    O(partitions × queries × k), never O(corpus).
+    Same results as ``cosine_topk`` (tested, including tie ordering), but
+    the per-candidate cost is a fused BLAS op instead of an interpreted
+    per-row fold — the shape that wins when the corpus is billions of
+    vectors: shuffle volume is O(partitions × queries × k), never O(corpus).
+
+    The query matrix lives on the driver and is serialized into every task,
+    so an unexpectedly fat query predicate must fail fast, not OOM the
+    driver: the collect is capped at ``max_query_rows`` (the limit executes
+    executor-side before any row reaches the driver). For larger query sets
+    chunk the predicate, or use the LSH/IVF paths where the query side
+    stays distributed.
     """
     import numpy as np
     import pandas as pd
@@ -83,8 +92,19 @@ def cosine_topk_vectorized(
         ]
     )
     q_rows = (
-        df.where(query_pred).select(F.col(id_col), F.col(vec_col)).collect()
+        df.where(query_pred)
+        .select(F.col(id_col), F.col(vec_col))
+        .limit(max_query_rows + 1)
+        .collect()
     )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_vectorized: query predicate matched more than "
+            f"max_query_rows={max_query_rows} rows; the query matrix is "
+            f"driver-resident and broadcast per task. Chunk the query side, "
+            f"raise max_query_rows deliberately, or use the LSH/IVF search "
+            f"paths for distributed query sets."
+        )
     if not q_rows:
         empty = df.sparkSession.createDataFrame([], out_schema)
         return empty.select(
@@ -107,7 +127,11 @@ def cosine_topk_vectorized(
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                top = cand_idx[np.argsort(-row[cand_idx], kind="stable")[: k]]
+                # lexsort: primary -cosine, secondary neighbor id ascending —
+                # the SAME total order as the final window (cosine desc,
+                # neighbor_id asc), so a tie crossing the per-batch top-k
+                # boundary keeps the lower id, exactly like the exact path
+                top = cand_idx[np.lexsort((ids[cand_idx], -row[cand_idx]))[:k]]
                 out.append(
                     pd.DataFrame(
                         {

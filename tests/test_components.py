@@ -28,3 +28,36 @@ def test_clusters_canonical_flags(spark):
     assert rows[3]["is_canonical"] and rows[3]["cluster_id"] == 3
     assert not rows[7]["is_canonical"] and rows[7]["cluster_id"] == 3
     assert not rows[9]["is_canonical"] and rows[9]["cluster_id"] == 3
+
+
+def test_nonconvergence_raises_by_default(spark):
+    import pytest
+
+    from datapipelines_spark.operators.components import ConvergenceError
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12 > 3 rounds
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(ConvergenceError, match="max_iterations=3"):
+        connected_components(df, max_iterations=3)
+
+
+def test_nonconvergence_warn_returns_partial_labels(spark):
+    import pytest
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        labels = connected_components(df, max_iterations=3, on_nonconverged="warn")
+    assert labels.count() == 13  # every node still labeled, possibly split
+
+
+def test_exact_budget_convergence_is_clean(spark):
+    # a short chain within the round budget must neither raise nor warn
+    import warnings
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {r["node"]: r["component"] for r in
+               connected_components(df, max_iterations=20).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -30,3 +30,30 @@ def test_vectorized_topk_empty_query_set(spark, sf_dir):
     out = cosine_topk_vectorized(e, "embedding", "vec_id", F.col("vec_id") < 0, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_vectorized_topk_oversized_query_side_fails_fast(spark, sf_dir):
+    """The driver-side collect is capped: a fat query predicate must raise
+    with guidance, not silently OOM the driver at 100× scale."""
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_vectorized(
+            e, "embedding", "vec_id", F.lit(True), k=3, max_query_rows=10
+        )
+
+
+def test_vectorized_topk_breaks_ties_by_neighbor_id(spark):
+    """Duplicate vectors produce exact cosine ties at the top-k boundary;
+    the partial per-batch top-k must keep the LOWER neighbor id, matching
+    the global window order (cosine desc, neighbor_id asc)."""
+    # 6 identical unit vectors -> every cross pair has cosine 1.0; with k=3
+    # the kept neighbors for query 0 must be exactly ids 1,2,3.
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = cosine_topk(df, "embedding", "vec_id", F.col("vec_id") == 0, k=3)
+    fast = cosine_topk_vectorized(df, "embedding", "vec_id", F.col("vec_id") == 0, k=3)
+    ex = [(r["rank"], r["neighbor_id"]) for r in exact.orderBy("rank").collect()]
+    fa = [(r["rank"], r["neighbor_id"]) for r in fast.orderBy("rank").collect()]
+    assert ex == fa == [(1, 1), (2, 2), (3, 3)]

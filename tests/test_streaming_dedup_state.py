@@ -48,4 +48,37 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # batch 2: beta(4) seen-before dropped, gamma(5) kept, alpha(6) dropped
     assert kept == {1: "alpha text", 2: "beta text", 5: "gamma text"}
     state = spark.read.parquet(str(tmp_path / "state"))
-    assert state.distinct().count() == 3
+    assert state.select("content_hash").distinct().count() == 3
+
+
+def test_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivery of an epoch (full retry
+    after commit, or replay after rows landed but state didn't) must not
+    duplicate output rows."""
+    from datapipelines_spark.streaming.dedup import exact_dedup_batch_processor
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    process = exact_dedup_batch_processor("text", "doc_id", out, state)
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], SCHEMA)
+
+    process(b0, 0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+
+    # retry of a FULLY committed epoch: skipped outright
+    process(b0, 0)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # retry after rows landed but state write crashed: replays into the
+    # same per-epoch directory (overwrite), still no duplicates
+    import shutil
+
+    shutil.rmtree(state)
+    process(b0, 0)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # next epoch still dedups against all prior state
+    b1 = spark.createDataFrame([(3, "alpha"), (4, "gamma")], SCHEMA)
+    process(b1, 1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4]
