@@ -147,3 +147,34 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("bigint").alias("payload_bytes"),
         F.md5(payload).alias("payload_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "mapper_einops_reduce_groups",
+    oracle="""
+    SELECT vec_id,
+           list_transform(range(1, 9), g ->
+               round(list_aggregate(
+                   (embedding::DOUBLE[])[(g - 1) * 8 + 1 : g * 8], 'sum'), 6))
+               AS group_sums
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def mapper_einops_reduce_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Einops reduce-pattern parity (M6, /root/reference/sdata/mappers/
+    batched_mappers.py:9-34): '(g d) -> g' sum-reduce over the 64-dim
+    embedding viewed as 8 groups of 8 — compiled to native index-arithmetic
+    array expressions (no Python in the plan), the Spark translation of an
+    einops call over a contiguous tensor."""
+    from datapipelines_spark.operators.einops import einops_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    reduced = einops_expr(
+        F.col("embedding"), "(g d) -> g", mode="reduce",
+        sizes={"g": 8, "d": 8}, reduction="sum",
+    )
+    return e.select(
+        "vec_id",
+        F.transform(reduced, lambda x: F.round(x, 6)).alias("group_sums"),
+    ).orderBy("vec_id")
