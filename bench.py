@@ -79,19 +79,65 @@ def main() -> None:
         print(f"# {name}: {per_query[name]:.3f}s median of {repeats} ({n} rows)", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+
+    # DuckDB baseline: median-of-3 of each query's oracle SQL over the same
+    # parquet. Ratios >2x of the DuckDB total fail the run (BASELINE.md bar).
+    duck_per_query: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        from datapipelines_spark.testing import duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        try:
+            for name in names:
+                oracle = registry[name].oracle
+                if oracle is None:
+                    continue
+                times = []
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    con.execute(oracle).fetchall()
+                    times.append(time.perf_counter() - t0)
+                duck_per_query[name] = round(sorted(times)[len(times) // 2], 3)
+                r = per_query[name] / max(duck_per_query[name], 1e-9)
+                ratios[name] = round(r, 2)
+                print(
+                    f"# {name}: spark {per_query[name]:.3f}s vs duckdb "
+                    f"{duck_per_query[name]:.3f}s = {r:.2f}x",
+                    file=sys.stderr,
+                )
+        finally:
+            con.close()
+
+    duck_total = round(sum(duck_per_query.values()), 3)
+    spark_on_oracled = round(sum(per_query[n] for n in duck_per_query), 3)
+    total_ratio = (
+        round(spark_on_oracled / duck_total, 3) if duck_total else None
     )
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if duck_per_query:
+        out["duckdb_queries"] = duck_per_query
+        out["duckdb_total"] = duck_total
+        out["ratio_vs_duckdb"] = total_ratio
+        out["query_ratios"] = ratios
+    print(json.dumps(out))
     spark.stop()
+
+    if total_ratio is not None and total_ratio > 2.0:
+        print(
+            f"# FAIL: spark total {spark_on_oracled}s is {total_ratio}x the "
+            f"DuckDB baseline {duck_total}s (bar: 2x)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
