@@ -1,0 +1,57 @@
+"""Bounded persist registry — cache hygiene for query builders.
+
+Several builders persist an intermediate that their *returned* (still lazy)
+DataFrame depends on — e.g. the shingle table a near-dup join reuses three
+times (operators/dedup.py), or q21's fact-side pair table. An in-builder
+``try/finally: unpersist()`` would release the cache before the caller ever
+executes the plan, defeating the persist; but never releasing it means every
+builder invocation leaks a cached table for the life of the session. In a
+long session (the driver runs 50 queries; bench runs every builder several
+times) dozens of orphaned cached tables accumulate and evict each other —
+the round-2 bench regression.
+
+``managed_persist`` keeps the persist semantics while bounding the leak:
+each persisted intermediate is registered, and once more than ``_MAX_LIVE``
+are alive the oldest is unpersisted (its consumer has long since executed —
+callers materialize the returned DataFrame before building the next query;
+if one ever hasn't, unpersist merely falls back to recompute, never wrong
+results). Harnesses that know a query is finished (bench.py between
+measurements) call ``release_persists()`` to drop everything at once.
+
+At 100 TB the same discipline matters more, not less: executor storage
+memory evicting shuffle/operator memory is a throughput cliff, so cached
+intermediates must die with the query that needed them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+#: Enough headroom that one composed pipeline (corpus cleaning chains two
+#: near-dup stages) keeps all its intermediates hot, small enough that a
+#: 50-query driver session holds single-digit cached tables, not dozens.
+_MAX_LIVE = 6
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        # Session already stopped / executor gone — nothing left to release.
+        pass
+
+
+def managed_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with registration in the bounded live set."""
+    persisted = df.persist()
+    _LIVE.append(persisted)
+    while len(_LIVE) > _MAX_LIVE:
+        _unpersist_quietly(_LIVE.pop(0))
+    return persisted
+
+
+def release_persists() -> None:
+    """Unpersist every registered intermediate (bench/driver hygiene hook)."""
+    while _LIVE:
+        _unpersist_quietly(_LIVE.pop())

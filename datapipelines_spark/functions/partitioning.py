@@ -20,9 +20,17 @@ from pyspark.sql import DataFrame
 
 
 def parallelize_small(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff current partitioning is narrower than the
-    session's default parallelism (or ``min_partitions``)."""
+    """Round-robin repartition of a KNOWN-SMALL input to the session's
+    default parallelism (or ``min_partitions``).
+
+    Call sites are narrow sources (a single fixture parquet, a collected
+    dimension) that would otherwise run downstream CPU-bound stages on 1-2
+    input splits. The repartition is unconditional: probing
+    ``df.rdd.getNumPartitions()`` to skip it would force physical planning
+    on every invocation (and sidestep AQE), which costs more than the one
+    small round-robin exchange. Do NOT use this on large tables — a scan of
+    100 TB already yields wide, well-sized splits from
+    ``spark.sql.files.maxPartitionBytes``.
+    """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
     return df.repartition(target)

@@ -39,6 +39,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 
+from datapipelines_spark.functions.caching import managed_persist
+
 from datapipelines_spark.functions.hashing import portable_hash64
 
 #: 2^31 - 1; modulus for the universal-hash family. Coefficients are kept
@@ -234,7 +236,7 @@ def ngram_jaccard_pairs(
     """
     # the shingle table feeds three plan branches (two self-join sides +
     # the sizes broadcast); persist so shingling runs once, not three times
-    docs = doc_shingles(df, text_col, id_col, n).persist()
+    docs = managed_persist(doc_shingles(df, text_col, id_col, n))
     # pre-partition the inverted index on the join key: both self-join
     # branches arrive already co-partitioned, so the join adds no exchange
     sh = docs.select(F.col(id_col), F.explode("shingles").alias("s")).repartition("s")
@@ -398,7 +400,7 @@ def minhash_lsh_pairs(
     """
     # docs feeds the band-bucket branch AND both verification broadcasts;
     # persist so the signature stage runs once
-    docs = _docs_with_signatures(df, text_col, id_col, config, impl).persist()
+    docs = managed_persist(_docs_with_signatures(df, text_col, id_col, config, impl))
     bands = lsh_band_keys(docs, id_col, config)
     if max_bucket_size is not None:
         # filter before aggregating: the window's hash partitioning on
@@ -558,17 +560,21 @@ def _norm(v: Column) -> Column:
 def embedding_cosine_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
 ) -> DataFrame:
-    """Brute-force near-dup pairs with cosine ≥ threshold.
+    """Brute-force near-dup pairs with cosine ≥ threshold — the ORACLE path.
 
-    O(n²) by construction — the correctness baseline. At scale use
-    similarity.lsh_signatures to bucket first; this operator then runs per
-    bucket.
+    A theta join (``vec_a < vec_b``) Catalyst can only plan as a nested-loop
+    product: O(n²) rows through interpreted array expressions. Kept as the
+    small-n verifier; ``embedding_cosine_pairs_blocked`` computes the same
+    exact result with a shuffle-once blocked GEMM and is the default entry
+    (equality-tested in tests/test_dedup_blocked_parity.py).
     """
     from datapipelines_spark.functions.partitioning import parallelize_small
 
-    e = parallelize_small(df).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v"))).persist()
+    e = managed_persist(
+        parallelize_small(df)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
     a = e.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -577,4 +583,118 @@ def embedding_cosine_pairs(
         .withColumn("cosine_raw", cos)
         .where(F.col("cosine_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def embedding_cosine_pairs_blocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    block_size: int = 2048,
+    min_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked GEMM — the scale path.
+
+    Same result set as ``embedding_cosine_pairs`` (bit-stable: margins to
+    the threshold and to round-half boundaries are ~1e-4 / ~1e-9 on real
+    data while BLAS-vs-sequential summation differs by ~1e-15), but the
+    physical plan is ONE hash shuffle keyed on a (block_i, block_j) task id
+    followed by an Arrow-batched numpy matmul per task — no theta join, no
+    nested-loop product, no per-pair interpreted expressions.
+
+    How it distributes: ids are hashed into ``B`` blocks; every vector is
+    replicated to its ``B`` block-pair tasks (side "a" for tasks (blk, j≥blk),
+    side "b" for (i<blk, blk)), so shuffle volume is n·B vectors and the
+    B(B+1)/2 tasks each run an ~(n/B)² GEMM. Exact all-pairs work is
+    inherently O(n²) — what changes at scale is that the n² lands in BLAS
+    flops evenly spread across the cluster instead of a nested loop. Pick
+    ``block_size`` so one task's (n/B)² float64 score matrix fits executor
+    memory (default 2048² = 32 MB). For genuinely approximate near-dup at
+    larger thresholds, hyperplane-LSH bucketing (operators/similarity.py)
+    prunes candidates instead; at thresholds near 0.45 (≈63°, barely above
+    random) no LSH family can prune without losing recall, so exact-blocked
+    is the honest default.
+
+    Reference parity: the reference has no vector dedup at all; this extends
+    sdata's dedup surface per the LLM-pipeline mandate (SURVEY §2.10).
+    """
+    import math
+
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    e = parallelize_small(
+        df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
+    n = e.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    num_blocks = max(min_blocks, math.ceil(n / block_size))
+    tagged = e.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks)).cast("int")
+    )
+    # Side "a" tasks: (blk, j) for j in blk..B-1 (diagonal handled a-side
+    # only); side "b" tasks: (i, blk) for i in 0..blk-1.
+    a_tasks = F.transform(
+        F.sequence(F.col("blk"), F.lit(num_blocks - 1)),
+        lambda j: F.struct(
+            F.col("blk").alias("bi"), j.cast("int").alias("bj"), F.lit("a").alias("side")
+        ),
+    )
+    b_tasks = F.when(
+        F.col("blk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk") - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("bi"), F.col("blk").alias("bj"), F.lit("b").alias("side")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bi:int,bj:int,side:string>>"))
+    tasks = tagged.select(
+        "__id", "v", F.explode(F.concat(a_tasks, b_tasks)).alias("t")
+    ).select("__id", "v", F.col("t.bi").alias("bi"), F.col("t.bj").alias("bj"), F.col("t.side").alias("side"))
+
+    thr = float(threshold)
+
+    def _gemm(key, pdf):
+        bi, bj = key
+        rows_a = pdf[pdf["side"] == "a"]
+        ids_a = rows_a["__id"].to_numpy(dtype=np.int64)
+        if len(ids_a) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        Va = np.stack(rows_a["v"].to_numpy())
+        Va = Va / np.linalg.norm(Va, axis=1, keepdims=True)
+        if bi == bj:
+            C = Va @ Va.T
+            ia, ib = np.triu_indices(len(ids_a), 1)
+            left, right = ids_a[ia], ids_a[ib]
+            cos = C[ia, ib]
+        else:
+            rows_b = pdf[pdf["side"] == "b"]
+            ids_b = rows_b["__id"].to_numpy(dtype=np.int64)
+            if len(ids_b) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+                )
+            Vb = np.stack(rows_b["v"].to_numpy())
+            Vb = Vb / np.linalg.norm(Vb, axis=1, keepdims=True)
+            C = Va @ Vb.T
+            ia, ib = np.nonzero(np.ones_like(C, dtype=bool))
+            left, right = ids_a[ia], ids_b[ib]
+            cos = C.ravel()
+        keep = cos >= thr
+        left, right, cos = left[keep], right[keep], cos[keep]
+        lo = np.minimum(left, right)
+        hi = np.maximum(left, right)
+        # round half-up to 6 dp, matching Spark's F.round / the oracle
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine": np.floor(cos * 1e6 + 0.5) / 1e6}
+        )
+
+    return tasks.groupBy("bi", "bj").applyInPandas(
+        _gemm, "vec_a long, vec_b long, cosine double"
     )

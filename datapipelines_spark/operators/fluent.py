@@ -14,7 +14,8 @@ engine operator.
 | rsample     | rsample     |
 | slice       | slice_rows  |
 | unbatched   | unbatch     |
-| with_epoch  | mixing.epoch_repeat |
+| map_dict    | map_dict    |
+| with_epoch  | with_epoch (= mixing.epoch_repeat) |
 | shuffle     | mixing.deterministic_shuffle |
 """
 
@@ -76,3 +77,22 @@ def create_dummy_dataset(df: DataFrame, count: int = 1_000_000) -> DataFrame:
     one = df.limit(1)
     spark = df.sparkSession
     return one.crossJoin(spark.range(count).select(F.col("id").alias("__copy")))
+
+
+def map_dict(df: DataFrame, **fns) -> DataFrame:
+    """wds ``map_dict`` parity (FluidInterface via
+    /root/reference/sdata/datapipeline.py:306): apply a per-key transform to
+    the named columns in place. Each value is either a ready ``Column``
+    expression or a callable ``Column -> Column`` applied to the current
+    column — the relational reading of "apply f to sample[key]"."""
+    for name, fn in fns.items():
+        df = df.withColumn(name, fn(F.col(name)) if callable(fn) else fn)
+    return df
+
+
+def with_epoch(df: DataFrame, count: int) -> DataFrame:
+    """wds ``with_epoch`` parity: named fluent alias of
+    ``mixing.epoch_repeat`` (D7) so migrating configs keep the verb."""
+    from datapipelines_spark.operators.mixing import epoch_repeat
+
+    return epoch_repeat(df, count)

@@ -7,11 +7,11 @@ them out of queries that don't touch them).
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 Pandas UDFs over ``mapInPandas``: the Spark-side plumbing (schemas, batch
-iteration, error quarantine, partition sizing) is real and tested; the codec
-call itself is pluggable and STUBBED here (PIL/cv2/ffmpeg are not in this
-container) — ``decode_fn`` defaults to a deterministic fake that derives
-pixel stats from the bytes, and raises ``NotImplementedError`` if a real
-codec is requested without one installed.
+iteration, error quarantine, partition sizing) is real and tested. The codec
+is pluggable: ``real_decode`` actually decodes PPM/PGM and uncompressed BMP
+payloads pure-numpy in this container (and routes other formats to PIL when
+installed — JPEG/PNG remain env-blocked without it); ``fake_decode`` stays
+available as the deterministic stand-in for arbitrary binary payloads.
 
 Scale notes: media rows are wide (MBs), so these stages cap Arrow batch
 sizes (``spark.sql.execution.arrow.maxRecordsPerBatch``) and should follow a
@@ -56,24 +56,111 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
-def real_decode(payload: bytes) -> dict:  # pragma: no cover - env lacks codecs
-    try:
-        from PIL import Image  # type: ignore
-    except ImportError as e:
-        raise NotImplementedError(
-            "image codecs are not installed in this environment; pass "
-            "decode_fn=fake_decode or install Pillow"
-        ) from e
-    import io
-
-    img = Image.open(io.BytesIO(payload))
+def decode_ppm(payload: bytes):
+    """Pure-numpy PPM/PGM decoder (binary P6/P5) — a REAL codec with no
+    third-party dependency, so the reference's decode→transform chain
+    (sdata/mappers/sample_mappers.py:88-123, wds image handlers at
+    sdata/datapipeline.py:525-527) runs end-to-end on actual image bytes in
+    this container. Returns an ndarray (h, w, 3) for P6 or (h, w) for P5.
+    """
     import numpy as np
 
-    arr = np.asarray(img)
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if payload[1:2] == b"6" else 1
+    # Header: magic, width, height, maxval as whitespace-separated tokens
+    # (with '#' comments), then ONE whitespace byte, then raster data.
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    need = width * height * channels
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(
+        (height, width, channels) if channels == 3 else (height, width)
+    )
+    return arr
+
+
+def decode_bmp(payload: bytes):
+    """Pure-numpy decoder for uncompressed 24/32-bit BMP (BITMAPINFOHEADER).
+    Returns an ndarray (h, w, 3|4), rows flipped to top-down, BGR→RGB."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    ch = bpp // 8
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * ch + 3) & ~3  # rows padded to 4 bytes
+    need = row_stride * height
+    raster = payload[data_offset : data_offset + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(height, row_stride)
+    arr = rows[:, : width * ch].reshape(height, width, ch)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[:, :, [2, 1, 0] + ([3] if ch == 4 else [])]  # BGR(A) -> RGB(A)
+
+
+def decode_array(payload: bytes):
+    """Route a payload to a real decoder by magic bytes: PPM/PGM and BMP are
+    decoded pure-numpy in-container; other formats (JPEG/PNG/...) go to PIL
+    when installed, else raise (plumbing stays testable via fake_decode)."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError as e:  # pragma: no cover - env lacks codecs
+        raise NotImplementedError(
+            "payload is not PPM/BMP and compressed-image codecs (Pillow) are "
+            "not installed; pass decode_fn=fake_decode or install Pillow"
+        ) from e
+    import io  # pragma: no cover
+
+    import numpy as np  # pragma: no cover
+
+    return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
+
+
+def real_decode(payload: bytes) -> dict:
+    """Decode actual image bytes (PPM/BMP pure-numpy; PIL for the rest) into
+    the IMAGE_FEATURES_SCHEMA feature dict."""
+    arr = decode_array(payload)
     return {
-        "width": img.width,
-        "height": img.height,
-        "n_channels": arr.shape[2] if arr.ndim == 3 else 1,
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "n_channels": int(arr.shape[2]) if arr.ndim == 3 else 1,
         "mean_pixel": float(arr.mean()) / 255.0,
     }
 

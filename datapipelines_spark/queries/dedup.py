@@ -237,12 +237,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ 0.45 (brute force).
+    """Embedding near-dup: pairs with cosine ≥ 0.45, exact, via blocked GEMM.
 
-    Correctness baseline for small n; the LSH-bucketed variant in
-    similarity.py is the scale path (this cross join is O(n²) and says so).
+    The default path is ``embedding_cosine_pairs_blocked`` — one shuffle on
+    (block_i, block_j) task keys + vectorized numpy matmul per task; the
+    all-pairs theta-join operator remains the oracle/verifier
+    (tests/test_dedup_blocked_parity.py proves set equality). At cosine 0.45
+    (≈63°) LSH bucketing cannot prune without recall loss, so the exact
+    blocked plan IS the scale path.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    return ops.embedding_cosine_pairs(
+    return ops.embedding_cosine_pairs_blocked(
         e, vec_col="embedding", id_col="vec_id", threshold=0.45
     ).orderBy("vec_a", "vec_b")

@@ -150,6 +150,64 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_ppm_decode",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS w,
+               3 + doc_id % 4 AS h,
+               substr(repeat(md5(text), 5), 1,
+                      CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INT)) AS px
+        FROM documents
+    )
+    SELECT doc_id, w AS width, h AS height, 3 AS n_channels,
+           round(list_aggregate(list_transform(range(1, len(px) + 1),
+                 i -> ascii(substr(px, i, 1))), 'avg') / 255.0, 6) AS mean_pixel
+    FROM b ORDER BY doc_id
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (M4, /root/reference/sdata/mappers/
+    sample_mappers.py:88-123 decode→transform chain; wds handlers at
+    /root/reference/sdata/datapipeline.py:525-527): each document is framed
+    as a binary P6 PPM payload (header + md5-derived ASCII raster, built with
+    native expressions), then ``decode_images`` runs the pure-numpy PPM codec
+    (operators/multimodal.py:decode_ppm) — not the digest fake — inside the
+    Arrow-batched mapInPandas stage, with the per-call E4 timeout armed. The
+    oracle recomputes width/height and the exact mean pixel value of the
+    same raster."""
+    from datapipelines_spark.operators.multimodal import decode_images, real_decode
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
+    n_px = (w * h * 3).cast("int")
+    raster = F.substring(F.repeat(F.md5(F.encode(F.col("text"), "utf-8")), 5), 1, 160)
+    header = F.concat_ws("", F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                         h.cast("string"), F.lit("\n255\n"))
+    payload = F.concat(
+        F.encode(header, "utf-8"), F.encode(F.expr("substring(raster, 1, n_px)"), "utf-8")
+    )
+    framed = (
+        d.withColumn("raster", raster)
+        .withColumn("n_px", n_px)
+        .withColumn("__key__", F.col("doc_id").cast("string"))
+        .withColumn("ppm", payload)
+    )
+    decoded = decode_images(
+        framed, payload_col="ppm", key_col="__key__",
+        decode_fn=real_decode, on_error="fail", timeout_s=10.0,
+    )
+    return decoded.select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    ).orderBy("doc_id")
+
+
+@query(
     "mapper_einops_reduce_groups",
     oracle="""
     SELECT vec_id,

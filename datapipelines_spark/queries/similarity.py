@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipelines_spark.catalog import query
+from datapipelines_spark.functions.caching import managed_persist
 from datapipelines_spark.operators import similarity as ops
 from datapipelines_spark.sources.parquet import load_table
 
@@ -116,8 +117,8 @@ def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         e.withColumn("nrm", _norm(F.col("v")))
         .withColumn("sig", ops.lsh_signature(F.col("v"), _DIM, _PLANES))
-        .persist()
     )
+    sigs = managed_persist(sigs)
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "sig"
     )

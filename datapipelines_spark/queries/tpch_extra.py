@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipelines_spark.catalog import query
+from datapipelines_spark.functions.caching import managed_persist
 from datapipelines_spark.sources.parquet import load_table
 
 
@@ -773,10 +774,10 @@ def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataF
         )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("late"))
-        # pair feeds both the per-order roll-up and the waiting filter;
-        # persist so the fact-table join+aggregate runs once, not twice
-        .persist()
     )
+    # pair feeds both the per-order roll-up and the waiting filter; persist
+    # (bounded registry) so the fact-table join+aggregate runs once, not twice
+    pair = managed_persist(pair)
     per_order = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
     )

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipelines_spark.catalog import query
+from datapipelines_spark.functions.caching import managed_persist
 from datapipelines_spark.sources.parquet import load_table
 
 _DIM = 64
@@ -203,8 +204,8 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelize_small(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
-        .persist()
     )
+    e = managed_persist(e)
     cents = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
@@ -217,8 +218,8 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos_raw"),
         )
         .withColumn("rn", F.row_number().over(w))
-        .persist()
     )
+    ranked = managed_persist(ranked)
     corpus_cells = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("c_id"), "cell_id"
     )

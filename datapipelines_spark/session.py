@@ -34,6 +34,18 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Coarse per-stage timeout posture (reference E4 parity: sdata watchdogs
+    # every operator call with a per-call timeout, datapipeline.py:31-83).
+    # Spark has no per-row timeout on JVM stages; the engine's Python stages
+    # use SIGALRM (operators/multimodal.py). JVM-side, the task reaper is the
+    # cluster-grade equivalent: a task that ignores its kill request for
+    # killTimeout ms gets its executor JVM terminated instead of hanging the
+    # stage forever. Speculation (off here; enable on a real cluster) would
+    # additionally re-launch stragglers. Reaper confs are static SparkConf —
+    # they take effect at JVM launch, so they live in the session factory.
+    "spark.task.reaper.enabled": "true",
+    "spark.task.reaper.pollingInterval": "10s",
+    "spark.task.reaper.killTimeout": "120s",
 }
 
 

@@ -24,27 +24,24 @@ from pyspark.sql import DataFrame, SparkSession
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events fixture as a file-source stream.
 
-    The fixture's TIMESTAMP(NANOS) column is read as long
-    (``nanosAsLong``) and truncated to microsecond timestamps exactly like
-    the batch reader (sources/parquet.py), so stream and batch results are
-    comparable row-for-row.
+    The ``ts`` column's parquet logical type is NOT hardcoded: we take the
+    schema a batch ``spark.read.parquet`` infers (one footer read) and branch
+    on what actually arrived — TIMESTAMP(NANOS) fixtures surface as long
+    (``nanosAsLong``) and are truncated to microseconds, TIMESTAMP(MICROS)
+    fixtures surface as (ntz) timestamps and are used as-is — so stream and
+    batch results are comparable row-for-row whichever way the fixture was
+    written.
     """
     import os
 
     from pyspark.sql import types as T
 
+    # Same conf the batch reader sets: without it a NANOS fixture is
+    # rejected by the vectorized reader before we can inspect its schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     path = sf_dir if sf_dir.endswith(".parquet") else os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    ts_type = schema["ts"].dataType
     if os.path.isfile(path):
         # The file-stream source monitors directories; stage a symlink dir so
         # a single-file fixture replays without copying bytes.
@@ -54,9 +51,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, os.path.join(stage, os.path.basename(path)))
         path = stage
     raw = spark.readStream.schema(schema).parquet(path)
-    # Watermarks require TimestampType (not NTZ); with the session pinned to
-    # UTC the values match the batch reader's timestamp_ntz microseconds.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks need TimestampType (not NTZ); with the session pinned to UTC
+    # the cast/conversion below lands on the same microsecond instants the
+    # batch reader (sources/parquet.py load_table) produces.
+    if isinstance(ts_type, T.LongType):
+        # TIMESTAMP(NANOS) read as int64: integer-divide to micros (floor),
+        # matching load_table and DuckDB's NS->US coercion.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

@@ -64,6 +64,21 @@ class TestFluentVerbs:
         df = spark.createDataFrame([(1, [1, 2, 3])], "id int, xs array<int>")
         assert fluent.unbatch(df, "xs").count() == 3
 
+    def test_map_dict(self, spark):
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame([(1, "a", 2.0)], "x int, y string, z double")
+        out = fluent.map_dict(df, x=lambda c: c + 10, y=F.upper(F.col("y")))
+        row = out.collect()[0]
+        assert (row["x"], row["y"], row["z"]) == (11, "A", 2.0)
+        assert out.columns == ["x", "y", "z"]  # in-place, order preserved
+
+    def test_with_epoch(self, spark):
+        df = spark.createDataFrame([("a",), ("b",)], "k string")
+        out = fluent.with_epoch(df, 3)
+        assert out.count() == 6
+        assert sorted(r["epoch"] for r in out.select("epoch").distinct().collect()) == [0, 1, 2]
+
     def test_dummy_dataset(self, spark):
         base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
         dummy = fluent.create_dummy_dataset(base.orderBy("k"), count=1000)
