@@ -78,72 +78,70 @@ def all_queries() -> dict[str, QuerySpec]:
 
 
 # The driver's correctness gate hashes exactly the FIRST 50 entries of
-# all_queries() in iteration order. This list pins those 50 slots to one
-# representative per operator family (SURVEY.md §2 + the LLM-pipeline and
-# streaming extensions) so every family gets a driver verdict; the remaining
-# catalog keeps registration order after them and stays covered by the local
-# differential suite (tests/test_oracle_differential.py, all 100+ queries).
+# all_queries() in iteration order. The window ROTATES each round so
+# cumulative driver-green coverage grows instead of re-verifying the same 50
+# (VERDICT r2 #6): round 3 pins (a) queries changed or red last round, then
+# (b) every query that has never had a driver verdict, then (c) re-confirms
+# of r1-only verdicts. Rounds 1-2 driver-verified the per-family
+# representatives (see CORRECTNESS_r0{1,2}.json); everything stays covered
+# locally by tests/test_oracle_differential.py (all 111 queries, replicating
+# the driver compare at sf0.01 via SPARK_GRAFT_ORACLE_DIR).
 PRIORITY_50: tuple[str, ...] = (
-    # TPC-H core + representative extras
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_profit_by_nation_year",
-    "q12_priority_shipping_split",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_orders_waiting",
-    # joins (semi/anti/outer, metadata-join rename, as-of, range, null-safe)
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_outer_order_counts",
-    "join_metadata_rename_collision",
-    "asof_join_last_order_before_event",
-    "range_join_price_bands",
-    "join_null_safe_segments",
-    # aggregation shapes
-    "agg_approx_distinct_parts",
-    "rollup_order_totals",
-    "having_big_part_groups",
-    "subquery_above_avg_orders",
-    # windows + reshape
-    "window_topk_parts_per_supplier",
-    "window_range_frame_30d_spend",
-    "pivot_status_by_priority",
-    "unpivot_lineitem_measures",
-    "percentile_order_values",
-    # set ops / mixing / epochs / batching (D1-D7, B1)
-    "setop_union_customer_supplier_nations",
-    "mix_weighted_sources",
-    "shuffle_deterministic_rank",
-    "epoch_repeat_cycle",
-    "batch_fixed_size_groups",
-    # filters / mappers / multimodal (F3-F4, M3, M4 metadata path)
-    "filter_required_keys",
-    "filter_size_range",
-    "mapper_rescale_embeddings",
-    "multimodal_binary_stats",
-    # scalar function families + SQL entry points
-    "scalar_json_extract",
-    "scalar_array_funcs",
-    "sql_lateral_top2_orders",
-    "sql_grouping_sets_mixed",
-    # dedup family (exact, n-gram, MinHash+LSH, SimHash, embedding, clusters)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    # corpus pipeline (cleaning, decontamination, packing)
-    "corpus_clean_pipeline",
-    "decontaminate_ngram_overlap",
-    "pack_sequences_budget",
-    # similarity / ANN
-    "sim_topk_bruteforce",
-    "sim_lsh_candidate_pairs",
-    "sim_ivf_topk_probe2",
-    # text analysis
-    "text_tfidf_top_terms",
-    # streaming (bounded replay, real watermarked streams)
-    "stream_tumbling_1h_replay",
-    "stream_dedup_exact_replay",
+    # --- pins: changed or previously-red this round (must re-verify) ---
+    "stream_tumbling_1h_replay",   # r2 red (timestamp collapse) -> fixed
+    "dedup_embedding_cosine",      # rerouted to blocked-GEMM default
+    "multimodal_ppm_decode",       # new: REAL codec decode (M4)
+    # --- first driver verdicts: TPC-H remainder ---
+    "q2_min_cost_supplier",
+    "q4_order_priority_waiting",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q10_returned_item_revenue",
+    "q11_important_part_value",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_high_volume_part_suppliers",
+    "q22_inactive_rich_customers",
+    # --- first driver verdicts: events / windows / calendar ---
+    "events_user_lifetime_stats",
+    "events_funnel_conversion",
+    "events_interpolate_hourly",
+    "events_latest_per_user",
+    "window_first_last_value",
+    "calendar_fill_monthly_orders",
+    # --- first driver verdicts: SQL entry, aggregates, semantics ---
+    "sql_q6_forecast_revenue",
+    "sql_top_customers",
+    "sql_revenue_by_month",
+    "rollup_grouping_id",
+    "corr_discount_quantity",
+    "string_agg_nation_names",
+    "null_semantics",
+    "union_by_name_missing_columns",
+    "map_type_status_counts",
+    "skew_salted_quantity_by_flag",
+    # --- first driver verdicts: vectors / text / mappers ---
+    "vector_label_centroids",
+    "vector_position_stats",
+    "sim_ivf_cell_assign",
+    "text_regex_token_classes",
+    "scalar_string_funcs_extended",
+    "mapper_einops_reduce_groups",
+    # --- first driver verdicts: new streaming replays (this round) ---
+    "stream_session_6h_replay",
+    "stream_sliding_1h30m_replay",
+    "stream_stream_join_replay",
+    # --- r1-only verdicts, re-confirmed under current code ---
+    "q5_local_supplier_volume",
+    "events_session_windows",
+    "text_quality_score",
+    "text_token_stats",
+    "scalar_math_funcs",
+    "scalar_date_funcs",
+    "window_running_customer_spend",
+    "agg_distinct_suppliers_per_flag",
 )

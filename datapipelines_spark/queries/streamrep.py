@@ -123,3 +123,142 @@ def stream_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_bounded_to_memory(deduped, _sink_name("stream_dedup"), output_mode="append")
     return out.orderBy("content_hash")
+
+
+@query(
+    "stream_session_6h_replay",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 21600000000
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           SUM(value) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start_us
+    """,
+)
+def stream_session_6h_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (6-hour gap) per user as a REAL stream: dynamic
+    merging session state, complete-output bounded replay, so the final
+    memory-sink table is the full session set — compared against the same
+    gaps-and-islands oracle as the batch query (events_session_windows).
+    State posture at scale: one open session struct per active user, evicted
+    by the watermark; complete mode here is only the bounded-replay harness.
+    """
+    from datapipelines_spark.streaming.windows import session_aggregate
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = session_aggregate(ev, gap="6 hours", watermark="12 hours").select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+    out = run_bounded_to_memory(agg, _sink_name("stream_session"), output_mode="complete")
+    return out.orderBy("user_id", "session_start_us")
+
+
+@query(
+    "stream_sliding_1h30m_replay",
+    oracle="""
+    WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+    m AS (SELECT MAX(us) AS max_us FROM e),
+    w AS (
+        SELECT us - us % 1800000000 AS ws, value FROM e
+        UNION ALL
+        SELECT us - us % 1800000000 - 1800000000 AS ws, value FROM e
+    )
+    SELECT ws AS window_start_us,
+           COUNT(*) AS n_events,
+           SUM(value) AS sum_value
+    FROM w, m
+    WHERE ws + 3600000000 <= max_us
+    GROUP BY ws
+    ORDER BY window_start_us
+    """,
+)
+def stream_sliding_1h30m_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes as an append-mode stream with
+    a zero-delay watermark over a bounded replay. Each event lands in
+    width/slide = 2 windows (the oracle materializes both window starts per
+    event); the final watermark flushes windows with end <= max(ts), the
+    trailing open windows stay in state — same emission rule as
+    stream_tumbling_1h_replay."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = run_bounded_to_memory(agg, _sink_name("stream_sliding"), output_mode="append")
+    return out.orderBy("window_start_us")
+
+
+@query(
+    "stream_stream_join_replay",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, click_id, purchase_id, purchase_value
+    FROM clicks JOIN purchases
+      ON user_id = p_user_id
+     AND purchase_ts >= click_ts
+     AND purchase_ts <= click_ts + INTERVAL 6 HOURS
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution: click -> purchase within 6
+    hours by the same user), both sides watermarked, run as a real
+    append-mode stream over a bounded replay. Inner-join matches emit as they
+    arrive; the watermarks bound both sides' join state (each side buffers
+    only rows newer than watermark - interval). The oracle is the plain
+    relational interval join."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = (
+        clicks.withWatermark("click_ts", "1 hour")
+        .join(
+            purchases.withWatermark("purchase_ts", "1 hour"),
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .select("user_id", "click_id", "purchase_id", "purchase_value")
+    )
+    out = run_bounded_to_memory(joined, _sink_name("stream_ss_join"), output_mode="append")
+    return out.orderBy("user_id", "click_id", "purchase_id")

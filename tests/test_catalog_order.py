@@ -14,29 +14,33 @@ def test_priority_window_leads_registry_order():
     assert names[:50] == list(PRIORITY_50)
 
 
-def test_priority_window_spans_families():
-    # One representative per family the judge tracks (VERDICT r1 item 1).
-    must_have = {
-        "dedup_clusters",
-        "corpus_clean_pipeline",
-        "decontaminate_ngram_overlap",
-        "pack_sequences_budget",
-        "sim_ivf_topk_probe2",
-        "asof_join_last_order_before_event",
-        "sql_lateral_top2_orders",
-        "pivot_status_by_priority",
-        "percentile_order_values",
-        "join_metadata_rename_collision",
-        "filter_required_keys",
-        "filter_size_range",
-        "mapper_rescale_embeddings",
-        "multimodal_binary_stats",
-        "q9_profit_by_nation_year",
-        "q21_suppliers_kept_orders_waiting",
-        "stream_tumbling_1h_replay",
-        "stream_dedup_exact_replay",
-    }
-    assert must_have <= set(PRIORITY_50)
+def test_priority_window_pins_changed_queries_first():
+    # Round-3 rotation policy (VERDICT r2 #6): slots 1-3 are the queries that
+    # were red or materially changed this round — they MUST get a fresh
+    # driver verdict; the rest of the window grows cumulative coverage.
+    assert PRIORITY_50[0] == "stream_tumbling_1h_replay"
+    assert "dedup_embedding_cosine" in PRIORITY_50[:3]
+    assert "multimodal_ppm_decode" in PRIORITY_50[:3]
+
+
+def test_priority_window_grows_cumulative_driver_coverage():
+    """Most of the round-3 window must be queries with no driver verdict in
+    rounds 1-2 — rotation, not re-verification."""
+    import json
+    import os
+
+    seen = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(os.path.dirname(__file__), "..", fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                seen |= set(json.load(f))
+    if not seen:  # fresh checkout without round artifacts
+        return
+    never_checked = [n for n in PRIORITY_50 if n not in seen]
+    assert len(never_checked) >= 30, (
+        f"only {len(never_checked)} first-verdict slots; rotate more"
+    )
 
 
 def test_every_priority_query_has_an_oracle():
