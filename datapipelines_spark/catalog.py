@@ -135,13 +135,14 @@ PRIORITY_50: tuple[str, ...] = (
     "stream_session_6h_replay",
     "stream_sliding_1h30m_replay",
     "stream_stream_join_replay",
+    # --- first driver verdicts: trained clustering + changed BLAS top-k ---
+    "kmeans_centroids_2iter",
+    "sim_topk_bruteforce",
     # --- r1-only verdicts, re-confirmed under current code ---
     "q5_local_supplier_volume",
     "events_session_windows",
     "text_quality_score",
     "text_token_stats",
-    "scalar_math_funcs",
-    "scalar_date_funcs",
     "window_running_customer_spend",
     "agg_distinct_suppliers_per_flag",
 )

@@ -42,9 +42,16 @@ _DOT_SQL = "list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i]))"
     """,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for every 100th vector (the ANN ground truth)."""
+    """Exact cosine top-5 for every 100th vector (the ANN ground truth).
+
+    Served by the BLAS path (``cosine_topk_vectorized``: driver-resident
+    query matrix, corpus streamed in Arrow batches, one matmul + partial
+    top-k per batch) — bit-equal to the interpreted-expression operator
+    ``cosine_topk`` (tests/test_similarity_vectorized.py) but the
+    per-candidate cost is a fused matrix product, the shape that wins on a
+    billion-vector corpus."""
     e = load_table(spark, sf_dir, "embeddings")
-    return ops.cosine_topk(
+    return ops.cosine_topk_vectorized(
         e, vec_col="embedding", id_col="vec_id", query_pred=F.col("vec_id") % 100 == 0, k=5
     ).orderBy("query_id", "rank")
 

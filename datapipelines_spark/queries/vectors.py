@@ -252,3 +252,85 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "kmeans_centroids_2iter",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM e ORDER BY vec_id LIMIT 4
+    ),
+    a1 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM (
+                SELECT e.vec_id, e.v, c0.cluster,
+                       list_sum(list_transform(range(1, 65), i ->
+                           (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) AS dist
+                FROM e CROSS JOIN c0
+            )
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT cluster, array_agg(mval ORDER BY pos) AS c
+        FROM (SELECT cluster, i.range AS pos, AVG(v[i.range]) AS mval
+              FROM a1, range(1, 65) i GROUP BY cluster, i.range)
+        GROUP BY cluster
+    ),
+    a2 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM (
+                SELECT e.vec_id, e.v, c1.cluster,
+                       list_sum(list_transform(range(1, 65), i ->
+                           (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) AS dist
+                FROM e CROSS JOIN c1
+            )
+        ) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT cluster, array_agg(round(mval, 6) ORDER BY pos) AS centroid
+        FROM (SELECT cluster, i.range AS pos, AVG(v[i.range]) AS mval
+              FROM a2, range(1, 65) i GROUP BY cluster, i.range)
+        GROUP BY cluster
+    )
+    SELECT c2.cluster, n.n_members, c2.centroid
+    FROM c2 JOIN (SELECT cluster, COUNT(*) AS n_members FROM a2 GROUP BY cluster) n
+      ON c2.cluster = n.cluster
+    ORDER BY c2.cluster
+    """,
+)
+def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/clustering.py), k=4, exactly
+    two iterations from the deterministic lowest-id init — the trainer for
+    IVF coarse quantizers (learned cells instead of the fixed vectors
+    sim_ivf_* uses). Per iteration: one Arrow pass computes argmin
+    assignments batch-wise (numpy) and emits k partial (cluster, count,
+    sum) rows per partition — the corpus never shuffles, shuffle volume is
+    O(partitions * k). The oracle replays both iterations in SQL
+    (cross-join argmin with low-index tiebreak + per-dim AVG) and compares
+    round-2 cluster sizes + final centroids to 6 dp."""
+    from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, iters = kmeans_fit(e, "embedding", "vec_id", k=4, max_iter=2, tol=0.0)
+    assert iters == 2
+    # c1 = centroids after ONE iteration; assigning against c1 reproduces
+    # the round-2 assignment whose sizes the oracle counts (and whose means
+    # are exactly `cents`).
+    c1, _ = kmeans_fit(e, "embedding", "vec_id", k=4, max_iter=1, tol=0.0)
+    a2 = kmeans_assign(e, "embedding", "vec_id", c1)
+    sizes = a2.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    rows = [(int(i), [float(round(x, 6)) for x in cents[i]]) for i in range(len(cents))]
+    cdf = spark.createDataFrame(rows, "cluster int, centroid array<double>")
+    return (
+        sizes.join(F.broadcast(cdf), "cluster")
+        .select(F.col("cluster").cast("bigint").alias("cluster"), "n_members", "centroid")
+        .orderBy("cluster")
+    )
