@@ -138,11 +138,11 @@ PRIORITY_50: tuple[str, ...] = (
     # --- first driver verdicts: trained clustering + changed BLAS top-k ---
     "kmeans_centroids_2iter",
     "sim_topk_bruteforce",
+    "stratified_sample_by_lang",
     # --- r1-only verdicts, re-confirmed under current code ---
     "q5_local_supplier_volume",
     "events_session_windows",
     "text_quality_score",
-    "text_token_stats",
     "window_running_customer_spend",
     "agg_distinct_suppliers_per_flag",
 )

@@ -93,3 +93,34 @@ def split_proportions(df: DataFrame, key_col: str, fractions: Sequence[float], s
         out.append(df.where((h >= lo) & (h < hi)))
         lo = hi
     return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int | str = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling — ``df.sampleBy``'s
+    retry-stable cousin (the rebalancing primitive a training mix needs:
+    "keep 50% of en, 25% of de, drop the rest").
+
+    The keep decision is a pure function of the row key (portable md5 hash,
+    functions/hashing.py) and the stratum's fraction, so results are
+    identical across retries, repartitionings, and engines — ``df.sampleBy``
+    is position-dependent and loses all three. Strata absent from
+    ``fractions`` get ``default_fraction``. Single narrow filter, no
+    shuffle; the predicate pushes down to the scan.
+    """
+    for name, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction for stratum {name!r} must be in [0, 1], got {frac}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    thr = F.lit(int(default_fraction * 1_000_000))
+    for name, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == name, F.lit(int(frac * 1_000_000))).otherwise(thr)
+    h = portable_hash_seeded(F.col(key_col), seed) % 1_000_000
+    return df.where(h < thr)

@@ -177,3 +177,40 @@ def batch_fixed_size_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 1000000
+          < CASE lang
+                WHEN 'en' THEN 500000
+                WHEN 'de' THEN 250000
+                WHEN 'fr' THEN 100000
+                ELSE 50000
+            END
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (operators/mixing.py:
+    stratified_sample — df.sampleBy's retry-stable cousin): keep 50% of en,
+    25% of de, 10% of fr, 5% of everything else, keyed on doc_id so the
+    sample is identical across retries/repartitionings/engines. One narrow
+    pushed-down filter, no shuffle. Extends D3/D6 (weighted mixing + seeded
+    determinism, custom_datapipes.py:177-281) to per-stratum rebalancing."""
+    from datapipelines_spark.operators.mixing import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        strata_col="lang",
+        key_col="doc_id",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.1},
+        seed=42,
+        default_fraction=0.05,
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
