@@ -137,6 +137,7 @@ PRIORITY_50: tuple[str, ...] = (
     "stream_stream_join_replay",
     # --- first driver verdicts: trained clustering + changed BLAS top-k ---
     "kmeans_centroids_2iter",
+    "sim_ivf_kmeans_topk",
     "sim_topk_bruteforce",
     "stratified_sample_by_lang",
     # --- r1-only verdicts, re-confirmed under current code ---
@@ -144,5 +145,4 @@ PRIORITY_50: tuple[str, ...] = (
     "events_session_windows",
     "text_quality_score",
     "window_running_customer_spend",
-    "agg_distinct_suppliers_per_flag",
 )

@@ -334,3 +334,149 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cluster").cast("bigint").alias("cluster"), "n_members", "centroid")
         .orderBy("cluster")
     )
+
+
+@query(
+    "sim_ivf_kmeans_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM e ORDER BY vec_id LIMIT 4
+    ),
+    a1 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM (
+                SELECT e.vec_id, e.v, c0.cluster,
+                       list_sum(list_transform(range(1, 65), i ->
+                           (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) AS dist
+                FROM e CROSS JOIN c0
+            )
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT cluster, array_agg(mval ORDER BY pos) AS c
+        FROM (SELECT cluster, i.range AS pos, AVG(v[i.range]) AS mval
+              FROM a1, range(1, 65) i GROUP BY cluster, i.range)
+        GROUP BY cluster
+    ),
+    cells AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM (
+                SELECT e.vec_id, c1.cluster,
+                       list_sum(list_transform(range(1, 65), i ->
+                           (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) AS dist
+                FROM e CROSS JOIN c1
+            )
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, cluster FROM (
+            SELECT e.vec_id, c1.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_sum(list_transform(range(1, 65), i ->
+                                          (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) ASC,
+                                          c1.cluster ASC) AS rn
+            FROM e CROSS JOIN c1
+            WHERE e.vec_id % 100 = 0
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.q_id, c.vec_id AS c_id
+        FROM probes p JOIN cells c ON p.cluster = c.cluster
+        WHERE p.q_id != c.vec_id
+    ),
+    scored AS (
+        SELECT cand.q_id AS query_id, cand.c_id AS neighbor_id,
+               list_sum(list_transform(range(1, 65), i -> q.v[i] * n.v[i]))
+                   / (q.nrm * n.nrm) AS cos_raw
+        FROM cand
+        JOIN e q ON q.vec_id = cand.q_id
+        JOIN e n ON n.vec_id = cand.c_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+    FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN pipeline, end-to-end: TRAIN (one Lloyd iteration of
+    k-means from the deterministic init, operators/clustering.py) → INDEX
+    (assign every vector to its nearest learned centroid — the IVF cell
+    lists) → SEARCH (each query probes its 2 nearest cells, exact cosine
+    over the cell members only, top-5). Scored pairs ≈ corpus × probes/k
+    instead of corpus × queries. The oracle replays training, indexing and
+    probe-2 search in SQL."""
+    import numpy as np
+
+    from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from datapipelines_spark.operators.dedup import _dot, _norm
+
+    e0 = load_table(spark, sf_dir, "embeddings")
+    c1, _ = kmeans_fit(e0, "embedding", "vec_id", k=4, max_iter=1, tol=0.0)
+    cells = kmeans_assign(e0, "embedding", "vec_id", c1)
+
+    e = e0.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+
+    # probe ranking: squared-euclidean distance to each learned centroid,
+    # same arithmetic as training (centroids enter the plan as literals —
+    # k x dim doubles, a broadcast-sized constant)
+    cent_rows = [(int(i), [float(x) for x in c1[i]]) for i in range(len(c1))]
+    cents = F.broadcast(
+        spark.createDataFrame(cent_rows, "cluster int, c array<double>")
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probes = (
+        e.where(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("q_id"), "v")
+        .crossJoin(cents)
+        .withColumn("dist", qdist)
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= 2)
+        .select("q_id", "cluster")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells.select(F.col("vec_id").alias("c_id"), "cluster"), "cluster")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    nv = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "c_id")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
