@@ -135,6 +135,7 @@ PRIORITY_50: tuple[str, ...] = (
     "stream_session_6h_replay",
     "stream_sliding_1h30m_replay",
     "stream_stream_join_replay",
+    "stream_stateful_user_stats_replay",
     # --- first driver verdicts: trained clustering + changed BLAS top-k ---
     "kmeans_centroids_2iter",
     "sim_ivf_kmeans_topk",
@@ -143,6 +144,5 @@ PRIORITY_50: tuple[str, ...] = (
     # --- r1-only verdicts, re-confirmed under current code ---
     "q5_local_supplier_volume",
     "events_session_windows",
-    "text_quality_score",
     "window_running_customer_spend",
 )

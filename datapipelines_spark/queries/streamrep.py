@@ -262,3 +262,41 @@ def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_bounded_to_memory(joined, _sink_name("stream_ss_join"), output_mode="append")
     return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "stream_stateful_user_stats_replay",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(value) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_user_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py): per-user running (count, sum, max) with one
+    small state tuple per key, replayed bounded in update mode. The memory
+    sink keeps every per-batch emission; counts/sums/maxes only grow, so the
+    per-user MAX over emissions is the final state — which must equal the
+    plain batch aggregate (the oracle). This is the driver-checkable face of
+    the reference's arbitrary per-sample Python accumulators run unbounded.
+    """
+    from datapipelines_spark.streaming.stateful import user_running_stats
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_bounded_to_memory(
+        user_running_stats(ev), _sink_name("stream_stateful"), output_mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
