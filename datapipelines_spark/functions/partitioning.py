@@ -20,17 +20,22 @@ from pyspark.sql import DataFrame
 
 
 def parallelize_small(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition of a KNOWN-SMALL input to the session's
-    default parallelism (or ``min_partitions``).
+    """Round-robin repartition iff the input is narrower than the session's
+    default parallelism (or ``min_partitions``) — a FLOOR, never a coalesce.
 
     Call sites are narrow sources (a single fixture parquet, a collected
     dimension) that would otherwise run downstream CPU-bound stages on 1-2
-    input splits. The repartition is unconditional: probing
-    ``df.rdd.getNumPartitions()`` to skip it would force physical planning
-    on every invocation (and sidestep AQE), which costs more than the one
-    small round-robin exchange. Do NOT use this on large tables — a scan of
-    100 TB already yields wide, well-sized splits from
-    ``spark.sql.files.maxPartitionBytes``.
+    input splits. The width probe (``df.rdd.getNumPartitions()``) does force
+    physical planning of the upstream plan once per builder invocation —
+    a measurable but bounded cost — and is kept deliberately: the
+    alternative (unconditional ``repartition(target)``) would silently
+    COALESCE an already-wide input down to ``target``, destroying
+    parallelism exactly when the data is big — a scan of 100 TB yields
+    ~800k splits from ``spark.sql.files.maxPartitionBytes`` and must never
+    be squeezed to ``defaultParallelism``. Correct-at-scale beats saving
+    one planning pass.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)

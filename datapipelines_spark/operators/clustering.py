@@ -63,13 +63,17 @@ def kmeans_fit(
     k: int = 8,
     max_iter: int = 10,
     tol: float = 1e-6,
+    init_centroids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int]:
     """Lloyd's k-means; returns ``(centroids (k, dim) float64, iterations_run)``.
 
     Stops early when the max centroid shift (L2) drops below ``tol``;
     ``tol=0`` forces exactly ``max_iter`` iterations (the reproducible mode
     the oracle-checked query uses). Empty clusters keep their previous
-    centroid (no re-seeding — deterministic).
+    centroid (no re-seeding — deterministic). ``init_centroids`` resumes
+    from a previous fit's output (so "centroids after N and after N+M
+    iterations" costs N+M iterations total, not 2N+M); default init is the
+    k lowest-id vectors.
     """
     from datapipelines_spark.functions.partitioning import parallelize_small
 
@@ -78,10 +82,17 @@ def kmeans_fit(
             df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("v"))
         )
     )
-    seed_rows = base.orderBy("__id").limit(k).collect()
-    if len(seed_rows) < k:
-        raise ValueError(f"kmeans_fit: need at least k={k} vectors, got {len(seed_rows)}")
-    cents = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    if init_centroids is not None:
+        cents = np.asarray(init_centroids, dtype=np.float64).copy()
+        if len(cents) != k:
+            raise ValueError(f"init_centroids has {len(cents)} rows, expected k={k}")
+    else:
+        seed_rows = base.orderBy("__id").limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"kmeans_fit: need at least k={k} vectors, got {len(seed_rows)}"
+            )
+        cents = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
     spark = df.sparkSession
     iters = 0
     for _ in range(max_iter):

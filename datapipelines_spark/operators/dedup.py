@@ -623,9 +623,16 @@ def embedding_cosine_pairs_blocked(
 
     from datapipelines_spark.functions.partitioning import parallelize_small
 
-    e = parallelize_small(
-        df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).cast("array<double>").alias("v"))
+    e = managed_persist(
+        parallelize_small(
+            df.select(
+                F.col(id_col).cast("long").alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
     )
+    # the count that sizes the blocks also materializes the cache the GEMM
+    # job reuses — one scan total, not two
     n = e.count()
     if n == 0:
         return df.sparkSession.createDataFrame(
@@ -658,6 +665,16 @@ def embedding_cosine_pairs_blocked(
 
     thr = float(threshold)
 
+    def _keep_mask(C, t):
+        # Zero-norm vectors: numpy normalization gives NaN cosines and
+        # `>=` drops them — the SAME outcome as the all-pairs operator
+        # under the engine session (non-ANSI Spark returns NULL for 0/0
+        # and `NULL >= t` filters the row), pinned by
+        # test_blocked_zero_vector_pairs_dropped_like_allpairs.
+        # Thresholding BEFORE building index arrays avoids materializing
+        # the full cross-product index set just to discard most of it.
+        return C >= t
+
     def _gemm(key, pdf):
         bi, bj = key
         rows_a = pdf[pdf["side"] == "a"]
@@ -670,7 +687,9 @@ def embedding_cosine_pairs_blocked(
         Va = Va / np.linalg.norm(Va, axis=1, keepdims=True)
         if bi == bj:
             C = Va @ Va.T
-            ia, ib = np.triu_indices(len(ids_a), 1)
+            keep = _keep_mask(C, thr)
+            keep &= np.tri(len(ids_a), k=-1, dtype=bool).T  # strict upper triangle
+            ia, ib = np.nonzero(keep)
             left, right = ids_a[ia], ids_a[ib]
             cos = C[ia, ib]
         else:
@@ -683,11 +702,9 @@ def embedding_cosine_pairs_blocked(
             Vb = np.stack(rows_b["v"].to_numpy())
             Vb = Vb / np.linalg.norm(Vb, axis=1, keepdims=True)
             C = Va @ Vb.T
-            ia, ib = np.nonzero(np.ones_like(C, dtype=bool))
+            ia, ib = np.nonzero(_keep_mask(C, thr))
             left, right = ids_a[ia], ids_b[ib]
-            cos = C.ravel()
-        keep = cos >= thr
-        left, right, cos = left[keep], right[keep], cos[keep]
+            cos = C[ia, ib]
         lo = np.minimum(left, right)
         hi = np.maximum(left, right)
         # round half-up to 6 dp, matching Spark's F.round / the oracle

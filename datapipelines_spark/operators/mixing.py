@@ -119,8 +119,10 @@ def stratified_sample(
             raise ValueError(f"fraction for stratum {name!r} must be in [0, 1], got {frac}")
     if not (0.0 <= default_fraction <= 1.0):
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
-    thr = F.lit(int(default_fraction * 1_000_000))
+    # round, don't truncate: int(0.29 * 1e6) is 289999 (binary float), which
+    # would silently shift the keep boundary one ppm below the spec'd value
+    thr = F.lit(round(default_fraction * 1_000_000))
     for name, frac in sorted(fractions.items()):
-        thr = F.when(F.col(strata_col) == name, F.lit(int(frac * 1_000_000))).otherwise(thr)
+        thr = F.when(F.col(strata_col) == name, F.lit(round(frac * 1_000_000))).otherwise(thr)
     h = portable_hash_seeded(F.col(key_col), seed) % 1_000_000
     return df.where(h < thr)

@@ -88,7 +88,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_windows",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 21600000000
                     OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -97,7 +97,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM ordered
     )

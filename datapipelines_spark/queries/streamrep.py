@@ -109,13 +109,9 @@ def stream_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(path):
-        import tempfile
+    from datapipelines_spark.streaming.windows import stage_file_as_dir
 
-        stage = tempfile.mkdtemp(prefix="docs_stream_")
-        os.symlink(path, os.path.join(stage, os.path.basename(path)))
-        path = stage
+    path = stage_file_as_dir(os.path.join(sf_dir, "documents.parquet"))
     raw = spark.readStream.schema(schema).parquet(path)
     deduped = (
         raw.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("content_hash"))
@@ -129,7 +125,7 @@ def stream_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_6h_replay",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 21600000000
                     OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -138,7 +134,7 @@ def stream_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM ordered
     )

@@ -316,18 +316,28 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(partitions * k). The oracle replays both iterations in SQL
     (cross-join argmin with low-index tiebreak + per-dim AVG) and compares
     round-2 cluster sizes + final centroids to 6 dp."""
+    import numpy as np
+
     from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents, iters = kmeans_fit(e, "embedding", "vec_id", k=4, max_iter=2, tol=0.0)
-    assert iters == 2
-    # c1 = centroids after ONE iteration; assigning against c1 reproduces
-    # the round-2 assignment whose sizes the oracle counts (and whose means
-    # are exactly `cents`).
+    # c1 = centroids after ONE iteration; resuming from c1 gives the
+    # round-2 centroids without re-running round 1. Assigning against c1
+    # reproduces the round-2 assignment whose sizes the oracle counts (and
+    # whose means are exactly `cents`).
     c1, _ = kmeans_fit(e, "embedding", "vec_id", k=4, max_iter=1, tol=0.0)
+    cents, _ = kmeans_fit(
+        e, "embedding", "vec_id", k=4, max_iter=1, tol=0.0, init_centroids=c1
+    )
     a2 = kmeans_assign(e, "embedding", "vec_id", c1)
     sizes = a2.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
-    rows = [(int(i), [float(round(x, 6)) for x in cents[i]]) for i in range(len(cents))]
+    # round half-up to 6 dp (floor(x*1e6+0.5)) — the SAME rule as Spark's
+    # F.round and DuckDB's round(); Python round() is half-even and can
+    # flip the 6th decimal against the oracle
+    rows = [
+        (int(i), [float(np.floor(x * 1e6 + 0.5) / 1e6) for x in cents[i]])
+        for i in range(len(cents))
+    ]
     cdf = spark.createDataFrame(rows, "cluster int, centroid array<double>")
     return (
         sizes.join(F.broadcast(cdf), "cluster")

@@ -37,12 +37,16 @@ _DEFAULTS: dict[str, str] = {
     # Coarse per-stage timeout posture (reference E4 parity: sdata watchdogs
     # every operator call with a per-call timeout, datapipeline.py:31-83).
     # Spark has no per-row timeout on JVM stages; the engine's Python stages
-    # use SIGALRM (operators/multimodal.py). JVM-side, the task reaper is the
-    # cluster-grade equivalent: a task that ignores its kill request for
-    # killTimeout ms gets its executor JVM terminated instead of hanging the
-    # stage forever. Speculation (off here; enable on a real cluster) would
-    # additionally re-launch stragglers. Reaper confs are static SparkConf —
-    # they take effect at JVM launch, so they live in the session factory.
+    # use SIGALRM (operators/multimodal.py). JVM-side the honest statement
+    # is: the task reaper only ESCALATES a task that has already received a
+    # kill request (it terminates the executor JVM if the task ignores the
+    # kill for killTimeout) — it does not itself time out a hung task. Kill
+    # requests come from speculation re-launches or stage cancellation,
+    # which exist on a real cluster (enable spark.speculation there; it is
+    # meaningless on local[n]). So: reaper = containment once a kill is
+    # issued; the per-row JVM timeout remains a documented gap (SURVEY
+    # §7.6). Reaper confs are static SparkConf — set at JVM launch, hence
+    # here in the session factory.
     "spark.task.reaper.enabled": "true",
     "spark.task.reaper.pollingInterval": "10s",
     "spark.task.reaper.killTimeout": "120s",

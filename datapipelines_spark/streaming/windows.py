@@ -20,6 +20,31 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+#: path -> (batch-inferred schema, staged source dir). One footer read and
+#: one symlink-staging tempdir per fixture path per process.
+_STREAM_SOURCE_CACHE: dict[str, tuple] = {}
+
+#: path -> staged dir (no schema), for sources that declare their own schema.
+_STAGE_CACHE: dict[str, str] = {}
+
+
+def stage_file_as_dir(path: str) -> str:
+    """Return a directory the file-stream source can monitor for ``path``:
+    the path itself if already a directory, else a cached symlink-staging
+    tempdir (one per path per process — no leak on repeated builds)."""
+    import os
+
+    if not os.path.isfile(path):
+        return path
+    staged = _STAGE_CACHE.get(path)
+    if staged is None:
+        import tempfile
+
+        staged = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(staged, os.path.basename(path)))
+        _STAGE_CACHE[path] = staged
+    return staged
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events fixture as a file-source stream.
@@ -40,17 +65,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rejected by the vectorized reader before we can inspect its schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = sf_dir if sf_dir.endswith(".parquet") else os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    ts_type = schema["ts"].dataType
-    if os.path.isfile(path):
-        # The file-stream source monitors directories; stage a symlink dir so
-        # a single-file fixture replays without copying bytes.
-        import tempfile
+    cached = _STREAM_SOURCE_CACHE.get(path)
+    if cached is None:
+        schema = spark.read.parquet(path).schema  # one footer read per path
+        src = path
+        if os.path.isfile(path):
+            # The file-stream source monitors directories; stage a symlink
+            # dir so a single-file fixture replays without copying bytes.
+            # Cached per source path — repeated builder invocations (bench
+            # repeats, the differential suite's six replay queries) reuse
+            # one staging dir instead of leaking a tempdir per call.
+            import tempfile
 
-        stage = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(path, os.path.join(stage, os.path.basename(path)))
-        path = stage
-    raw = spark.readStream.schema(schema).parquet(path)
+            src = tempfile.mkdtemp(prefix="events_stream_")
+            os.symlink(path, os.path.join(src, os.path.basename(path)))
+        cached = (schema, src)
+        _STREAM_SOURCE_CACHE[path] = cached
+    schema, src = cached
+    ts_type = schema["ts"].dataType
+    raw = spark.readStream.schema(schema).parquet(src)
     # Watermarks need TimestampType (not NTZ); with the session pinned to UTC
     # the cast/conversion below lands on the same microsecond instants the
     # batch reader (sources/parquet.py load_table) produces.

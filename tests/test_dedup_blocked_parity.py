@@ -51,3 +51,25 @@ def test_blocked_empty_input(spark):
     out = embedding_cosine_pairs_blocked(empty, "embedding", "vec_id", threshold=0.9)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b", "cosine"]
+
+
+def test_blocked_zero_vector_pairs_dropped_like_allpairs(spark):
+    """A zero-norm vector's cosine is undefined: the engine session runs
+    non-ANSI Spark, where 0/0 is NULL and `NULL >= t` filters the pair out
+    of the all-pairs operator; the blocked path's NaN cosines are dropped
+    by `>=` the same way. Pin that both paths agree (drop), with the
+    defined pairs untouched."""
+    rows = [
+        (1, [0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [1.0, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = _rows(embedding_cosine_pairs(df, "embedding", "vec_id", threshold=0.9))
+    blocked = _rows(
+        embedding_cosine_pairs_blocked(
+            df, "embedding", "vec_id", threshold=0.9, block_size=2, min_blocks=2
+        )
+    )
+    assert blocked == exact
+    assert {(a, b) for a, b, _ in blocked} == {(2, 3)}  # zero-vector pairs dropped
