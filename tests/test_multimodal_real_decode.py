@@ -103,3 +103,26 @@ def test_decode_then_transform_chain(images):
     small = crop[::2, ::2]
     assert small.shape == (4, 4, 3)
     assert np.array_equal(small, images["ppm"][0:7, 2:9][::2, ::2])
+
+
+def test_binary_file_source_feeds_real_decode(spark, tmp_path, images):
+    """Loose-file ingestion (sources/binary.py) -> decode_images with the
+    real codec: the non-tar corpus shape, end-to-end on actual bytes."""
+    from datapipelines_spark.sources.binary import read_binary_files
+
+    (tmp_path / "a.ppm").write_bytes(_ppm_bytes(images["ppm"]))
+    (tmp_path / "b.pgm").write_bytes(_pgm_bytes(images["pgm"]))
+    (tmp_path / "skip.txt").write_bytes(b"not an image")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.p?m")
+    assert {r["__key__"] for r in files.select("__key__").collect()} == {"a", "b"}
+
+    out = {
+        r["__key__"]: r
+        for r in decode_images(
+            files, payload_col="payload", decode_fn=real_decode
+        ).collect()
+    }
+    assert (out["a"]["width"], out["a"]["height"]) == (11, 7)
+    assert (out["b"]["width"], out["b"]["height"], out["b"]["n_channels"]) == (8, 5, 1)
+    assert all(r["decode_error"] is None for r in out.values())

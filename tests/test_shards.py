@@ -109,3 +109,42 @@ class TestReadTarSamples:
         df = read_tar_samples(spark, str(tmp_path))
         assert df.count() == 0
         assert set(df.columns) == {"__key__", "__url__", "data"}
+
+
+class TestWriteTarShards:
+    def test_round_trip_through_reference_format(self, spark, tmp_path):
+        """write_tar_shards ∘ read_tar_samples == identity: the engine can
+        re-emit the reference's native WebDataset layout."""
+        from datapipelines_spark.sinks.writer import write_tar_shards
+        from datapipelines_spark.sources.shards import read_tar_samples
+
+        rows = [
+            (f"{i:06d}", {"txt": bytearray(f"doc {i}".encode()), "json": bytearray(b'{"a":1}')})
+            for i in range(57)
+        ]
+        df = spark.createDataFrame(rows, "`__key__` string, data map<string, binary>")
+        out_dir = str(tmp_path / "shards")
+        summary = write_tar_shards(df, out_dir, shard_rows=20, mode="error")
+        assert sum(n for _, n in summary) == 57
+        assert len(summary) >= 3  # 57 rows / 20 per shard
+        assert all(name.endswith(".tar") for name, _ in summary)
+
+        back = read_tar_samples(spark, out_dir)
+        got = {r["__key__"]: {k: bytes(v) for k, v in r["data"].items()} for r in back.collect()}
+        want = {k: {ext: bytes(b) for ext, b in d.items()} for k, d in rows}
+        assert got == want
+
+    def test_mode_error_and_overwrite(self, spark, tmp_path):
+        from datapipelines_spark.sinks.writer import write_tar_shards
+
+        df = spark.createDataFrame(
+            [("k1", {"txt": bytearray(b"x")})], "`__key__` string, data map<string, binary>"
+        )
+        out_dir = str(tmp_path / "tars")
+        write_tar_shards(df, out_dir, mode="error")
+        import pytest as _pytest
+
+        with _pytest.raises(FileExistsError):
+            write_tar_shards(df, out_dir, mode="error")
+        summary = write_tar_shards(df, out_dir, mode="overwrite")
+        assert sum(n for _, n in summary) == 1
