@@ -103,3 +103,44 @@ def test_pack_sequences_single_window_exchange(spark):
 def test_ivf_probe_search_broadcasts_centroids_and_probes(spark):
     plan = _plan(all_queries()["sim_ivf_topk_probe2"].builder(spark, SF))
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_stratified_sample_filter_pushed_to_scan(spark):
+    """The per-stratum keep predicate is a narrow filter: no shuffle, no
+    Python, and the lang/doc_id column reads reach the parquet scan."""
+    plan = _plan(all_queries()["stratified_sample_by_lang"].builder(spark, SF))
+    # the only exchange is the presentation sort's range partitioning —
+    # the sampling itself adds no hash shuffle
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_blocked_gemm_single_grouping_shuffle(spark):
+    """Blocked-GEMM embedding dedup: exactly one hash exchange (the
+    (bi, bj) task grouping) feeds the Arrow GEMM stage — no nested-loop
+    join, no second corpus shuffle."""
+    from datapipelines_spark.operators.dedup import embedding_cosine_pairs_blocked
+    from datapipelines_spark.sources.parquet import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    plan = _plan(embedding_cosine_pairs_blocked(e, "embedding", "vec_id", threshold=0.45))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # hashpartitioning on the task keys feeds the pandas stage
+    assert "hashpartitioning(bi" in plan
+
+
+def test_kmeans_assign_is_shuffle_free(spark):
+    """IVF assignment: broadcast centroids + one Arrow pass — the plan has
+    no Exchange at all."""
+    import numpy as np
+
+    from datapipelines_spark.operators.clustering import kmeans_assign
+    from datapipelines_spark.sources.parquet import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    cents = np.zeros((4, 64))
+    plan = _plan(kmeans_assign(e, "embedding", "vec_id", cents))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
