@@ -1,0 +1,45 @@
+"""Bounded persist registry: eviction order, explicit release, and the
+correctness property that eviction only ever costs recompute."""
+
+import pyspark.sql.functions as F
+from pyspark.storagelevel import StorageLevel
+
+from datapipelines_spark.functions import caching
+from datapipelines_spark.functions.caching import managed_persist, release_persists
+
+
+def _live_count():
+    return len(caching._LIVE)
+
+
+def test_registry_bounds_live_persists(spark):
+    release_persists()
+    dfs = [managed_persist(spark.range(100 + i)) for i in range(caching._MAX_LIVE + 3)]
+    assert _live_count() == caching._MAX_LIVE
+    # oldest were evicted (storage level NONE), newest still cached
+    assert dfs[0].storageLevel == StorageLevel.NONE
+    assert dfs[-1].storageLevel != StorageLevel.NONE
+    release_persists()
+
+
+def test_release_unpersists_everything(spark):
+    release_persists()
+    a = managed_persist(spark.range(10))
+    b = managed_persist(spark.range(20))
+    assert _live_count() == 2
+    release_persists()
+    assert _live_count() == 0
+    assert a.storageLevel == StorageLevel.NONE
+    assert b.storageLevel == StorageLevel.NONE
+
+
+def test_eviction_only_costs_recompute(spark):
+    """A consumer holding an evicted DataFrame still computes correct
+    results — eviction falls back to recompute, never to wrong answers."""
+    release_persists()
+    first = managed_persist(spark.range(50).withColumn("x", F.col("id") * 2))
+    for i in range(caching._MAX_LIVE + 1):
+        managed_persist(spark.range(i + 1))
+    assert first.storageLevel == StorageLevel.NONE  # evicted
+    assert first.agg(F.sum("x")).collect()[0][0] == sum(2 * i for i in range(50))
+    release_persists()
