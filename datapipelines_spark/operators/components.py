@@ -9,9 +9,12 @@ expressed as iterative DataFrame joins:
 
     label(v) <- min(label(v), min over neighbors u of label(u))
 
-iterated to fixpoint. Each round is two shuffles (join + groupBy); rounds
-needed = graph diameter in the worst case, O(log n) for the short, dense
-chains duplicate clusters actually form. Driver-side iteration with a
+iterated to fixpoint, with a pointer-jumping step (label <- label(label))
+fused into rounds 3+ so remaining distance-to-root halves per round:
+rounds = O(log diameter), not O(diameter) — a pathological 1000-link
+duplicate chain converges in ~10 rounds, while the short/dense clusters
+real near-dup graphs form finish in ≤2 plain two-shuffle rounds and never
+pay the jump's extra self-join. Driver-side iteration with a
 convergence check via an aggregate — the loop control is metadata-only, the
 data never leaves executors.
 """
@@ -64,22 +67,42 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iterations):
+    for round_no in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
+        propagated = labels.join(neighbor_min, labels.node == neighbor_min.u, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        if round_no >= 2:
+            # Pointer jumping: follow the label one more hop —
+            # c(v) <- c(c(v)). A label is always some node's id, so the
+            # self-join hits; combined with the neighbor-min step this
+            # halves the remaining distance-to-root per round, making the
+            # tail O(log diameter) instead of O(diameter) (a 1000-link
+            # duplicate chain converges in ~10 rounds, not 1000).
+            # Engaged only from round 3: real duplicate clusters are
+            # short/dense and converge in ≤2 plain rounds — they never pay
+            # the extra self-join; deep pathological graphs still get the
+            # exponential speedup.
+            parents = propagated.select(
+                F.col("node").alias("p_node"), F.col("component").alias("p_component")
+            )
+            propagated = propagated.join(
+                parents, propagated.component == parents.p_node, "left"
+            ).select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("p_component"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
-        )
+        new_labels = propagated.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -98,7 +121,7 @@ def connected_components(
             f"connected_components did not converge within "
             f"max_iterations={max_iterations}; the graph diameter exceeds the "
             f"round budget and the labels would split real components. "
-            f"Raise max_iterations (rounds needed ≈ diameter)."
+            f"Raise max_iterations (rounds needed ≈ log2(diameter))."
         )
         if on_nonconverged == "raise":
             raise ConvergenceError(msg)

@@ -61,3 +61,17 @@ def test_exact_budget_convergence_is_clean(spark):
         got = {r["node"]: r["component"] for r in
                connected_components(df, max_iterations=20).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 200-link path graph has diameter 200: pure min-label propagation
+    would blow the 20-round default budget, pointer jumping must not."""
+    from datapipelines_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs, max_iterations=12)
+    rows = labels.collect()
+    assert len(rows) == 201
+    assert {r["component"] for r in rows} == {0}  # one component, min id 0
