@@ -200,3 +200,43 @@ def string_agg_nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "agg_approx_percentile_contract",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_disc(o_totalprice, 0.5), 6) AS p50_exact,
+           round(quantile_disc(o_totalprice, 0.9), 6) AS p90_exact,
+           TRUE AS approx_within_1pct
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch): like the HLL query, the
+    sketch is engine-specific so the oracle contract is accuracy, not
+    equality — exact discrete percentiles plus a flag asserting the sketch
+    landed within 1% relative error. At 100 TB the sketch is the only
+    option: fixed memory per group vs an exact percentile's full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    approx = F.percentile_approx("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), 10_000)
+    exact50 = F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+    exact90 = F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(exact50, 6).alias("p50_exact"),
+            F.round(exact90, 6).alias("p90_exact"),
+            approx.alias("__ap"),
+        )
+        .select(
+            "o_orderstatus",
+            "p50_exact",
+            "p90_exact",
+            (
+                (F.abs(F.col("__ap")[0] - F.col("p50_exact")) <= 0.01 * F.col("p50_exact"))
+                & (F.abs(F.col("__ap")[1] - F.col("p90_exact")) <= 0.01 * F.col("p90_exact"))
+            ).alias("approx_within_1pct"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -240,3 +240,65 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(vec, 1).cast("double"), 6).alias("first_elem"),
         F.size(F.filter(vec, lambda x: x > 0)).cast("bigint").alias("n_positive"),
     ).orderBy("vec_id")
+
+
+@query(
+    "scalar_from_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           to_json(json_object('k', CAST(json_extract(props, '$.k') AS BIGINT) * 2))
+               AS doubled_json
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def scalar_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON round-trip IN-PLAN: ``from_json`` parses the props string
+    into a typed struct (not string extraction — a schema'd parse, the
+    relational form of the reference's json decode handler,
+    /root/reference/sdata/datapipeline.py:525), and ``to_json`` re-emits a
+    transformed struct. Both are codegen'd Catalyst expressions — zero
+    Python."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = F.from_json(F.col("props"), schema)
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        F.to_json(F.struct((parsed["k"] * 2).alias("k"))).alias("doubled_json"),
+    ).orderBy("event_id")
+
+
+@query(
+    "scalar_map_hof_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderstatus AS status, COUNT(*) * 2 AS n2
+    FROM orders
+    GROUP BY o_custkey, o_orderstatus
+    HAVING COUNT(*) * 2 >= 4
+    ORDER BY o_custkey, status
+    """,
+)
+def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions in-plan: per-customer status->count maps
+    built with map_from_entries, then transform_values (double each count)
+    and map_filter (keep entries >= 4), exploded back to rows. The detour
+    through map construction/transformation/filtering must round-trip to
+    the plain relational answer — all codegen'd/interpreted JVM
+    expressions, zero Python."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("o_orderstatus"), F.col("n")))
+        ).alias("m")
+    )
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v >= 4)
+    return (
+        m.select("o_custkey", F.explode(kept).alias("status", "n2"))
+        .orderBy("o_custkey", "status")
+    )
