@@ -194,3 +194,47 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rank")
     )
+
+
+def cosine_topk_chunked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred: Column,
+    k: int = 5,
+    chunk_rows: int = 100_000,
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Exact BLAS top-k for query sets BIGGER than one driver-resident
+    matrix: the query side is hash-partitioned into chunks of ~``chunk_rows``
+    and each chunk runs ``cosine_topk_vectorized`` independently; results
+    union (chunks are disjoint query sets, so no dedup/re-rank is needed).
+
+    Trade-off stated plainly: N chunks = N passes over the corpus. That is
+    still the right shape when the query set is, say, 1M rows against a
+    1B-row corpus (10 passes of fused BLAS beat one 10^15-pair nested
+    loop); when BOTH sides are huge, use the LSH/IVF paths where neither
+    side is driver-resident.
+    """
+    import math
+
+    n_queries = df.where(query_pred).count()
+    if n_queries == 0:
+        return cosine_topk_vectorized(df, vec_col, id_col, query_pred, k)
+    chunks = num_chunks or max(1, math.ceil(n_queries / chunk_rows))
+    if chunks == 1:
+        return cosine_topk_vectorized(
+            df, vec_col, id_col, query_pred, k, max_query_rows=max(chunk_rows, n_queries)
+        )
+    from datapipelines_spark.functions.hashing import portable_hash64
+
+    out = None
+    for i in range(chunks):
+        chunk_pred = query_pred & (portable_hash64(F.col(id_col)) % chunks == i)
+        part = cosine_topk_vectorized(
+            df, vec_col, id_col, chunk_pred, k,
+            # per-chunk guard: hash splits are uniform; 4x headroom covers skew
+            max_query_rows=max(chunk_rows * 4 // chunks + chunk_rows, 1024),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -57,3 +57,23 @@ def test_vectorized_topk_breaks_ties_by_neighbor_id(spark):
     ex = [(r["rank"], r["neighbor_id"]) for r in exact.orderBy("rank").collect()]
     fa = [(r["rank"], r["neighbor_id"]) for r in fast.orderBy("rank").collect()]
     assert ex == fa == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_chunked_equals_vectorized(spark, sf_dir):
+    """Chunked BLAS top-k must equal the single-matrix path exactly —
+    chunks partition the query set, so the union is the same result."""
+    import pyspark.sql.functions as F
+
+    from datapipelines_spark.operators.similarity import (
+        cosine_topk_chunked,
+        cosine_topk_vectorized,
+    )
+    from datapipelines_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 20 == 0  # 25 queries at sf0.001
+    one = cosine_topk_vectorized(e, "embedding", "vec_id", pred, k=3)
+    many = cosine_topk_chunked(
+        e, "embedding", "vec_id", pred, k=3, chunk_rows=7  # forces ~4 chunks
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
