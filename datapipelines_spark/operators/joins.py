@@ -44,3 +44,47 @@ def metadata_join(
         meta = meta.withColumnRenamed(c, f"{c}{collision_suffix}")
     right = F.broadcast(meta) if broadcast_meta else meta
     return main.join(right, on, how)
+
+
+def fuzzy_join(
+    a: DataFrame,
+    b: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Edit-distance join (entity resolution) WITHOUT the cross product.
+
+    Sound two-stage plan:
+    1. Length-band blocking: levenshtein(x, y) <= d implies
+       |len(x) - len(y)| <= d, so side B is exploded to its d+1+d candidate
+       lengths and equi-joined against side A's length — every true match
+       survives (zero recall loss), and the candidate volume drops by the
+       length-distribution spread instead of being |A| x |B|.
+    2. Exact levenshtein filter on the candidates (codegen'd JVM
+       expression).
+
+    Returns a joined frame with a ``distance`` column. At 100 TB add a
+    domain blocking key (e.g. country, category) to the equi-join — the
+    API composes: fuzzy_join(a.withColumn(...), ...) on pre-blocked
+    partitions.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    left = a.withColumn("__len_a", F.length(F.col(col_a)))
+    right = b.withColumn(
+        "__len_b",
+        F.explode(
+            F.sequence(
+                F.length(F.col(col_b)) - max_distance,
+                F.length(F.col(col_b)) + max_distance,
+            )
+        ),
+    )
+    joined = left.join(right, left["__len_a"] == right["__len_b"])
+    dist = F.levenshtein(F.col(col_a), F.col(col_b))
+    return (
+        joined.withColumn("distance", dist)
+        .where(F.col("distance") <= max_distance)
+        .drop("__len_a", "__len_b")
+    )

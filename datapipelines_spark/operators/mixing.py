@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from datapipelines_spark.functions.hashing import portable_hash_seeded
 
@@ -126,3 +126,26 @@ def stratified_sample(
         thr = F.when(F.col(strata_col) == name, F.lit(round(frac * 1_000_000))).otherwise(thr)
     h = portable_hash_seeded(F.col(key_col), seed) % 1_000_000
     return df.where(h < thr)
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n: int,
+    seed: int | str = 42,
+) -> DataFrame:
+    """Deterministic "reservoir" of exactly ≤n rows per stratum: rank rows
+    inside each stratum by their portable key hash and keep the first n.
+    Retry/repartition/engine-stable for the same reason stratified_sample
+    is — the rank is a pure function of the data. One hash shuffle on the
+    stratum key; at 100 TB pair it with AQE skew handling if one stratum
+    dominates."""
+    w = Window.partitionBy(strata_col).orderBy(
+        portable_hash_seeded(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

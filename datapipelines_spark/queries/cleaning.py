@@ -217,3 +217,32 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         d, "n_tokens", "doc_id", budget=2048, partition_cols=("source",)
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "fuzzy_join_supplier_names",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS distance
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND levenshtein(a.s_name, b.s_name) <= 1
+    ORDER BY supp_a, supp_b
+    """,
+)
+def fuzzy_join_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join (operators/joins.py:fuzzy_join):
+    supplier-name pairs within edit distance 1, via sound length-band
+    blocking + exact levenshtein — the near-duplicate-entity primitive of
+    corpus cleaning, with the all-pairs DuckDB join as the oracle."""
+    from datapipelines_spark.operators.joins import fuzzy_join
+
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("name_b"))
+    out = fuzzy_join(a, b, "name_a", "name_b", max_distance=1)
+    return (
+        out.where(F.col("supp_a") < F.col("supp_b"))
+        .select("supp_a", "supp_b", F.col("distance").cast("int").alias("distance"))
+        .orderBy("supp_a", "supp_b")
+    )

@@ -214,3 +214,33 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_fraction=0.05,
     )
     return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "sample_n_per_lang",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                                 AS BIGINT) ASC,
+                            doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    ORDER BY doc_id
+    """,
+)
+def sample_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir (operators/mixing.py:
+    sample_n_per_group): exactly <=10 documents per language, chosen by
+    portable key-hash rank so the same rows win on every engine, retry,
+    and partitioning — the "N examples per class" primitive of training
+    set construction."""
+    from datapipelines_spark.operators.mixing import sample_n_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_n_per_group(d, strata_col="lang", key_col="doc_id", n=10).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
