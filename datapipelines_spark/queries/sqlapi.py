@@ -92,3 +92,59 @@ query(
     "(top-2 orders per customer) — dialect-shared SQL; Spark plans it as a "
     "ranked lateral join, the window-free way to express per-key top-k",
 )(_sql_builder(_LATERAL_TOP2))
+
+
+_RECURSIVE_CHAIN = """
+WITH RECURSIVE edges AS (
+    SELECT n_regionkey AS region, n_nationkey AS src,
+           LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+                                   ORDER BY n_nationkey) AS dst
+    FROM nation
+),
+roots AS (
+    SELECT n_regionkey AS region, MIN(n_nationkey) AS node
+    FROM nation GROUP BY n_regionkey
+),
+walk AS (
+    SELECT region, node, 0 AS depth FROM roots
+    UNION ALL
+    SELECT w.region, e.dst AS node, w.depth + 1 AS depth
+    FROM walk w JOIN edges e ON e.src = w.node AND e.region = w.region
+    WHERE e.dst IS NOT NULL
+)
+SELECT region, node, depth FROM walk ORDER BY region, depth
+"""
+
+query(
+    "sql_recursive_region_chain",
+    oracle=_RECURSIVE_CHAIN,
+    doc="WITH RECURSIVE graph walk: per-region nation chains (edges from a "
+    "window LEAD), walked from each region's root to compute depth — the "
+    "iterative-closure shape (org hierarchies, duplicate clusters) expressed "
+    "in pure shared-dialect SQL; Spark 4 and DuckDB both execute the "
+    "identical text.",
+)(_sql_builder(_RECURSIVE_CHAIN))
+
+
+_EXISTS_CORRELATED = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          AND o.o_totalprice < 50000
+      )
+ORDER BY c_custkey
+"""
+
+query(
+    "sql_exists_correlated",
+    oracle=_EXISTS_CORRELATED,
+    doc="Correlated EXISTS / NOT EXISTS at the SQL surface (planned as "
+    "semi/anti joins by Catalyst): customers with a big order and no small "
+    "finished one.",
+)(_sql_builder(_EXISTS_CORRELATED))
