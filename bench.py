@@ -172,26 +172,31 @@ def main() -> None:
         out["ratio_vs_duckdb"] = round(total_ratio, 3)
         out["query_ratios"] = {n: round(r, 2) for n, r in ratios.items()}
         out["slow_queries"] = slow
-    line = json.dumps(out)
-    print(line)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w"
-    ) as f:
-        f.write(line + "\n")
-    spark.stop()
-
+    # All diagnostics BEFORE the JSON line: a combined stdout+stderr capture
+    # must end with the parseable JSON (BENCH_r03 recorded parsed:null when a
+    # trailing WARN line followed it).
+    failed = total_ratio is not None and total_ratio > 2.0
     if slow:
         print(
             f"# WARN: per-query ratio above {SLOW_RATIO}x vs a >={SLOW_MIN_DUCK_SEC}s "
             f"oracle: {', '.join(slow)}",
             file=sys.stderr,
         )
-    if total_ratio is not None and total_ratio > 2.0:
+    if failed:
         print(
             f"# FAIL: spark total {spark_on_oracled:.3f}s is {total_ratio:.3f}x the "
             f"DuckDB baseline {duck_total:.3f}s (bar: 2x)",
             file=sys.stderr,
         )
+    spark.stop()
+
+    line = json.dumps(out)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w"
+    ) as f:
+        f.write(line + "\n")
+    print(line)
+    if failed:
         sys.exit(1)
 
 

@@ -80,69 +80,68 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate hashes exactly the FIRST 50 entries of
 # all_queries() in iteration order. The window ROTATES each round so
 # cumulative driver-green coverage grows instead of re-verifying the same 50
-# (VERDICT r2 #6): round 3 pins (a) queries changed or red last round, then
-# (b) every query that has never had a driver verdict, then (c) re-confirms
-# of r1-only verdicts. Rounds 1-2 driver-verified the per-family
-# representatives (see CORRECTNESS_r0{1,2}.json); everything stays covered
-# locally by tests/test_oracle_differential.py (all 111 queries, replicating
-# the driver compare at sf0.01 via SPARK_GRAFT_ORACLE_DIR).
+# (VERDICT r2 #6): round 4 pins (a) the four r3-red queries, now fixed
+# (array outputs stringified/exploded, float SUM decimal-cast), (b) queries
+# new or changed this round, (c) the 7 queries that have never had a driver
+# verdict, (d) all 21 r1-only verdicts re-confirmed under current code, then
+# (e) the oldest r2-only verdicts (16 of 47; the rest rotate in r5).
+# Everything stays covered locally by tests/test_oracle_differential.py
+# (all 126 queries, replicating the driver compare, sf0.01 via
+# SPARK_GRAFT_ORACLE_DIR).
 PRIORITY_50: tuple[str, ...] = (
-    # --- pins: changed or previously-red this round (must re-verify) ---
-    "stream_tumbling_1h_replay",   # r2 red (timestamp collapse) -> fixed
-    "dedup_embedding_cosine",      # rerouted to blocked-GEMM default
-    "multimodal_ppm_decode",       # new: REAL codec decode (M4)
-    # --- first driver verdicts: TPC-H remainder ---
-    "q2_min_cost_supplier",
-    "q4_order_priority_waiting",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q10_returned_item_revenue",
-    "q11_important_part_value",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_high_volume_part_suppliers",
-    "q22_inactive_rich_customers",
-    # --- first driver verdicts: events / windows / calendar ---
-    "events_user_lifetime_stats",
-    "events_funnel_conversion",
-    "events_interpolate_hourly",
-    "events_latest_per_user",
-    "window_first_last_value",
-    "calendar_fill_monthly_orders",
-    # --- first driver verdicts: SQL entry, aggregates, semantics ---
-    "sql_q6_forecast_revenue",
-    "sql_top_customers",
-    "sql_revenue_by_month",
-    "rollup_grouping_id",
-    "corr_discount_quantity",
-    "string_agg_nation_names",
-    "null_semantics",
-    "union_by_name_missing_columns",
-    "map_type_status_counts",
-    "skew_salted_quantity_by_flag",
-    # --- first driver verdicts: vectors / text / mappers ---
-    "vector_label_centroids",
-    "vector_position_stats",
-    "sim_ivf_cell_assign",
-    "text_regex_token_classes",
-    "scalar_string_funcs_extended",
-    "mapper_einops_reduce_groups",
-    # --- first driver verdicts: new streaming replays (this round) ---
-    "stream_session_6h_replay",
-    "stream_sliding_1h30m_replay",
-    "stream_stream_join_replay",
-    "stream_stateful_user_stats_replay",
-    # --- first driver verdicts: trained clustering + changed BLAS top-k ---
-    "kmeans_centroids_2iter",
-    "sim_ivf_kmeans_topk",
-    "sim_topk_bruteforce",
-    "stratified_sample_by_lang",
+    # --- pins: red in r3, fixed this round (must re-verify) ---
+    "null_semantics",              # r3 hash-red -> decimal-cast SUM
+    "map_type_status_counts",      # r3 err -> statuses array_join'd
+    "mapper_einops_reduce_groups", # r3 err -> exploded to scalar rows
+    "kmeans_centroids_2iter",      # r3 err -> centroid exploded to rows
+    # --- pins: new or changed this round ---
+    "mapper_square_crop",          # new: M5 crop-geometry oracle query
+    "sim_topk_bruteforce",         # changed: small-corpus broadcast route
+    # --- first driver verdicts: the 7 never-checked ---
+    "fuzzy_join_supplier_names",
+    "sample_n_per_lang",
+    "scalar_from_json_typed",
+    "scalar_map_hof_funcs",
+    "agg_approx_percentile_contract",
+    "sql_recursive_region_chain",
+    "sql_exists_correlated",
     # --- r1-only verdicts, re-confirmed under current code ---
-    "q5_local_supplier_volume",
-    "events_session_windows",
-    "window_running_customer_spend",
+    "agg_distinct_suppliers_per_flag",
+    "cube_lineitem_flags",
+    "dedup_exact_normalized",
+    "events_sliding_1h_30m",
+    "events_tumbling_1h",
+    "scalar_conditional_funcs",
+    "scalar_date_funcs",
+    "scalar_fuzzy_string",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "sim_lsh_bucket_histogram",
+    "text_fingerprint",
+    "text_language_id",
+    "text_length_histogram",
+    "text_quality_score",
+    "text_token_stats",
+    "window_moving_avg_events",
+    "window_order_gaps",
+    "window_price_rank_in_brand",
+    # --- oldest r2-only verdicts, re-confirmed (16 of 47) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_profit_by_nation_year",
+    "q12_priority_shipping_split",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_orders_waiting",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "corpus_clean_pipeline",
+    "decontaminate_ngram_overlap",
+    "asof_join_last_order_before_event",
+    "range_join_price_bands",
+    "stream_dedup_exact_replay",
 )

@@ -172,13 +172,18 @@ def cosine_topk(
     """
     from datapipelines_spark.functions.partitioning import parallelize_small
 
-    e = parallelize_small(df).select(
+    e = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
+    # only the corpus side is widened: the query side is filtered then
+    # broadcast, so repartitioning it would just add a shuffle stage to the
+    # broadcast-build job
     q = e.where(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    c = e.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    c = parallelize_small(e).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -194,6 +199,54 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rank")
     )
+
+
+def cosine_topk_auto(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred: Column,
+    k: int = 5,
+    pair_budget: int = 5_000_000,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Route exact top-k by cost: when queries × corpus fits ``pair_budget``,
+    use the broadcast-join expression path (``cosine_topk``) — pure Catalyst,
+    no driver-resident matrix, no Python worker launch, so its constant cost
+    is milliseconds; otherwise the BLAS ``cosine_topk_vectorized`` path whose
+    per-candidate cost wins on big corpora (r3 flagged the BLAS path's fixed
+    overhead at 10× on a 2k-vector corpus — this is the fix).
+
+    Both probes early-stop via ``limit(n+1).count()``: on a billion-row
+    corpus the router reads a bounded prefix, never a full scan. Probe
+    results are memoized per (session, plan) — deterministic counts cannot
+    change within a session — so repeated builds pay the probe jobs once.
+    Results are identical across paths including tie order (tested)."""
+    probe = pair_budget // max(k, 1)
+    n_corpus = _bounded_count(df.select(id_col), probe + 1)
+    if n_corpus <= probe:
+        n_queries = _bounded_count(df.where(query_pred).select(id_col), probe + 1)
+        if n_queries * n_corpus <= pair_budget:
+            return cosine_topk(df, vec_col, id_col, query_pred, k)
+    return cosine_topk_vectorized(
+        df, vec_col, id_col, query_pred, k, max_query_rows=max_query_rows
+    )
+
+
+#: (applicationId, plan semanticHash, limit) -> bounded count; see
+#: functions/partitioning.plan_width for the rationale.
+_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _bounded_count(df: DataFrame, limit: int) -> int:
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash(), limit)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        if len(_COUNT_CACHE) > 4096:
+            _COUNT_CACHE.clear()
+        n = df.limit(limit).count()
+        _COUNT_CACHE[key] = n
+    return n
 
 
 def cosine_topk_chunked(
@@ -218,13 +271,23 @@ def cosine_topk_chunked(
     """
     import math
 
-    n_queries = df.where(query_pred).count()
-    if n_queries == 0:
-        return cosine_topk_vectorized(df, vec_col, id_col, query_pred, k)
-    chunks = num_chunks or max(1, math.ceil(n_queries / chunk_rows))
+    if num_chunks is None:
+        # optimistic single-chunk attempt instead of a pre-count of the query
+        # side (r3 perf note): the size guard inside the vectorized path is a
+        # limit(chunk_rows+1).collect(), which early-stops — a failed attempt
+        # costs a bounded partial scan, not a full corpus scan. Only when the
+        # guard trips do we pay one column-pruned count to size the chunks.
+        try:
+            return cosine_topk_vectorized(
+                df, vec_col, id_col, query_pred, k, max_query_rows=chunk_rows
+            )
+        except ValueError:
+            n_queries = df.where(query_pred).select(id_col).count()
+            num_chunks = max(2, math.ceil(n_queries / chunk_rows))
+    chunks = num_chunks
     if chunks == 1:
         return cosine_topk_vectorized(
-            df, vec_col, id_col, query_pred, k, max_query_rows=max(chunk_rows, n_queries)
+            df, vec_col, id_col, query_pred, k, max_query_rows=chunk_rows
         )
     from datapipelines_spark.functions.hashing import portable_hash64
 

@@ -144,7 +144,8 @@ def scalar_string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(maybe_price) AS n_price_nonnull,
            CAST(SUM(CASE WHEN maybe_price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_price_null,
-           SUM(COALESCE(maybe_price, 0.0)) AS total_coalesced,
+           CAST(SUM(COALESCE(CAST(maybe_price AS DECIMAL(18,2)), 0)) AS DOUBLE)
+               AS total_coalesced,
            CAST(SUM(CASE WHEN maybe_prio IS NOT DISTINCT FROM NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_nullsafe,
            COUNT(DISTINCT maybe_prio) AS n_prio_distinct
@@ -168,7 +169,13 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("maybe_price").alias("n_price_nonnull"),
         F.sum(F.when(F.col("maybe_price").isNull(), 1).otherwise(0)).alias("n_price_null"),
-        F.sum(F.coalesce("maybe_price", F.lit(0.0))).alias("total_coalesced"),
+        # o_totalprice is 2-dp money: decimal addition is order-independent,
+        # so the SUM hashes identically against the oracle regardless of
+        # partition/summation order (a double SUM at 2.5e9 magnitude differs
+        # in the last ulps between engines — the r3 red).
+        F.sum(F.coalesce(F.col("maybe_price").cast("decimal(18,2)"), F.lit(0)))
+        .cast("double")
+        .alias("total_coalesced"),
         F.sum(F.col("maybe_prio").eqNullSafe(F.lit(None)).cast("int")).cast("bigint").alias(
             "n_prio_nullsafe"
         ),
@@ -362,7 +369,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS INTEGER) AS n_statuses,
            CAST(SUM(CASE WHEN s = 'F' THEN n END) AS BIGINT) AS n_final,
            CAST(SUM(CASE WHEN s = 'O' THEN n END) AS BIGINT) AS n_open,
-           list(s ORDER BY s) AS statuses
+           array_to_string(list(s ORDER BY s), ',') AS statuses
     FROM per GROUP BY p ORDER BY p
     """,
 )
@@ -385,5 +392,8 @@ def map_type_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").alias("n_statuses"),
         F.element_at("m", "F").alias("n_final"),
         F.element_at("m", "O").alias("n_open"),
-        F.array_sort(F.map_keys("m")).alias("statuses"),
+        # joined to a scalar string: the driver canonicalizer sorts rows via
+        # pandas, which cannot factorize list cells (r3 red) — driver-checked
+        # queries must emit scalar columns only
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("statuses"),
     ).orderBy("o_orderpriority")

@@ -211,12 +211,12 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapper_einops_reduce_groups",
     oracle="""
     SELECT vec_id,
-           list_transform(range(1, 9), g ->
-               round(list_aggregate(
-                   (embedding::DOUBLE[])[(g - 1) * 8 + 1 : g * 8], 'sum'), 6))
-               AS group_sums
-    FROM embeddings
-    ORDER BY vec_id
+           g - 1 AS group_idx,
+           round(list_aggregate(
+               (embedding::DOUBLE[])[(g - 1) * 8 + 1 : g * 8], 'sum'), 6)
+               AS group_sum
+    FROM embeddings, range(1, 9) t(g)
+    ORDER BY vec_id, group_idx
     """,
 )
 def mapper_einops_reduce_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +232,66 @@ def mapper_einops_reduce_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"), "(g d) -> g", mode="reduce",
         sizes={"g": 8, "d": 8}, reduction="sum",
     )
-    return e.select(
-        "vec_id",
-        F.transform(reduced, lambda x: F.round(x, 6)).alias("group_sums"),
-    ).orderBy("vec_id")
+    # exploded to scalar (vec_id, group_idx, group_sum) rows: the driver
+    # canonicalizer cannot hash array-typed cells (r3 red)
+    return (
+        e.select("vec_id", F.posexplode(reduced).alias("group_idx", "group_sum"))
+        .select(
+            "vec_id",
+            F.col("group_idx").cast("bigint").alias("group_idx"),
+            F.round("group_sum", 6).alias("group_sum"),
+        )
+        .orderBy("vec_id", "group_idx")
+    )
+
+
+@query(
+    "mapper_square_crop",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               32 + doc_id % 97 AS original_height,
+               32 + (doc_id * 7) % 89 AS original_width
+        FROM documents
+    )
+    SELECT doc_id, original_height, original_width,
+           least(original_height, original_width) AS crop_size,
+           CAST('0x' || substr(md5('42-top-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT)
+               % (original_height - least(original_height, original_width) + 1)
+               AS crop_top,
+           CAST('0x' || substr(md5('42-left-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT)
+               % (original_width - least(original_height, original_width) + 1)
+               AS crop_left
+    FROM dims
+    ORDER BY doc_id
+    """,
+)
+def mapper_square_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-crop geometry mapper parity (M5,
+    AddOriginalImageSizeAsTupleAndCropToSquare at
+    /root/reference/sdata/mappers/sample_mappers.py:127-177): record original
+    (h, w), pick the square crop's top/left offsets. The reference uses
+    np.random.randint; here offsets are a pure function of the sample key
+    (portable seeded md5 hash) so the same crop is chosen on task retry and
+    in the oracle (SURVEY §7.6 risk 2). Dims are synthesized per-doc since
+    the fixture corpus has no real image metadata — the geometry algebra is
+    what's under test."""
+    from datapipelines_spark.operators.crop import add_size_and_square_crop
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(32) + F.col("doc_id") % 97).alias("h"),
+        (F.lit(32) + (F.col("doc_id") * 7) % 89).alias("w"),
+    )
+    return (
+        add_size_and_square_crop(
+            d, height_col="h", width_col="w", key_col="doc_id", seed=42
+        )
+        .select(
+            "doc_id", "original_height", "original_width",
+            "crop_size", "crop_top", "crop_left",
+        )
+        .orderBy("doc_id")
+    )

@@ -44,14 +44,14 @@ _DOT_SQL = "list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i]))"
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for every 100th vector (the ANN ground truth).
 
-    Served by the BLAS path (``cosine_topk_vectorized``: driver-resident
-    query matrix, corpus streamed in Arrow batches, one matmul + partial
-    top-k per batch) — bit-equal to the interpreted-expression operator
-    ``cosine_topk`` (tests/test_similarity_vectorized.py) but the
-    per-candidate cost is a fused matrix product, the shape that wins on a
-    billion-vector corpus."""
+    Served by the cost router (``cosine_topk_auto``): a small corpus takes
+    the broadcast-join Catalyst path (millisecond constants), a big one the
+    BLAS path (``cosine_topk_vectorized``: driver-resident query matrix,
+    corpus streamed in Arrow batches, one matmul + partial top-k per batch)
+    — bit-equal results either way including tie order
+    (tests/test_similarity_vectorized.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return ops.cosine_topk_vectorized(
+    return ops.cosine_topk_auto(
         e, vec_col="embedding", id_col="vec_id", query_pred=F.col("vec_id") % 100 == 0, k=5
     ).orderBy("query_id", "rank")
 

@@ -103,24 +103,35 @@ def sim_ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelines_spark.operators.dedup import _dot, _norm
     from datapipelines_spark.functions.partitioning import parallelize_small
 
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings")).select(
+    base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
-    cents = e.where(F.col("vec_id") < 8).select(
+    # centroid side is broadcast: widening it would only add a shuffle to
+    # the broadcast-build job; only the scored (corpus) side is parallelized
+    cents = base.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
+    e = parallelize_small(base)
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cell_id",
         (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos_raw"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cell_id", F.round("cos_raw", 6).alias("cell_cosine"))
-        .orderBy("vec_id")
+    # argmin via max_by instead of a ranking window: partial (map-side)
+    # aggregation shuffles one row per (partition, vec_id) rather than
+    # sorting every scored pair — the cheaper plan at any scale. Tie-break:
+    # max over struct(cos_raw, -cell_id) = highest cosine, then lowest cell.
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cell_id", "cos_raw"),
+            F.struct(F.col("cos_raw"), -F.col("cell_id")),
+        ).alias("b")
     )
+    return best.select(
+        "vec_id",
+        F.col("b.cell_id").alias("cell_id"),
+        F.round("b.cos_raw", 6).alias("cell_cosine"),
+    ).orderBy("vec_id")
 
 
 @query(
@@ -295,15 +306,13 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     ),
     c2 AS (
-        SELECT cluster, array_agg(round(mval, 6) ORDER BY pos) AS centroid
-        FROM (SELECT cluster, i.range AS pos, AVG(v[i.range]) AS mval
-              FROM a2, range(1, 65) i GROUP BY cluster, i.range)
-        GROUP BY cluster
+        SELECT cluster, i.range - 1 AS dim, round(AVG(v[i.range]), 6) AS value
+        FROM a2, range(1, 65) i GROUP BY cluster, i.range
     )
-    SELECT c2.cluster, n.n_members, c2.centroid
+    SELECT c2.cluster, n.n_members, c2.dim, c2.value
     FROM c2 JOIN (SELECT cluster, COUNT(*) AS n_members FROM a2 GROUP BY cluster) n
       ON c2.cluster = n.cluster
-    ORDER BY c2.cluster
+    ORDER BY c2.cluster, c2.dim
     """,
 )
 def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,7 +324,9 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum) rows per partition — the corpus never shuffles, shuffle volume is
     O(partitions * k). The oracle replays both iterations in SQL
     (cross-join argmin with low-index tiebreak + per-dim AVG) and compares
-    round-2 cluster sizes + final centroids to 6 dp."""
+    round-2 cluster sizes + final centroids to 6 dp, exploded to scalar
+    (cluster, n_members, dim, value) rows — the driver canonicalizer cannot
+    hash array-typed cells (r3 red)."""
     import numpy as np
 
     from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
@@ -341,8 +352,13 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = spark.createDataFrame(rows, "cluster int, centroid array<double>")
     return (
         sizes.join(F.broadcast(cdf), "cluster")
-        .select(F.col("cluster").cast("bigint").alias("cluster"), "n_members", "centroid")
-        .orderBy("cluster")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            F.posexplode("centroid").alias("dim", "value"),
+        )
+        .select("cluster", "n_members", F.col("dim").cast("bigint").alias("dim"), "value")
+        .orderBy("cluster", "dim")
     )
 
 

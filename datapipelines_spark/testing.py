@@ -110,6 +110,29 @@ def check_numeric_kinds(
     return None
 
 
+def check_scalar_columns(spark_df: DataFrame) -> str | None:
+    """Driver-faithful type gate: the driver canonicalizer sorts rows via
+    pandas ``sort_values``, which raises ``TypeError: unhashable type: 'list'``
+    on array/map-typed cells (the r3 reds: map_type_status_counts,
+    mapper_einops_reduce_groups, kmeans_centroids_2iter). Oracle-checked
+    queries must therefore emit scalar columns only — stringify with
+    array_join/concat_ws or explode to rows. Return an error string naming
+    the offending columns, else None."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        return (
+            "non-scalar output column(s) — the driver canonicalizer cannot "
+            "sort/hash list cells; array_join/explode them: " + ", ".join(bad)
+        )
+    return None
+
+
 def compare_query(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[bool, str]:
@@ -118,6 +141,10 @@ def compare_query(
 
     spec = all_queries()[name]
     s_df = spec.builder(spark, sf_dir)
+    if spec.oracle is not None:
+        scalar_err = check_scalar_columns(s_df)
+        if scalar_err is not None:
+            return False, scalar_err
     s_cols, s_rows = spark_result(s_df)
     if spec.oracle is None:
         return True, f"rows-only check: {len(s_rows)} rows"

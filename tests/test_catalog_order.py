@@ -15,32 +15,52 @@ def test_priority_window_leads_registry_order():
 
 
 def test_priority_window_pins_changed_queries_first():
-    # Round-3 rotation policy (VERDICT r2 #6): slots 1-3 are the queries that
-    # were red or materially changed this round — they MUST get a fresh
-    # driver verdict; the rest of the window grows cumulative coverage.
-    assert PRIORITY_50[0] == "stream_tumbling_1h_replay"
-    assert "dedup_embedding_cosine" in PRIORITY_50[:3]
-    assert "multimodal_ppm_decode" in PRIORITY_50[:3]
+    # Round-4 rotation policy (VERDICT r3 #4): the leading slots are the four
+    # r3-red queries (now fixed) plus queries new/changed this round — they
+    # MUST get a fresh driver verdict; the rest grows cumulative coverage.
+    fixed_reds = {
+        "null_semantics",
+        "map_type_status_counts",
+        "mapper_einops_reduce_groups",
+        "kmeans_centroids_2iter",
+    }
+    assert fixed_reds <= set(PRIORITY_50[:4])
+    assert "mapper_square_crop" in PRIORITY_50[:6]
+    assert "sim_topk_bruteforce" in PRIORITY_50[:6]
 
 
-def test_priority_window_grows_cumulative_driver_coverage():
-    """Most of the round-3 window must be queries with no driver verdict in
-    rounds 1-2 — rotation, not re-verification."""
+def test_priority_window_completes_cumulative_driver_coverage():
+    """Round-4 window + rounds 1-3 verdicts must cover the ENTIRE catalog
+    except queries added after the window was pinned and the (rows-only)
+    streaming replays outside it — i.e. the 7 never-checked queries all get
+    their first verdict this round (VERDICT r3 #4)."""
     import json
     import os
 
     seen = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for fname in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         path = os.path.join(os.path.dirname(__file__), "..", fname)
         if os.path.exists(path):
             with open(path) as f:
                 seen |= set(json.load(f))
     if not seen:  # fresh checkout without round artifacts
         return
-    never_checked = [n for n in PRIORITY_50 if n not in seen]
-    assert len(never_checked) >= 30, (
-        f"only {len(never_checked)} first-verdict slots; rotate more"
-    )
+    for name in (
+        "fuzzy_join_supplier_names",
+        "sample_n_per_lang",
+        "scalar_from_json_typed",
+        "scalar_map_hof_funcs",
+        "agg_approx_percentile_contract",
+        "sql_recursive_region_chain",
+        "sql_exists_correlated",
+    ):
+        assert name not in seen and name in PRIORITY_50, name
+    uncovered = [n for n in all_queries() if n not in seen and n not in PRIORITY_50]
+    assert not uncovered, f"queries with no verdict ever and not in window: {uncovered}"
 
 
 def test_every_priority_query_has_an_oracle():

@@ -77,3 +77,27 @@ def test_chunked_equals_vectorized(spark, sf_dir):
         e, "embedding", "vec_id", pred, k=3, chunk_rows=7  # forces ~4 chunks
     )
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_auto_router_matches_both_paths(spark, sf_dir):
+    """cosine_topk_auto must return identical results whichever path the
+    pair-budget routes to (r3 perf fix: small corpora skip the BLAS
+    worker-launch overhead)."""
+    import pyspark.sql.functions as F
+
+    from datapipelines_spark.operators.similarity import (
+        cosine_topk_auto,
+        cosine_topk_vectorized,
+    )
+    from datapipelines_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    blas = cosine_topk_vectorized(e, "embedding", "vec_id", pred, k=5)
+    small = cosine_topk_auto(e, "embedding", "vec_id", pred, k=5)  # -> exact path
+    forced = cosine_topk_auto(
+        e, "embedding", "vec_id", pred, k=5, pair_budget=1  # -> BLAS path
+    )
+    ref = sorted(map(tuple, blas.collect()))
+    assert sorted(map(tuple, small.collect())) == ref
+    assert sorted(map(tuple, forced.collect())) == ref

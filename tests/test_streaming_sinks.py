@@ -53,8 +53,15 @@ def test_rate_source_smoke(spark):
     try:
         import time
 
-        time.sleep(4)
-        rows = spark.table("rate_smoke").count()
-        assert rows > 0
+        # bounded poll, not a fixed sleep: under load the first micro-batch
+        # can take >4 s to land (r3 flake); deadline generous, exit early
+        deadline = time.monotonic() + 60
+        rows = 0
+        while time.monotonic() < deadline:
+            rows = spark.table("rate_smoke").count()
+            if rows > 0:
+                break
+            time.sleep(0.5)
+        assert rows > 0, f"no micro-batch landed within 60s; lastProgress={q.lastProgress}"
     finally:
         q.stop()
