@@ -86,8 +86,10 @@ def all_queries() -> dict[str, QuerySpec]:
 # verdict, (d) all 21 r1-only verdicts re-confirmed under current code, then
 # (e) the oldest r2-only verdicts (16 of 47; the rest rotate in r5).
 # Everything stays covered locally by tests/test_oracle_differential.py
-# (all 126 queries, replicating the driver compare, sf0.01 via
-# SPARK_GRAFT_ORACLE_DIR).
+# (every catalog query, replicating the driver compare, sf0.01 via
+# SPARK_GRAFT_ORACLE_DIR). Queries ADDED in r4 after the window was pinned
+# (pii_redact_documents, text_repetition_signals, ...) have no driver
+# verdict yet — pin them first in the r5 window.
 PRIORITY_50: tuple[str, ...] = (
     # --- pins: red in r3, fixed this round (must re-verify) ---
     "null_semantics",              # r3 hash-red -> decimal-cast SUM

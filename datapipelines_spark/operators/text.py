@@ -165,3 +165,74 @@ def contamination_overlap(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .where(F.col("n_overlap") >= min_overlap)
     )
+
+
+#: PII patterns shared verbatim between Spark (Java regex) and the DuckDB
+#: oracle (RE2). Restricted to constructs with identical semantics in both
+#: dialects: character classes, bounded quantifiers, \b ASCII word boundary —
+#: no alternation (leftmost-first vs leftmost-longest would diverge), no
+#: lookaround (RE2 lacks it). Order matters: email first so its local part
+#: cannot be half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9() -]{6,14}[0-9]", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scrub emails / IPv4s / international-format phone numbers from a text
+    column — the standard pre-training privacy pass. Pure sequential
+    ``regexp_replace`` expressions: JVM-side, codegen'd, no shuffle — a
+    100 TB corpus redaction is a map-only pass.
+
+    Emits per-doc match counts (count BEFORE redaction, on the same column
+    each pattern actually saw, so counts compose correctly) plus the
+    redacted text.
+    """
+    out = df.select(id_col, text_col)
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        # idx=0 (whole match): Spark's default idx is 1, which needs a
+        # capture group these patterns deliberately don't have
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return out.select(F.col(id_col), *counts, cur.alias("redacted_text"))
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-word mass fraction,
+    repeated-word mass fraction, distinct-ratio, and a keep/drop flag.
+
+    Plan shape: explode → two-level aggregation, both with map-side partial
+    combine (groupBy (doc, word) then (doc)) — the intermediate never holds
+    more than one row per distinct (doc, word), so a 100 TB corpus shuffles
+    its vocabulary mass, not its text.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    w = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    per_word = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_word.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)).alias("rep_mass"),
+    )
+    top_frac = F.col("top_c") / F.col("n_words")
+    rep_frac = F.col("rep_mass") / F.col("n_words")
+    uniq = F.col("n_distinct") / F.col("n_words")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(top_frac, 6).alias("top_word_fraction"),
+        F.round(rep_frac, 6).alias("repeated_word_fraction"),
+        F.round(uniq, 6).alias("distinct_ratio"),
+        # Gopher-ish bar: a doc dominated by one token or mostly repeats is
+        # boilerplate/spam; thresholds chosen to split the fixture corpus
+        F.when((top_frac <= 0.2) & (rep_frac <= 0.7), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("repetition_bucket"),
+    )

@@ -246,3 +246,91 @@ def fuzzy_join_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("supp_a", "supp_b", F.col("distance").cast("int").alias("distance"))
         .orderBy("supp_a", "supp_b")
     )
+
+
+@query(
+    "pii_redact_documents",
+    oracle=r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' contact user' || doc_id || '@example.com now'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                    THEN ' call +1 (555) 01' || doc_id % 100 || ' 42 today'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0
+                    THEN ' from 10.0.' || doc_id % 256 || '.25 host'
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+        FROM aug
+    ),
+    r2 AS (
+        SELECT doc_id, n_email,
+               len(regexp_extract_all(t1,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+               regexp_replace(t1,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                   '<IP>', 'g') AS t2
+        FROM r
+    ),
+    r3 AS (
+        SELECT doc_id, n_email, n_ipv4,
+               len(regexp_extract_all(t2, '\+[0-9][0-9() -]{6,14}[0-9]')) AS n_phone,
+               regexp_replace(t2, '\+[0-9][0-9() -]{6,14}[0-9]', '<PHONE>', 'g') AS t3
+        FROM r2
+    )
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+           md5(t3) AS redacted_md5, length(t3) AS redacted_len
+    FROM r3 ORDER BY doc_id
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails / IPv4 / phone numbers) over the corpus —
+    map-only sequential regexp_replace, the standard pre-training privacy
+    stage. The fixture corpus has no real PII, so deterministic synthetic
+    PII is appended per doc_id on BOTH engines; the oracle checks per-doc
+    match counts plus the md5 of the fully redacted text (so every replaced
+    byte is verified, not just the counts)."""
+    from datapipelines_spark.operators.text import pii_redact
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call +1 (555) 01"),
+                         (F.col("doc_id") % 100).cast("string"), F.lit(" 42 today")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".25 host")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = pii_redact(aug, text_col="text", id_col="doc_id")
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.md5("redacted_text").alias("redacted_md5"),
+        F.length("redacted_text").cast("bigint").alias("redacted_len"),
+    ).orderBy("doc_id")

@@ -179,3 +179,39 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.tfidf_top_terms(d, text_col="text", id_col="doc_id", k=3).orderBy(
         "doc_id", "rank"
     )
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    a AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               MAX(c) AS top_c,
+               COUNT(*) AS n_distinct,
+               CAST(COALESCE(SUM(c) FILTER (c >= 2), 0) AS BIGINT) AS rep_mass
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           round(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_fraction,
+           round(CAST(rep_mass AS DOUBLE) / n_words, 6) AS repeated_word_fraction,
+           round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+           CASE WHEN CAST(top_c AS DOUBLE) / n_words <= 0.2
+                 AND CAST(rep_mass AS DOUBLE) / n_words <= 0.7
+                THEN 'keep' ELSE 'drop' END AS repetition_bucket
+    FROM a ORDER BY doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-word mass, repeated-word
+    mass, distinct ratio → keep/drop) — the boilerplate/spam filter a
+    pre-training corpus pass runs next to stopword quality scoring. Two-level
+    partial aggregation; the shuffle carries one row per distinct (doc,
+    word), never the text."""
+    d = load_table(spark, sf_dir, "documents")
+    return ops.repetition_signals(d, text_col="text", id_col="doc_id").orderBy("doc_id")
