@@ -88,8 +88,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR). Queries ADDED in r4 after the window was pinned
-# (pii_redact_documents, text_repetition_signals, ...) have no driver
-# verdict yet — pin them first in the r5 window.
+# live in PENDING_FIRST_VERDICT below — pin them first in the r5 window.
 PRIORITY_50: tuple[str, ...] = (
     # --- pins: red in r3, fixed this round (must re-verify) ---
     "null_semantics",              # r3 hash-red -> decimal-cast SUM
@@ -146,4 +145,18 @@ PRIORITY_50: tuple[str, ...] = (
     "asof_join_last_order_before_event",
     "range_join_price_bands",
     "stream_dedup_exact_replay",
+)
+
+
+#: Queries added AFTER the current PRIORITY_50 was pinned: they have no
+#: driver verdict yet and MUST lead the next round's window. Keep in sync
+#: when adding catalog queries mid-round (test_catalog_order enforces that
+#: every query is either driver-verified, in the window, or listed here).
+PENDING_FIRST_VERDICT: tuple[str, ...] = (
+    "pii_redact_documents",
+    "text_repetition_signals",
+    "multimodal_jpeg_decode",
+    "multimodal_wav_decode",
+    "multimodal_mjpeg_frames",
+    "tar_roundtrip_shards",
 )

@@ -130,21 +130,32 @@ def decode_bmp(payload: bytes):
 
 
 def decode_array(payload: bytes):
-    """Route a payload to a real decoder by magic bytes: PPM/PGM and BMP are
-    decoded pure-numpy in-container; other formats (JPEG/PNG/...) go to PIL
-    when installed, else raise (plumbing stays testable via fake_decode)."""
+    """Route a payload to a real decoder by magic bytes: PPM/PGM, BMP, and
+    baseline JPEG are decoded pure-numpy in-container (JPEG via the T.81
+    codec in operators/jpegcodec.py); other formats (PNG, progressive JPEG,
+    ...) go to PIL when installed, else raise (plumbing stays testable via
+    fake_decode)."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from datapipelines_spark.operators.jpegcodec import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            # progressive/arithmetic streams fall through to PIL if present
+            pass
     try:
         from PIL import Image  # type: ignore
     except ImportError as e:  # pragma: no cover - env lacks codecs
         raise NotImplementedError(
-            "payload is not PPM/BMP and compressed-image codecs (Pillow) are "
-            "not installed; pass decode_fn=fake_decode or install Pillow"
+            "payload is not PPM/BMP/baseline-JPEG and compressed-image codecs "
+            "(Pillow) are not installed in this container; pass "
+            "decode_fn=fake_decode or install Pillow"
         ) from e
     import io  # pragma: no cover
 
@@ -374,3 +385,71 @@ def frame_sample_stub(
             yield pd.DataFrame(rows, columns=["__key__", "frame_idx", "frame"])
 
     return df.select(key_col, payload_col).mapInPandas(batches, schema)
+
+
+#: Output schema of frame_sample_mjpeg: one row per sampled, DECODED frame.
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("__key__", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def frame_sample_mjpeg(
+    df: DataFrame,
+    payload_col: str = "mjpeg",
+    key_col: str = "__key__",
+    every_n: int = 1,
+    on_error: str = "quarantine",
+) -> DataFrame:
+    """REAL video frame sampling for MJPEG-style streams (concatenated
+    JPEGs): split frames by walking actual JPEG structure, decode every
+    ``every_n``-th with the pure-numpy baseline codec, emit one row per
+    sampled frame (explode shape). Container formats (mp4/mkv) still need
+    external demuxers — this covers the codec-free interchange case and
+    exercises the exact plumbing (schema, batch shape, explode) a real
+    demuxer stage would use."""
+    from datapipelines_spark.operators.audio import sample_mjpeg_frames
+    from datapipelines_spark.operators.jpegcodec import decode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_FEATURES_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    for idx, frame in sample_mjpeg_frames(data, every_n):
+                        arr = decode_jpeg(frame)
+                        rows.append(
+                            {
+                                "__key__": key,
+                                "frame_idx": idx,
+                                "width": int(arr.shape[1]),
+                                "height": int(arr.shape[0]),
+                                "mean_pixel": float(arr.mean()) / 255.0,
+                                "decode_error": None,
+                            }
+                        )
+                except Exception as e:  # noqa: BLE001 - permissive mode
+                    if on_error == "fail":
+                        raise
+                    if on_error == "quarantine":
+                        rows.append(
+                            {
+                                "__key__": key,
+                                "frame_idx": None,
+                                "width": None,
+                                "height": None,
+                                "mean_pixel": None,
+                                "decode_error": f"{type(e).__name__}: {e}",
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(key_col, payload_col).mapInPandas(batches, FRAME_FEATURES_SCHEMA)

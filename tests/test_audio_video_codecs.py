@@ -1,0 +1,123 @@
+"""Real WAV codec + MJPEG frame sampling (operators/audio.py)."""
+
+import numpy as np
+import pytest
+
+from datapipelines_spark.operators.audio import (
+    decode_wav,
+    encode_wav,
+    real_audio_decode,
+    sample_mjpeg_frames,
+    split_mjpeg,
+)
+from datapipelines_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+
+def test_wav_roundtrip_mono_16bit():
+    t = np.arange(1600)
+    s = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    dec, sr = decode_wav(encode_wav(s, 16000))
+    assert sr == 16000
+    assert dec.shape == (1600, 1)
+    assert np.allclose(dec[:, 0], s / 32768.0, atol=1e-9)
+
+
+def test_wav_roundtrip_stereo():
+    s = np.stack([np.full(800, 8192, np.int16), np.full(800, -8192, np.int16)], axis=1)
+    dec, sr = decode_wav(encode_wav(s, 8000))
+    assert dec.shape == (800, 2)
+    assert np.allclose(dec[:, 0], 0.25) and np.allclose(dec[:, 1], -0.25)
+
+
+def test_wav_skips_unknown_chunks():
+    s = np.full(100, 1000, np.int16)
+    raw = bytearray(encode_wav(s, 8000))
+    # splice a LIST chunk between fmt and data
+    insert = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    fmt_end = 12 + 8 + 16
+    patched = bytes(raw[:fmt_end]) + insert + bytes(raw[fmt_end:])
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    dec, sr = decode_wav(patched)
+    assert dec.shape == (100, 1)
+
+
+def test_wav_rejects_non_wav():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\xff\xd8\xff\xe0 not audio")
+
+
+def test_real_audio_decode_features():
+    s = np.full(1600, 16384, np.int16)  # DC at half scale
+    feats = real_audio_decode(encode_wav(s, 16000))
+    assert feats["sample_rate"] == 16000
+    assert feats["n_channels"] == 1
+    assert abs(feats["duration_s"] - 0.1) < 1e-9
+    assert len(feats["envelope"]) == 8
+    assert all(abs(e - 0.5) < 1e-6 for e in feats["envelope"])
+
+
+def _frames(colors, size=16):
+    return b"".join(
+        encode_jpeg(np.full((size, size, 3), c, np.uint8), quality=90) for c in colors
+    )
+
+
+def test_split_mjpeg_counts_and_decodes():
+    stream = _frames([40, 120, 200, 90])
+    frames = split_mjpeg(stream)
+    assert len(frames) == 4
+    for c, f in zip([40, 120, 200, 90], frames):
+        arr = decode_jpeg(f)
+        assert arr.shape == (16, 16, 3)
+        assert abs(float(arr.mean()) - c) < 2.0
+
+
+def test_sample_every_second_frame():
+    stream = _frames([10, 50, 90, 130, 170])
+    picks = sample_mjpeg_frames(stream, every_n=2)
+    assert [i for i, _ in picks] == [0, 2, 4]
+
+
+def test_frame_sample_operator_spark(spark):
+    import pandas as pd
+
+    from datapipelines_spark.operators.multimodal import frame_sample_mjpeg
+
+    rows = [(str(i), _frames([(i * 30) % 200 + 10, (i * 30) % 200 + 40])) for i in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["__key__", "mjpeg"]))
+    out = frame_sample_mjpeg(df, payload_col="mjpeg", on_error="fail").collect()
+    assert len(out) == 12
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["__key__"], []).append(r)
+    for i in range(6):
+        frames = sorted(by_key[str(i)], key=lambda r: r["frame_idx"])
+        assert [f["frame_idx"] for f in frames] == [0, 1]
+        expect0 = (i * 30) % 200 + 10
+        assert abs(frames[0]["mean_pixel"] * 255.0 - expect0) < 2.0
+        assert frames[0]["width"] == 16 and frames[0]["height"] == 16
+
+
+def test_decode_audio_stage_with_real_codec(spark):
+    import pandas as pd
+
+    from datapipelines_spark.operators.multimodal import decode_audio
+
+    rows = []
+    for i in range(8):
+        amp = 1000 * (i + 1)
+        s = np.full(400 * (i + 1), amp, np.int16)
+        rows.append((str(i), encode_wav(s, 8000), amp))
+    df = spark.createDataFrame(
+        pd.DataFrame([(k, p) for k, p, _ in rows], columns=["__key__", "wav"])
+    )
+    out = {
+        r["__key__"]: r
+        for r in decode_audio(
+            df, payload_col="wav", decode_fn=real_audio_decode, on_error="fail"
+        ).collect()
+    }
+    for k, _, amp in rows:
+        r = out[k]
+        assert r["sample_rate"] == 8000
+        assert abs(r["envelope"][0] - amp / 32768.0) < 1e-6

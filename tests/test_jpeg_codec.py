@@ -1,0 +1,118 @@
+"""Pure-numpy baseline JPEG codec (operators/jpegcodec.py): encoder fixtures
+verify the decoder without any third-party codec in the container."""
+
+import numpy as np
+import pytest
+
+from datapipelines_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth_rgb(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    return (img // 2 + 60).astype(np.uint8)
+
+
+def test_roundtrip_444_high_quality():
+    img = _smooth_rgb(64, 80)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (64, 80, 3)
+    assert _psnr(img, dec) > 45
+
+
+def test_roundtrip_420_subsampled():
+    img = _smooth_rgb(48, 64)
+    enc444 = encode_jpeg(img, quality=85, subsample=False)
+    enc420 = encode_jpeg(img, quality=85, subsample=True)
+    dec = decode_jpeg(enc420)
+    assert dec.shape == (48, 64, 3)
+    assert _psnr(img, dec) > 40
+    assert len(enc420) < len(enc444)  # chroma decimation must actually shrink
+
+
+def test_roundtrip_grayscale():
+    yy = np.mgrid[0:40, 0:56][0]
+    g = (yy * 4 % 200 + 20).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (40, 56, 1)
+    assert _psnr(g[..., None], dec) > 45
+
+
+def test_odd_dimensions_not_multiple_of_mcu():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert dec.shape == (17, 23, 3)
+    dec2 = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec2.shape == (17, 23, 3)
+
+
+def test_decode_deterministic():
+    img = _smooth_rgb(32, 32)
+    enc = encode_jpeg(img, quality=75)
+    assert np.array_equal(decode_jpeg(enc), decode_jpeg(enc))
+
+
+def test_noise_survives_lossily():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (40, 40, 3)
+    assert _psnr(img, dec) > 25  # noise is the worst case for JPEG
+
+
+def test_progressive_rejected_with_clear_error():
+    img = _smooth_rgb(16, 16)
+    enc = bytearray(encode_jpeg(img, quality=85))
+    idx = enc.find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"P6 1 1 255 \x00\x00\x00")
+
+
+def test_multimodal_router_uses_numpy_jpeg():
+    from datapipelines_spark.operators.multimodal import real_decode
+
+    img = _smooth_rgb(24, 24)
+    feats = real_decode(encode_jpeg(img, quality=85))
+    assert feats["width"] == 24 and feats["height"] == 24
+    assert feats["n_channels"] == 3
+    assert abs(feats["mean_pixel"] - img.mean() / 255.0) < 0.02
+
+
+def test_spark_decode_stage_on_jpeg_payloads(spark):
+    """End-to-end through the Arrow mapInPandas decode stage: encode per-row
+    JPEGs, decode distributed, check dims + mean within lossy tolerance."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from datapipelines_spark.operators.multimodal import decode_images, real_decode
+
+    rows = []
+    for i in range(12):
+        h, w = 8 + (i % 3) * 8, 8 + (i % 4) * 8
+        img = np.full((h, w, 3), (i * 19) % 200 + 20, dtype=np.uint8)
+        rows.append((str(i), encode_jpeg(img, quality=90), h, w, float(img.mean())))
+    pdf = pd.DataFrame(rows, columns=["__key__", "jpg", "h", "w", "true_mean"])
+    df = spark.createDataFrame(pdf)
+    out = decode_images(
+        df, payload_col="jpg", key_col="__key__",
+        decode_fn=real_decode, on_error="fail", timeout_s=10.0,
+    ).select("__key__", "width", "height", "mean_pixel")
+    got = {r["__key__"]: r for r in out.collect()}
+    for key, _, h, w, true_mean in rows:
+        r = got[key]
+        assert (r["height"], r["width"]) == (h, w)
+        assert abs(r["mean_pixel"] * 255.0 - true_mean) < 3.0
