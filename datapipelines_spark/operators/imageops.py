@@ -1,0 +1,156 @@
+"""Real pixel-space image transforms: crop and resize, pure numpy.
+
+Completes the reference's image mapper chain (M4 decode -> M5 crop -> resize
+-> batch, /root/reference/sdata/mappers/sample_mappers.py:88-177) with actual
+pixel math instead of stubs: the decode step uses the in-repo codecs
+(jpegcodec/ppm/bmp), the square-crop slice uses the SAME deterministic
+hash-seeded coordinates as the relational geometry operator
+(operators/crop.py — parity tested), and resize is vectorized numpy
+(nearest / bilinear). Everything rides the standard Arrow mapInPandas stage,
+so the Spark-side plumbing is identical to a torchvision-backed production
+variant — only the per-array function differs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def _hash_offset(key: str, seed: int | str, salt: str, mod: int) -> int:
+    """Python twin of functions/hashing.portable_hash_seeded: first 8 md5 hex
+    chars of '{seed}-{salt}-{key}' as uint32, mod ``mod`` — bit-identical to
+    the Spark/DuckDB expression, so a pixel crop and the relational
+    crop-geometry query choose the SAME window."""
+    digest = hashlib.md5(f"{seed}-{salt}-{key}".encode()).hexdigest()
+    return int(digest[:8], 16) % max(mod, 1)
+
+
+def square_crop(arr: np.ndarray, key: str, seed: int | str = 42) -> np.ndarray:
+    """Deterministic square crop: size = min(h, w); offsets from the sample
+    key (retry-stable, engine-portable — SURVEY §7.6 risk 2)."""
+    h, w = arr.shape[:2]
+    size = min(h, w)
+    top = _hash_offset(key, seed, "top", h - size + 1)
+    left = _hash_offset(key, seed, "left", w - size + 1)
+    return arr[top:top + size, left:left + size]
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[rows[:, None], cols[None, :]]
+
+
+def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample with edge-aligned centers (the standard
+    half-pixel convention)."""
+    h, w = arr.shape[:2]
+    a = arr.astype(np.float64)
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    if a.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    top = a[y0[:, None], x0[None, :]] * (1 - wx) + a[y0[:, None], x1[None, :]] * wx
+    bot = a[y1[:, None], x0[None, :]] * (1 - wx) + a[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Serialize an (H, W, 3) uint8 array as binary P6 — the lossless
+    interchange payload between pipeline stages (decodable by the in-repo
+    PPM codec and any image tool)."""
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def crop_resize_images(
+    df,
+    payload_col: str = "jpg",
+    key_col: str = "__key__",
+    target: int = 64,
+    interpolation: str = "bilinear",
+    seed: int | str = 42,
+    on_error: str = "quarantine",
+):
+    """Full image mapper chain as one Arrow stage: decode (magic-byte routed
+    codecs) -> deterministic square crop -> resize to (target, target) ->
+    re-emit as lossless P6 plus geometry/feature columns. One output row per
+    input row; quarantine/fail error contract like every decode stage."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from datapipelines_spark.operators.multimodal import decode_array
+
+    schema = T.StructType(
+        [
+            T.StructField("__key__", T.StringType()),
+            T.StructField("ppm", T.BinaryType()),
+            T.StructField("orig_width", T.IntegerType()),
+            T.StructField("orig_height", T.IntegerType()),
+            T.StructField("crop_size", T.IntegerType()),
+            T.StructField("crop_top", T.IntegerType()),
+            T.StructField("crop_left", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+            T.StructField("decode_error", T.StringType()),
+        ]
+    )
+    resize = resize_bilinear if interpolation == "bilinear" else resize_nearest
+
+    def batches(it):
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                try:
+                    arr = decode_array(bytes(payload) if payload is not None else b"")
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    h, w = arr.shape[:2]
+                    size = min(h, w)
+                    top = _hash_offset(str(key), seed, "top", h - size + 1)
+                    left = _hash_offset(str(key), seed, "left", w - size + 1)
+                    cropped = arr[top:top + size, left:left + size]
+                    resized = resize(cropped, target, target)
+                    rows.append(
+                        {
+                            "__key__": key,
+                            "ppm": encode_ppm(resized),
+                            "orig_width": w,
+                            "orig_height": h,
+                            "crop_size": size,
+                            "crop_top": top,
+                            "crop_left": left,
+                            "width": target,
+                            "height": target,
+                            "mean_pixel": float(resized.mean()) / 255.0,
+                            "decode_error": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 - permissive mode
+                    if on_error == "fail":
+                        raise
+                    if on_error == "quarantine":
+                        rows.append(
+                            {c: None for c in cols}
+                            | {"__key__": key, "decode_error": f"{type(e).__name__}: {e}"}
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(key_col, payload_col).mapInPandas(batches, schema)
