@@ -84,7 +84,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # (array outputs stringified/exploded, float SUM decimal-cast), (b) queries
 # new or changed this round, (c) the 7 queries that have never had a driver
 # verdict, (d) all 21 r1-only verdicts re-confirmed under current code, then
-# (e) the oldest r2-only verdicts (16 of 47; the rest rotate in r5).
+# (e) the oldest r2-only verdicts (15 of 47; the rest rotate in r5).
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR). Queries ADDED in r4 after the window was pinned
@@ -98,6 +98,7 @@ PRIORITY_50: tuple[str, ...] = (
     # --- pins: new or changed this round ---
     "mapper_square_crop",          # new: M5 crop-geometry oracle query
     "sim_topk_bruteforce",         # changed: small-corpus broadcast route
+    "sim_ivf_cell_assign",         # changed: max_by argmin, lean broadcast side
     # --- first driver verdicts: the 7 never-checked ---
     "fuzzy_join_supplier_names",
     "sample_n_per_lang",
@@ -128,14 +129,13 @@ PRIORITY_50: tuple[str, ...] = (
     "window_moving_avg_events",
     "window_order_gaps",
     "window_price_rank_in_brand",
-    # --- oldest r2-only verdicts, re-confirmed (16 of 47) ---
+    # --- oldest r2-only verdicts, re-confirmed (15 of 47) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q9_profit_by_nation_year",
     "q12_priority_shipping_split",
     "q18_large_volume_customers",
     "q21_suppliers_kept_orders_waiting",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -75,6 +75,7 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, labels.node == neighbor_min.u, "left").select(
             "node",
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
             ).alias("component"),
@@ -97,20 +98,22 @@ def connected_components(
                 parents, propagated.component == parents.p_node, "left"
             ).select(
                 "node",
+                "old_component",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("p_component"), F.col("component")),
                 ).alias("component"),
             )
-        new_labels = propagated.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # convergence detection rides the same materialization: old label is
+        # carried through the round, so "did anything change" is a filter on
+        # the checkpointed result — no extra new-vs-old join job per round
+        with_flag = propagated.select(
+            "node",
+            "component",
+            (F.col("component") != F.col("old_component")).alias("changed"),
+        ).localCheckpoint()
+        changed = with_flag.where("changed").limit(1).count()
+        labels = with_flag.select("node", "component")
         if changed == 0:
             converged = True
             break

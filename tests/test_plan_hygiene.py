@@ -50,12 +50,18 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # no full global sort for LIMIT
 
 
-def test_no_python_udfs_in_relational_catalog(spark):
-    """Every relational/dedup/text query stays JVM-side (SURVEY rule: UDFs
-    are the slow path; only multimodal stages may use Python)."""
+def test_no_python_udfs_or_cartesian_products_in_catalog(spark):
+    """Catalog-wide plan invariants: (a) every relational/dedup/text query
+    stays JVM-side (SURVEY rule: UDFs are the slow path; only multimodal
+    stages may use Arrow Python), and (b) NO query plans an unbroadcast
+    CartesianProduct — every non-equi join in the engine is either
+    length-banded, LSH-bucketed, block-paired, or has its small side
+    broadcast (BroadcastNestedLoopJoin), so nothing shuffles all-pairs at
+    100 TB."""
     for name, spec in all_queries().items():
         plan = _plan(spec.builder(spark, SF))
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
 def test_events_scan_prunes_columns(spark):
