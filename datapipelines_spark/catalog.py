@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cleaning,
         breadth,
         streamrep,
+        layout,
     )
 
     ordered: dict[str, QuerySpec] = {}
@@ -159,4 +160,6 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "multimodal_wav_decode",
     "multimodal_mjpeg_frames",
     "tar_roundtrip_shards",
+    "partition_pruned_scan",
+    "bucketed_join_revenue_by_status",
 )

@@ -1,0 +1,133 @@
+"""Storage-layout operators as oracle-checked queries: hive-partitioned
+writes with partition pruning, and bucketed tables with shuffle-free
+co-located joins — the two on-disk tools that decide whether a 100 TB query
+scans terabytes or gigabytes and whether the dominant fact-fact join
+shuffles at all (SURVEY §7.5). Each query WRITES the layout to a scratch
+dir (idempotent overwrite), reads it back through the layout-aware path,
+and checks results against plain SQL over the original table; the plan
+properties (PartitionFilters, no Exchange) are asserted in
+tests/test_plan_hygiene.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join("/tmp", f"spark_graft_layout_{tag}", name)
+
+
+def partitioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders hive-partitioned by o_orderstatus (once per session+sf;
+    the target is tiny and the write is idempotent-overwrite)."""
+    out = _scratch(sf_dir, "orders_by_status")
+    marker = (spark.sparkContext.applicationId, out)
+    if marker not in _WRITTEN:
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(out)
+        _WRITTEN.add(marker)
+    return out
+
+
+_WRITTEN: set[tuple[str, str]] = set()
+
+
+@query(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning: orders are written
+    partitioned by o_orderstatus, and the status filter is satisfied by
+    directory pruning — the scan never opens the other partitions' files
+    (PartitionFilters asserted in test_plan_hygiene). At 100 TB this is the
+    difference between scanning one status slice and scanning the table."""
+    out = partitioned_orders_dir(spark, sf_dir)
+    o = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize lineitem/orders bucketed on the join key (8 buckets,
+    sorted) once per session+sf; returns the catalog table names."""
+    from datapipelines_spark.sinks.writer import write_bucketed_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
+    lt, ot = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    marker = (spark.sparkContext.applicationId, lt)
+    if marker not in _WRITTEN:
+        write_bucketed_table(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+            ),
+            lt, bucket_by=["l_orderkey"], n_buckets=8, sort_by=["l_orderkey"],
+            path=_scratch(sf_dir, lt), mode="overwrite",
+        )
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority"
+            ),
+            ot, bucket_by=["o_orderkey"], n_buckets=8, sort_by=["o_orderkey"],
+            path=_scratch(sf_dir, ot), mode="overwrite",
+        )
+        _WRITTEN.add(marker)
+    return lt, ot
+
+
+@query(
+    "bucketed_join_revenue_by_status",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def bucketed_join_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables bucketed+sorted on the
+    join key, so the lineitem⋈orders join runs with NO exchange on either
+    side (Spark trusts the on-disk hash layout; asserted in
+    test_plan_hygiene with broadcast disabled). The layout strategy that
+    removes the dominant shuffle from every fact-fact query at 100 TB;
+    results checked against the plain unbucketed join."""
+    lt, ot = bucketed_tables(spark, sf_dir)
+    l = spark.table(lt)
+    o = spark.table(ot)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

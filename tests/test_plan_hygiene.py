@@ -150,3 +150,32 @@ def test_kmeans_assign_is_shuffle_free(spark):
     plan = _plan(kmeans_assign(e, "embedding", "vec_id", cents))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_partition_pruning_reaches_layout_scan(spark):
+    """partition_pruned_scan's status filter must be satisfied by directory
+    pruning (PartitionFilters), not a row filter over every file."""
+    from datapipelines_spark.queries.layout import partitioned_orders_dir
+
+    out = partitioned_orders_dir(spark, SF)
+    df = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    plan = _plan(df.groupBy("o_orderpriority").count())
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:250]
+    assert "o_orderstatus" in seg, seg
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """bucketed_join_revenue_by_status's fact-fact join must not exchange
+    either side (broadcast disabled so the decision is about bucketing)."""
+    from datapipelines_spark.queries.layout import bucketed_tables
+
+    lt, ot = bucketed_tables(spark, SF)
+    l, o = spark.table(lt), spark.table(ot)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
