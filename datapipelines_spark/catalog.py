@@ -162,4 +162,5 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "tar_roundtrip_shards",
     "partition_pruned_scan",
     "bucketed_join_revenue_by_status",
+    "stream_static_join_replay",
 )

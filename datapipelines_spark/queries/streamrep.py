@@ -296,3 +296,57 @@ def stream_stateful_user_stats_replay(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_static_join_replay",
+    oracle="""
+    WITH e AS (
+        SELECT epoch_us(ts) AS us, user_id, value FROM events
+    ),
+    j AS (
+        SELECT e.us, e.value, c.c_mktsegment
+        FROM e JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    m AS (SELECT MAX(us) AS max_us FROM e)
+    SELECT (us - us % 21600000000) AS window_start_us,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           SUM(value) AS sum_value
+    FROM j, m
+    WHERE (us - us % 21600000000) + 21600000000 <= max_us
+    GROUP BY 1, 2
+    ORDER BY window_start_us, c_mktsegment
+    """,
+)
+def stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production streaming
+    shape (events stream ⋈ broadcast dimension, then windowed rollup): the
+    event stream joins the static customer table on user_id and aggregates
+    tumbling 6-hour windows per market segment, run as a REAL append-mode
+    stream over a bounded replay. The static side re-resolves per
+    micro-batch in Spark (dimension updates are picked up); the watermark
+    governs emission exactly as in the pure-window replays — the oracle
+    keeps windows with end <= max(ts)."""
+    from datapipelines_spark.sources.parquet import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    agg = (
+        joined.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = run_bounded_to_memory(
+        agg, _sink_name("stream_static_join"), output_mode="append"
+    )
+    return out.orderBy("window_start_us", "c_mktsegment")
