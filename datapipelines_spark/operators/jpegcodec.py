@@ -401,8 +401,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     Supports: SOF0 (and SOF1) 8-bit, 1 or 3 components, any sampling factors
     in {1, 2}, multiple DQT/DHT segments, restart intervals, byte stuffing.
-    Raises ValueError on progressive (SOF2) or arithmetic-coded streams.
+    Raises ValueError on progressive (SOF2) / arithmetic-coded streams and
+    on truncated/garbage input (never an unbounded read or raw IndexError —
+    the permissive pipeline modes key off ValueError).
     """
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt or truncated JPEG stream: {type(e).__name__}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -474,9 +483,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tdta = payload[1 + 2 * i:3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0x0F})
-            return _decode_scan(
-                data, pos + length, frame, scan, quant, huff, restart_interval
-            )
+            try:
+                return _decode_scan(
+                    data, pos + length, frame, scan, quant, huff, restart_interval
+                )
+            except IndexError as e:
+                raise ValueError("truncated JPEG entropy stream") from e
         pos += length
     raise ValueError("no SOS segment found")
 

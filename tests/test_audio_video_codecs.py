@@ -121,3 +121,35 @@ def test_decode_audio_stage_with_real_codec(spark):
         r = out[k]
         assert r["sample_rate"] == 8000
         assert abs(r["envelope"][0] - amp / 32768.0) < 1e-6
+
+
+# --- property tests --------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    ch=st.integers(1, 2),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_exact_property(n, ch, sr, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+    dec, got_sr = decode_wav(encode_wav(s, sr))
+    assert got_sr == sr and dec.shape == (n, ch)
+    assert np.array_equal((dec * 32768.0).astype(np.int16), s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=120))
+def test_wav_garbage_raises_valueerror(data):
+    from hypothesis import assume
+
+    # a synthesized fully-valid RIFF would legitimately decode; the contract
+    # under test is clean rejection of NON-wav bytes
+    assume(not data.startswith(b"RIFF"))
+    with pytest.raises(ValueError):
+        decode_wav(data)

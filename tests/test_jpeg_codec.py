@@ -116,3 +116,44 @@ def test_spark_decode_stage_on_jpeg_payloads(spark):
         r = got[key]
         assert (r["height"], r["width"]) == (h, w)
         assert abs(r["mean_pixel"] * 255.0 - true_mean) < 3.0
+
+
+# --- property tests --------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    quality=st.integers(30, 95),
+    sub=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_never_crashes_and_preserves_shape(h, w, quality, sub, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=quality, subsample=sub))
+    assert dec.shape == (h, w, 3)
+    assert dec.dtype == np.uint8
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_garbage_bytes_raise_valueerror_not_hang(data):
+    with pytest.raises(ValueError):
+        decode_jpeg(data)
+
+
+@settings(max_examples=10, deadline=None)
+@given(frac=st.floats(0.1, 0.95), seed=st.integers(0, 1000))
+def test_truncated_jpeg_raises_cleanly(frac, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    enc = encode_jpeg(img, quality=80)
+    cut = enc[: max(2, int(len(enc) * frac))]
+    try:
+        decode_jpeg(cut)
+    except ValueError:
+        pass  # clean rejection is the contract; a short cut may still decode
