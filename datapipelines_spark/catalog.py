@@ -163,4 +163,6 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "partition_pruned_scan",
     "bucketed_join_revenue_by_status",
     "stream_static_join_replay",
+    "config_pipeline_quality_filter",
+    "multimodal_quarantine_decode",
 )

@@ -527,3 +527,106 @@ def tar_roundtrip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.element_at("data", "txt")).cast("bigint").alias("txt_bytes"),
         F.element_at("data", "lang").cast("string").alias("lang"),
     ).orderBy("doc_id")
+
+
+@query(
+    "config_pipeline_quality_filter",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE n_chars >= 200 AND n_chars <= 1500
+      AND text IS NOT NULL AND lang IS NOT NULL
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def config_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config/reflection entry point (G1-G5,
+    /root/reference/sdata/datapipeline.py instantiate_from_config +
+    dataset.py:create_dataset): the pipeline is declared as a plain dict —
+    source + dotted-path preprocessor stages with params — compiled by
+    plans/pipeline.py into a lazy DataFrame, and verified against the same
+    filters written directly in SQL. Driver-checks the whole reflection
+    builder, not just its unit tests."""
+    from datapipelines_spark.plans.pipeline import create_dataset
+
+    cfg = {
+        "dataset": {
+            "urls": sf_dir,
+            "format": "parquet",
+            "table": "documents",
+            "preprocessors": [
+                {
+                    "target": "datapipelines_spark.operators.transforms.SizeFilter",
+                    "params": {"size_col": "n_chars", "min_size": 200, "max_size": 1500},
+                },
+                {
+                    "target": "datapipelines_spark.operators.transforms.KeyFilter",
+                    "params": {"keys": ["text", "lang"]},
+                },
+            ],
+        }
+    }
+    df = create_dataset(spark, cfg)
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "multimodal_quarantine_decode",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 10 <> 0 AS decode_ok,
+           CASE WHEN doc_id % 10 <> 0
+                THEN CAST(4 + doc_id % 5 AS BIGINT) END AS width
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_quarantine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive error handling ON the driver gate (E1 warn_and_continue,
+    /root/reference/sdata/datapipeline.py warn_and_continue handler): every
+    10th document's PPM payload is deliberately truncated mid-raster; the
+    decode stage runs with on_error='quarantine', so corrupt rows survive
+    with decode_error set and null features while good rows decode — the
+    oracle states exactly which doc_ids must land on each side."""
+    from datapipelines_spark.operators.multimodal import decode_images, real_decode
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
+    n_px = (w * h * 3).cast("int")
+    raster = F.substring(F.repeat(F.md5(F.encode(F.col("text"), "utf-8")), 5), 1, 160)
+    header = F.concat_ws("", F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                         h.cast("string"), F.lit("\n255\n"))
+    # corrupt every 10th: keep the header but cut the raster short
+    take = F.when(F.col("doc_id") % 10 == 0, (n_px / 2).cast("int")).otherwise(n_px)
+    framed = (
+        d.withColumn("raster", raster)
+        .withColumn("n_take", take)
+        .withColumn("__key__", F.col("doc_id").cast("string"))
+        .withColumn(
+            "ppm",
+            F.concat(
+                F.encode(header, "utf-8"),
+                F.encode(F.expr("substring(raster, 1, n_take)"), "utf-8"),
+            ),
+        )
+    )
+    decoded = decode_images(
+        framed, payload_col="ppm", key_col="__key__",
+        decode_fn=real_decode, on_error="quarantine", timeout_s=10.0,
+    )
+    return decoded.select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("decode_error").isNull().alias("decode_ok"),
+        F.col("width").cast("bigint").alias("width"),
+    ).orderBy("doc_id")
