@@ -83,9 +83,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # cumulative driver-green coverage grows instead of re-verifying the same 50
 # (VERDICT r2 #6): round 4 pins (a) the four r3-red queries, now fixed
 # (array outputs stringified/exploded, float SUM decimal-cast), (b) queries
-# new or changed this round, (c) the 7 queries that have never had a driver
-# verdict, (d) all 21 r1-only verdicts re-confirmed under current code, then
-# (e) the oldest r2-only verdicts (15 of 47; the rest rotate in r5).
+# whose plans changed this round, (c) the 7 queries never driver-checked in
+# r1-r3, (d) every query ADDED this round (first verdicts beat re-confirms:
+# cumulative coverage reaches the full catalog in r4), (e) all 21 r1-only
+# verdicts re-confirmed under current code, then (f) the oldest r2-only
+# verdicts (4 of 47; the rest rotate in r5).
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR). Queries ADDED in r4 after the window was pinned
@@ -96,11 +98,10 @@ PRIORITY_50: tuple[str, ...] = (
     "map_type_status_counts",      # r3 err -> statuses array_join'd
     "mapper_einops_reduce_groups", # r3 err -> exploded to scalar rows
     "kmeans_centroids_2iter",      # r3 err -> centroid exploded to rows
-    # --- pins: new or changed this round ---
-    "mapper_square_crop",          # new: M5 crop-geometry oracle query
+    # --- pins: changed this round ---
     "sim_topk_bruteforce",         # changed: small-corpus broadcast route
     "sim_ivf_cell_assign",         # changed: max_by argmin, lean broadcast side
-    # --- first driver verdicts: the 7 never-checked ---
+    # --- first driver verdicts: the 7 never-checked from r1-r3 ---
     "fuzzy_join_supplier_names",
     "sample_n_per_lang",
     "scalar_from_json_typed",
@@ -108,6 +109,19 @@ PRIORITY_50: tuple[str, ...] = (
     "agg_approx_percentile_contract",
     "sql_recursive_region_chain",
     "sql_exists_correlated",
+    # --- first driver verdicts: queries ADDED this round ---
+    "mapper_square_crop",
+    "pii_redact_documents",
+    "text_repetition_signals",
+    "multimodal_jpeg_decode",
+    "multimodal_wav_decode",
+    "multimodal_mjpeg_frames",
+    "tar_roundtrip_shards",
+    "partition_pruned_scan",
+    "bucketed_join_revenue_by_status",
+    "stream_static_join_replay",
+    "config_pipeline_quality_filter",
+    "multimodal_quarantine_decode",
     # --- r1-only verdicts, re-confirmed under current code ---
     "agg_distinct_suppliers_per_flag",
     "cube_lineitem_flags",
@@ -130,22 +144,11 @@ PRIORITY_50: tuple[str, ...] = (
     "window_moving_avg_events",
     "window_order_gaps",
     "window_price_rank_in_brand",
-    # --- oldest r2-only verdicts, re-confirmed (15 of 47) ---
+    # --- oldest r2-only verdicts, re-confirmed (4 of 47; rest rotate r5) ---
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_profit_by_nation_year",
-    "q12_priority_shipping_split",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_orders_waiting",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_clusters",
     "corpus_clean_pipeline",
-    "decontaminate_ngram_overlap",
-    "asof_join_last_order_before_event",
-    "range_join_price_bands",
-    "stream_dedup_exact_replay",
 )
 
 
@@ -153,16 +156,6 @@ PRIORITY_50: tuple[str, ...] = (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "pii_redact_documents",
-    "text_repetition_signals",
-    "multimodal_jpeg_decode",
-    "multimodal_wav_decode",
-    "multimodal_mjpeg_frames",
-    "tar_roundtrip_shards",
-    "partition_pruned_scan",
-    "bucketed_join_revenue_by_status",
-    "stream_static_join_replay",
-    "config_pipeline_quality_filter",
-    "multimodal_quarantine_decode",
-)
+#: Empty right now: the r4 window absorbs every query added this round, so
+#: cumulative driver coverage reaches the full catalog in r4.
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()

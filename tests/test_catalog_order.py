@@ -25,8 +25,24 @@ def test_priority_window_pins_changed_queries_first():
         "kmeans_centroids_2iter",
     }
     assert fixed_reds <= set(PRIORITY_50[:4])
-    assert "mapper_square_crop" in PRIORITY_50[:6]
     assert "sim_topk_bruteforce" in PRIORITY_50[:6]
+    assert "sim_ivf_cell_assign" in PRIORITY_50[:6]
+    # every query added in r4 gets its first verdict THIS round
+    for name in (
+        "mapper_square_crop",
+        "pii_redact_documents",
+        "text_repetition_signals",
+        "multimodal_jpeg_decode",
+        "multimodal_wav_decode",
+        "multimodal_mjpeg_frames",
+        "tar_roundtrip_shards",
+        "partition_pruned_scan",
+        "bucketed_join_revenue_by_status",
+        "stream_static_join_replay",
+        "config_pipeline_quality_filter",
+        "multimodal_quarantine_decode",
+    ):
+        assert name in PRIORITY_50, name
 
 
 def test_priority_window_completes_cumulative_driver_coverage():
