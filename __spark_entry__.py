@@ -14,7 +14,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Executor Python workers import engine modules by reference (pandas UDFs,
+# mapInPandas closures, the tar-source flatMap). When the harness imports
+# this module BEFORE building its SparkSession, exporting PYTHONPATH here
+# makes the repo importable in workers regardless of the harness's CWD.
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_DIR, os.environ.get("PYTHONPATH", "")) if p
+    )
 
 from datapipelines_spark.catalog import all_queries  # noqa: E402
 
