@@ -59,6 +59,18 @@ def apply_decoder(df: DataFrame, spec: dict | str) -> DataFrame:
     from pyspark.sql import types as T
 
     if isinstance(spec, str):
+        if spec in _IMAGE_SPECS:
+            # reference decoder spec "pil"/"pilrgb"/... (ImageHandler names,
+            # /root/reference/sdata/datapipeline.py:525-527): decode every
+            # image-extension binary column. Applied by extension like the
+            # reference's wds.Decoder, not to every binary column.
+            for field in df.schema.fields:
+                if (
+                    isinstance(field.dataType, T.BinaryType)
+                    and field.name.lower() in IMAGE_EXTENSIONS
+                ):
+                    df = _decode_image_column(df, field.name)
+            return df
         fn = get_decoder(spec)
         for field in df.schema.fields:
             if isinstance(field.dataType, T.BinaryType):
@@ -66,6 +78,37 @@ def apply_decoder(df: DataFrame, spec: dict | str) -> DataFrame:
         return df
     key = spec["key"]
     name = spec.get("decoder", "utf8")
+    if name in _IMAGE_SPECS:
+        return _decode_image_column(df, key)
     if name == "json" and "schema" in spec:
         return df.withColumn(key, F.from_json(F.col(key).cast("string"), spec["schema"]))
     return df.withColumn(key, get_decoder(name)(F.col(key)))
+
+
+#: Reference ImageHandler spec names we honor (all route to the in-repo
+#: codecs) and the member extensions they apply to.
+_IMAGE_SPECS = frozenset({"pil", "pilrgb", "image", "rgb"})
+IMAGE_EXTENSIONS = frozenset({"jpg", "jpeg", "png", "ppm", "pgm", "pnm", "bmp", "image"})
+
+
+def _decode_image_column(df: DataFrame, key: str) -> DataFrame:
+    """Decode one binary image column with the pure-numpy codecs and re-emit
+    as canonical lossless P6 bytes — the engine's decoded-pixels
+    representation (the reference's is a PIL object; relational columns need
+    a byte-stable equivalent). Arrow-batched pandas UDF, one in-place column
+    replacement."""
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def dec(payloads):
+        from datapipelines_spark.operators.imageops import encode_ppm
+        from datapipelines_spark.operators.multimodal import decode_array
+
+        return pd.Series(
+            [
+                None if p is None else encode_ppm(decode_array(bytes(p)))
+                for p in payloads
+            ]
+        )
+
+    return df.withColumn(key, dec(F.col(key)))

@@ -96,3 +96,24 @@ def with_epoch(df: DataFrame, count: int) -> DataFrame:
     from datapipelines_spark.operators.mixing import epoch_repeat
 
     return epoch_repeat(df, count)
+
+
+class PromoteMembers:
+    """Expand the tar-sample ``data`` map into real columns, one per member
+    extension — the relational reading of "a sample is a dict keyed by
+    extension" (/root/reference/sdata/custom_datapipes.py:292-322 builds
+    that dict; here each requested extension becomes a typed column so
+    downstream config stages address members by name, exactly like
+    reference mappers address ``sample['jpg']``). Config-targetable:
+    ``{"target": ...fluent.PromoteMembers, "params": {"keys": ["jpg","txt"]}}``.
+    """
+
+    def __init__(self, keys, data_col: str = "data", drop_data: bool = True) -> None:
+        self.keys = list(keys)
+        self.data_col = data_col
+        self.drop_data = drop_data
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for k in self.keys:
+            df = df.withColumn(k, F.element_at(F.col(self.data_col), k))
+        return df.drop(self.data_col) if self.drop_data else df

@@ -86,38 +86,52 @@ def crop_resize_images(
     interpolation: str = "bilinear",
     seed: int | str = 42,
     on_error: str = "quarantine",
+    passthrough: bool = False,
 ):
     """Full image mapper chain as one Arrow stage: decode (magic-byte routed
     codecs) -> deterministic square crop -> resize to (target, target) ->
     re-emit as lossless P6 plus geometry/feature columns. One output row per
-    input row; quarantine/fail error contract like every decode stage."""
+    input row; quarantine/fail error contract like every decode stage.
+
+    ``passthrough=True`` carries every other input column through the same
+    stage (the payload column is replaced by the transformed ``ppm``), so a
+    config pipeline keeps the rest of the sample without a join-back."""
     import pandas as pd
     from pyspark.sql import types as T
 
     from datapipelines_spark.operators.multimodal import decode_array
 
-    schema = T.StructType(
-        [
-            T.StructField("__key__", T.StringType()),
-            T.StructField("ppm", T.BinaryType()),
-            T.StructField("orig_width", T.IntegerType()),
-            T.StructField("orig_height", T.IntegerType()),
-            T.StructField("crop_size", T.IntegerType()),
-            T.StructField("crop_top", T.IntegerType()),
-            T.StructField("crop_left", T.IntegerType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("mean_pixel", T.DoubleType()),
-            T.StructField("decode_error", T.StringType()),
-        ]
-    )
+    out_fields = [
+        T.StructField("ppm", T.BinaryType()),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+        T.StructField("crop_size", T.IntegerType()),
+        T.StructField("crop_top", T.IntegerType()),
+        T.StructField("crop_left", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+    if passthrough:
+        carried = [f for f in df.schema.fields if f.name != payload_col]
+        schema = T.StructType(carried + out_fields)
+        src = df
+    else:
+        carried = [f for f in df.schema.fields if f.name == key_col]
+        schema = T.StructType(carried + out_fields)
+        src = df.select(key_col, payload_col)
+    carry_names = [f.name for f in carried]
     resize = resize_bilinear if interpolation == "bilinear" else resize_nearest
 
     def batches(it):
         cols = [f.name for f in schema.fields]
         for pdf in it:
             rows = []
-            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+            for _, in_row in pdf.iterrows():
+                key = in_row[key_col]
+                payload = in_row[payload_col]
+                base = {c: in_row[c] for c in carry_names}
                 try:
                     arr = decode_array(bytes(payload) if payload is not None else b"")
                     if arr.ndim == 2:
@@ -129,8 +143,8 @@ def crop_resize_images(
                     cropped = arr[top:top + size, left:left + size]
                     resized = resize(cropped, target, target)
                     rows.append(
-                        {
-                            "__key__": key,
+                        base
+                        | {
                             "ppm": encode_ppm(resized),
                             "orig_width": w,
                             "orig_height": h,
@@ -149,8 +163,47 @@ def crop_resize_images(
                     if on_error == "quarantine":
                         rows.append(
                             {c: None for c in cols}
-                            | {"__key__": key, "decode_error": f"{type(e).__name__}: {e}"}
+                            | base
+                            | {"decode_error": f"{type(e).__name__}: {e}"}
                         )
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(key_col, payload_col).mapInPandas(batches, schema)
+    return src.mapInPandas(batches, schema)
+
+
+class ImageTransforms:
+    """Config-targetable image mapper chain — the engine's analogue of the
+    reference YAML's ``TorchVisionImageTransforms`` + ``Rescaler`` +
+    ``AddOriginalImageSizeAsTupleAndCropToSquare`` stack
+    (/root/reference/examples/configs/example.yaml): decode the binary
+    image column with the in-repo codecs, deterministic square crop, resize
+    to ``size``, and attach the original-size/crop-coords columns. Other
+    sample columns pass through the same Arrow stage untouched."""
+
+    def __init__(
+        self,
+        key: str = "jpg",
+        size: int = 64,
+        interpolation: str = "bilinear",
+        seed: int | str = 42,
+        on_error: str = "quarantine",
+        key_col: str = "__key__",
+    ) -> None:
+        self.key = key
+        self.size = int(size)
+        self.interpolation = interpolation
+        self.seed = seed
+        self.on_error = on_error
+        self.key_col = key_col
+
+    def apply(self, df):
+        return crop_resize_images(
+            df,
+            payload_col=self.key,
+            key_col=self.key_col,
+            target=self.size,
+            interpolation=self.interpolation,
+            seed=self.seed,
+            on_error=self.on_error,
+            passthrough=True,
+        )
