@@ -122,6 +122,7 @@ PRIORITY_50: tuple[str, ...] = (
     "stream_static_join_replay",
     "config_pipeline_quality_filter",
     "multimodal_quarantine_decode",
+    "multimodal_png_decode",
     # --- r1-only verdicts, re-confirmed under current code ---
     "agg_distinct_suppliers_per_flag",
     "cube_lineitem_flags",
@@ -132,7 +133,6 @@ PRIORITY_50: tuple[str, ...] = (
     "scalar_date_funcs",
     "scalar_fuzzy_string",
     "scalar_math_funcs",
-    "scalar_string_funcs",
     "setop_except_nations",
     "setop_intersect_nations",
     "sim_lsh_bucket_histogram",

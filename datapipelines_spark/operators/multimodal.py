@@ -149,6 +149,14 @@ def decode_array(payload: bytes):
         except ValueError:
             # progressive/arithmetic streams fall through to PIL if present
             pass
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from datapipelines_spark.operators.pngcodec import decode_png
+
+        try:
+            return decode_png(payload)
+        except ValueError:
+            # interlaced/16-bit fall through to PIL if present
+            pass
     try:
         from PIL import Image  # type: ignore
     except ImportError as e:  # pragma: no cover - env lacks codecs

@@ -630,3 +630,57 @@ def multimodal_quarantine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decode_error").isNull().alias("decode_ok"),
         F.col("width").cast("bigint").alias("width"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + (doc_id % 4) * 4 AS BIGINT) AS width,
+           CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           round(((doc_id * 41) % 256) / 255.0, 6) AS mean_pixel
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: per-doc solid-color PNGs are encoded by
+    the pure-Python codec (operators/pngcodec.py — stdlib zlib DEFLATE,
+    Paeth filter) in an Arrow pandas UDF and decoded inside the mapInPandas
+    stage. PNG is lossless, so unlike the JPEG query the mean pixel is
+    checked EXACTLY against the formula, not to a tolerance."""
+    import pandas as pd
+
+    from datapipelines_spark.operators.multimodal import decode_images, real_decode
+
+    @F.pandas_udf("binary")
+    def make_png(doc_id):
+        import numpy as np
+
+        from datapipelines_spark.operators.pngcodec import encode_png
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            w = 8 + (i % 4) * 4
+            h = 8 + (i % 3) * 4
+            c = (i * 41) % 256
+            out.append(encode_png(np.full((h, w, 3), c, dtype=np.uint8), filter_type=4))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select(
+        F.col("doc_id").cast("string").alias("__key__"),
+        make_png("doc_id").alias("png"),
+    )
+    decoded = decode_images(
+        framed, payload_col="png", key_col="__key__",
+        decode_fn=real_decode, on_error="fail", timeout_s=10.0,
+    )
+    return decoded.select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    ).orderBy("doc_id")
