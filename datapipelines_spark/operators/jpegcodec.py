@@ -1,13 +1,16 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman).
+"""Pure-numpy JPEG codec (ITU-T T.81): baseline sequential AND progressive.
 
 Closes the M4 container gap: the reference decodes ``jpg`` members with
 PIL-backed webdataset handlers (/root/reference/sdata/datapipeline.py:525-527,
 /root/reference/sdata/mappers/sample_mappers.py:88-123), but this container
-ships no compiled image codecs. This module implements the baseline JPEG
-process from the public spec — enough to decode the overwhelmingly common
-baseline sequential JFIF files (SOF0, 8-bit, Huffman, 4:4:4 / 4:2:2 / 4:2:0,
-restart markers) and to encode test fixtures so the decoder is verified
-without any third-party codec.
+ships no compiled image codecs. This module implements both common JPEG
+processes from the public spec — baseline sequential (SOF0/SOF1: 8-bit,
+Huffman, 4:4:4 / 4:2:2 / 4:2:0, restart markers) and progressive (SOF2:
+spectral selection + successive approximation, EOB-runs, AC refinement) —
+plus encoders for both, so the decoder is verified without any third-party
+codec: a progressive stream carries the same quantized coefficients as its
+baseline sibling and must decode pixel-for-pixel identical (tested).
+Remaining unsupported: arithmetic coding, 12-bit, hierarchical.
 
 Everything here derives from the published standard: Annex K example
 quantization/Huffman tables, the zigzag scan, the level-shift/DCT/quantize
@@ -251,14 +254,10 @@ def _category(v: int) -> int:
 # --- encoder -----------------------------------------------------------------
 
 
-def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsample: bool = False
-) -> bytes:
-    """Encode an (H, W, 3) or (H, W) uint8 array as baseline JFIF JPEG.
-
-    ``subsample=True`` writes 4:2:0 (2x2 chroma decimation) — exercises the
-    decoder's general MCU path; ``False`` writes 4:4:4.
-    """
+def _prepare_coeffs(img: np.ndarray, quality: int, subsample: bool):
+    """Color transform + DCT + quantization shared by the baseline and
+    progressive encoders: returns (h, w, gray, coeffs, quants, samp) where
+    ``coeffs[ci]`` is the (blocks_y, blocks_x, 8, 8) int32 quantized grid."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -280,12 +279,6 @@ def encode_jpeg(
     quants = [qy] + [qc] * (len(comps) - 1)
     samp = [(2, 2), (1, 1), (1, 1)] if (subsample and not gray) else [(1, 1)] * len(comps)
 
-    dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-               _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    ac_tabs = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-               _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
-
-    # per-component quantized coefficient grids
     coeffs = []
     for ci, plane in enumerate(comps):
         ph, pw = plane.shape
@@ -294,6 +287,24 @@ def encode_jpeg(
         blocks = padded.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
         f = np.einsum("ux,ijxy,vy->ijuv", _C, blocks, _C)
         coeffs.append(np.round(f / quants[ci]).astype(np.int32))
+    return h, w, gray, coeffs, quants, samp
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Encode an (H, W, 3) or (H, W) uint8 array as baseline JFIF JPEG.
+
+    ``subsample=True`` writes 4:2:0 (2x2 chroma decimation) — exercises the
+    decoder's general MCU path; ``False`` writes 4:4:4.
+    """
+    h, w, gray, coeffs, quants, samp = _prepare_coeffs(img, quality, subsample)
+    qy, qc = quants[0], quants[-1]
+
+    dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+               _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tabs = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+               _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -301,7 +312,7 @@ def encode_jpeg(
     mcus_y = -(-h // (8 * vmax))
 
     bw_ = _BitWriter()
-    pred = [0] * len(comps)
+    pred = [0] * len(coeffs)
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci, (sh, sv) in enumerate(samp):
@@ -418,6 +429,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    prog_state = None
     restart_interval = 0
 
     while pos < len(data):
@@ -455,7 +467,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = tuple(payload[p + 17:p + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = payload[0]
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -466,11 +478,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog_state = _init_progressive_state(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (marker 0xFF{marker:02X}); only "
-                "baseline sequential Huffman (SOF0/SOF1) is implemented"
+                "baseline sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman are implemented"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(payload[:2], "big")
@@ -481,8 +496,21 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, tdta = payload[1 + 2 * i:3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0x0F})
+                ci, comp = next(
+                    (j, c) for j, c in enumerate(frame["comps"]) if c["id"] == cs
+                )
+                scan.append({**comp, "ci": ci, "td": tdta >> 4, "ta": tdta & 0x0F})
+            if frame["progressive"]:
+                ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+                ahal = payload[3 + 2 * ns]
+                try:
+                    pos = _decode_prog_sos(
+                        data, pos + length, frame, scan, huff,
+                        ss, se, ahal >> 4, ahal & 0x0F, prog_state, restart_interval,
+                    )
+                except IndexError as e:
+                    raise ValueError("truncated JPEG entropy stream") from e
+                continue
             try:
                 return _decode_scan(
                     data, pos + length, frame, scan, quant, huff, restart_interval
@@ -490,6 +518,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             except IndexError as e:
                 raise ValueError("truncated JPEG entropy stream") from e
         pos += length
+    if frame is not None and frame.get("progressive") and prog_state["any_scan"]:
+        return _reconstruct_progressive(frame, prog_state, quant)
     raise ValueError("no SOS segment found")
 
 
@@ -586,3 +616,471 @@ def _decode_block(reader, dc_tab, ac_tab, pred, ci) -> np.ndarray:
     block = np.zeros(64)
     block[ZIGZAG] = zz
     return block.reshape(8, 8)
+
+
+# --- progressive (SOF2) ------------------------------------------------------
+#
+# Spectral selection + successive approximation per T.81 Annexes G.1/G.2:
+# coefficients accumulate across scans in per-component buffers (zigzag
+# order); reconstruction (dequant + IDCT + upsample) happens once at EOI.
+# The scan-level algorithms mirror the spec's flowcharts: DC first/refine,
+# AC first with EOB-runs, AC refine with buffered correction bits.
+
+
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _comp_block_dims(frame, c):
+    """Non-interleaved block dims: ceil over the component's own samples
+    (T.81 A.1.1: x_i = ceil(X * H_i / Hmax), then ceil(x_i / 8))."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = _ceil_div(_ceil_div(frame["w"] * c["h"], hmax), 8)
+    ch = _ceil_div(_ceil_div(frame["h"] * c["v"], vmax), 8)
+    return ch, cw
+
+
+def _init_progressive_state(frame):
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    coeffs = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+    return {"coeffs": coeffs, "any_scan": False}
+
+
+def _decode_prog_sos(
+    data, pos, frame, scan, huff, ss, se, ah, al, state, restart_interval
+):
+    """Decode one progressive scan into the coefficient buffers; returns the
+    stream position after the scan's entropy data."""
+    state["any_scan"] = True
+    reader = _BitReader(data, pos)
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        _decode_dc_scan(reader, frame, scan, huff, ah, al, state,
+                        mcus_x, mcus_y, restart_interval)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        _decode_ac_scan(reader, frame, scan[0], huff, ss, se, ah, al, state,
+                        restart_interval)
+    return reader.pos
+
+
+def _reset_on_restart(reader, pred):
+    reader.sync_restart()
+    for i in range(len(pred)):
+        pred[i] = 0
+
+
+def _decode_dc_scan(reader, frame, scan, huff, ah, al, state,
+                    mcus_x, mcus_y, restart_interval):
+    pred = [0] * len(scan)
+    if len(scan) == 1:
+        c = scan[0]
+        ch, cw = _comp_block_dims(frame, c)
+        units = [(c, by, bx) for by in range(ch) for bx in range(cw)]
+    else:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            units.append((c, my * c["v"] + by, mx * c["h"] + bx))
+    # Restart markers are in-band: the bit reader raises _AtMarker when it
+    # reaches one, and the handler consumes it and resets predictors — no
+    # proactive interval counting needed (the encoder byte-aligns first).
+    for c, by, bx in units:
+        buf = state["coeffs"][c["ci"]]
+        si = scan.index(c) if len(scan) > 1 else 0
+        while True:
+            try:
+                if ah == 0:
+                    s = _decode_huff(reader, huff[(0, c["td"])])
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    pred[si] += diff
+                    buf[by, bx, 0] = pred[si] << al
+                else:
+                    if reader.bit():
+                        buf[by, bx, 0] = int(buf[by, bx, 0]) | (1 << al)
+                break
+            except _AtMarker as m:
+                if 0xD0 <= m.marker <= 0xD7:
+                    # restart sits BETWEEN units: consume it, reset, RETRY
+                    _reset_on_restart(reader, pred)
+                    continue
+                raise ValueError(
+                    f"unexpected marker 0xFF{m.marker:02X} in DC scan"
+                ) from m
+
+
+def _decode_ac_scan(reader, frame, c, huff, ss, se, ah, al, state,
+                    restart_interval):
+    buf = state["coeffs"][c["ci"]]
+    ch, cw = _comp_block_dims(frame, c)
+    eobrun = 0
+    count = 0
+    for by in range(ch):
+        for bx in range(cw):
+            if restart_interval and count == restart_interval:
+                reader.sync_restart()
+                eobrun = 0
+                count = 0
+            zz = buf[by, bx]
+            while True:
+                try:
+                    if ah == 0:
+                        eobrun = _ac_first_block(reader, huff[(1, c["ta"])], zz,
+                                                 ss, se, al, eobrun)
+                    else:
+                        eobrun = _ac_refine_block(reader, huff[(1, c["ta"])], zz,
+                                                  ss, se, al, eobrun)
+                    break
+                except _AtMarker as m:
+                    if 0xD0 <= m.marker <= 0xD7:
+                        # restart sits BETWEEN blocks: consume, reset, RETRY
+                        reader.sync_restart()
+                        eobrun = 0
+                        count = 0
+                        continue
+                    raise ValueError(
+                        f"unexpected marker 0xFF{m.marker:02X} in AC scan"
+                    ) from m
+            count += 1
+
+
+def _ac_first_block(reader, table, zz, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        zz[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, table, zz, ss, se, al, eobrun):
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    # refinement EOB-run INCLUDES the current block (the
+                    # tail below reads its remaining correction bits, then
+                    # decrements) — unlike the first-scan convention
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                val = 0  # ZRL: advance 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement symbol with size > 1")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.bit() and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, state, quant):
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        buf = state["coeffs"][ci].astype(np.float64)
+        bh, bw_ = buf.shape[:2]
+        natural = np.zeros_like(buf)
+        natural[..., ZIGZAG] = buf
+        q = quant[c["tq"]].reshape(64)
+        blocks = (natural * q).reshape(bh, bw_, 8, 8)
+        pix = np.einsum("ux,ijuv,vy->ijxy", _C, blocks, _C) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8))
+    full = []
+    for ci, c in enumerate(frame["comps"]):
+        p = np.repeat(np.repeat(planes[ci], vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive encoder -----------------------------------------------------
+
+#: AC Huffman table for progressive scans: the Annex K baseline tables lack
+#: the EOBn symbols (0x10..0xE0) progressive EOB-runs need, so we use a
+#: complete canonical table covering ALL 256 run/size symbols — 255 at 9
+#: bits, 0xFF at 11 (Kraft sum < 1, so no all-ones code of any length, as
+#: the spec's table-building procedure requires). Larger than an optimized
+#: table, but valid for any conforming decoder.
+PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 0, 255, 0, 1, 0, 0, 0, 0, 0)
+PROG_AC_VALS = tuple(range(255)) + (255,)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Encode as progressive JFIF JPEG (SOF2) with a 4-phase scan script
+    that exercises every progressive path: interleaved DC first at Al=1,
+    per-component AC first (spectral band 1-63, Al=1, EOB-runs), DC
+    refinement (1 bit/block), per-component AC refinement (correction
+    bits). Quantized coefficients are IDENTICAL to ``encode_jpeg``'s, so a
+    progressive stream must decode pixel-for-pixel equal to its baseline
+    sibling — the cross-check the tests enforce."""
+    h, w, gray, coeffs, quants, samp = _prepare_coeffs(img, quality, subsample)
+    qy, qc = quants[0], quants[-1]
+    dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+               _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    prog_ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    ncomp = len(coeffs)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    y_samp = 0x22 if (subsample and not gray) else 0x11
+    sof += bytes([1, y_samp, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC2, bytes(sof))
+
+    def dht(cls, tid, bits, vals):
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)  # shared by every AC scan
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        body = bytearray([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(body))
+
+    # MCU geometry shared with the baseline encoder (clamped edge blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = _ceil_div(w, 8 * hmax)
+    mcus_y = _ceil_div(h, 8 * vmax)
+
+    def dc_units():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    grid = coeffs[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            row = min(my * sv + by, grid.shape[0] - 1)
+                            col = min(mx * sh + bx, grid.shape[1] - 1)
+                            yield ci, int(grid[row, col, 0, 0])
+
+    al = 1  # successive-approximation split: Al=1 first, refinement to Al=0
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift per G.1.2.1)
+    bw_ = _BitWriter()
+    pred = [0] * ncomp
+    for ci, dc in dc_units():
+        t = dc >> al
+        diff = t - pred[ci]
+        pred[ci] = t
+        tab = dc_tabs[0 if ci == 0 else 1]
+        s = _category(diff)
+        code, length = tab[s]
+        bw_.write(code, length)
+        if s:
+            bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw_.flush()
+    out += sos_header([(1, 0, 0)] + ([(2, 1, 0), (3, 1, 0)] if not gray else []),
+                      0, 0, 0, al)
+    out += bw_.out
+
+    # scans 2..: AC first per component, band 1-63, Al=1
+    for ci in range(ncomp):
+        out += sos_header([(ci + 1, 0, 0)], 1, 63, 0, al)
+        out += _encode_ac_first_scan(coeffs[ci], prog_ac, al)
+
+    # DC refinement: one raw bit per block, Ah=1 -> Al=0
+    bw_ = _BitWriter()
+    for ci, dc in dc_units():
+        bw_.write(dc & 1, 1)
+    bw_.flush()
+    out += sos_header([(1, 0, 0)] + ([(2, 0, 0), (3, 0, 0)] if not gray else []),
+                      0, 0, al, 0)
+    out += bw_.out
+
+    # AC refinement per component, Ah=1 -> Al=0. The refinement encoder
+    # works at the SCAN's Al (0): abs(coef)>>0 == 1 is exactly the
+    # newly-significant test, >1 means already significant at Ah.
+    for ci in range(ncomp):
+        out += sos_header([(ci + 1, 0, 0)], 1, 63, al, 0)
+        out += _encode_ac_refine_scan(coeffs[ci], prog_ac, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): magnitude shift, truncation toward 0."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_eobrun(bw, tab, eobrun: int, pending_bits=None) -> int:
+    """Emit an accumulated EOB-run (and any buffered correction bits)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = tab[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(eobrun - (1 << nbits), nbits)
+        if pending_bits:
+            for b in pending_bits:
+                bw.write(b, 1)
+            pending_bits.clear()
+    return 0
+
+
+def _encode_ac_first_scan(grid, tab, al) -> bytes:
+    bw = _BitWriter()
+    eobrun = 0
+    bh, bwid = grid.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            zz = grid[by, bx].reshape(64)[ZIGZAG]
+            band = [_pt(int(zz[k]), al) for k in range(1, 64)]
+            r = 0
+            wrote = False
+            for v in band:
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    eobrun = _emit_eobrun(bw, tab, eobrun)
+                    code, length = tab[0xF0]  # ZRL
+                    bw.write(code, length)
+                    r -= 16
+                eobrun = _emit_eobrun(bw, tab, eobrun)
+                s = _category(v)
+                code, length = tab[(r << 4) | s]
+                bw.write(code, length)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(bw, tab, eobrun)
+    _emit_eobrun(bw, tab, eobrun)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _encode_ac_refine_scan(grid, tab, al) -> bytes:
+    """jcphuff-style AC refinement: newly-significant coefficients emit
+    run/1 symbols with a sign bit; already-nonzero coefficients contribute
+    buffered correction bits that ride behind the next emitted symbol."""
+    bw = _BitWriter()
+    eobrun = 0
+    eob_bits: list[int] = []  # correction bits deferred to the EOB-run flush
+    bh, bwid = grid.shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            zz = grid[by, bx].reshape(64)[ZIGZAG]
+            absvals = [abs(int(zz[k])) >> al for k in range(1, 64)]
+            coefs = [int(zz[k]) for k in range(1, 64)]
+            eob = 0  # index AFTER the last newly-significant coefficient
+            for i, t in enumerate(absvals):
+                if t == 1:
+                    eob = i + 1
+            r = 0
+            pending: list[int] = []
+            for i in range(len(absvals)):
+                t = absvals[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    eobrun = _emit_eobrun(bw, tab, eobrun, eob_bits)
+                    code, length = tab[0xF0]
+                    bw.write(code, length)
+                    r -= 16
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending.clear()
+                if t > 1:
+                    pending.append(t & 1)
+                    continue
+                eobrun = _emit_eobrun(bw, tab, eobrun, eob_bits)
+                code, length = tab[(r << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if coefs[i] >= 0 else 0, 1)
+                for b in pending:
+                    bw.write(b, 1)
+                pending.clear()
+                r = 0
+            if r > 0 or pending:
+                eobrun += 1
+                eob_bits.extend(pending)
+                if eobrun == 0x7FFF or len(eob_bits) > 900:
+                    eobrun = _emit_eobrun(bw, tab, eobrun, eob_bits)
+    _emit_eobrun(bw, tab, eobrun, eob_bits)
+    bw.flush()
+    return bytes(bw.out)

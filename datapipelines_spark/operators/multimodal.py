@@ -8,10 +8,10 @@ them out of queries that don't touch them).
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 Pandas UDFs over ``mapInPandas``: the Spark-side plumbing (schemas, batch
 iteration, error quarantine, partition sizing) is real and tested. The codec
-is pluggable: ``real_decode`` actually decodes PPM/PGM and uncompressed BMP
-payloads pure-numpy in this container (and routes other formats to PIL when
-installed — JPEG/PNG remain env-blocked without it); ``fake_decode`` stays
-available as the deterministic stand-in for arbitrary binary payloads.
+is pluggable: ``real_decode`` actually decodes PPM/PGM, uncompressed BMP,
+JPEG (baseline + progressive, jpegcodec.py) and PNG (pngcodec.py) payloads
+pure-Python in this container; ``fake_decode`` stays available as the
+deterministic stand-in for arbitrary binary payloads.
 
 Scale notes: media rows are wide (MBs), so these stages cap Arrow batch
 sizes (``spark.sql.execution.arrow.maxRecordsPerBatch``) and should follow a
@@ -130,11 +130,10 @@ def decode_bmp(payload: bytes):
 
 
 def decode_array(payload: bytes):
-    """Route a payload to a real decoder by magic bytes: PPM/PGM, BMP, and
-    baseline JPEG are decoded pure-numpy in-container (JPEG via the T.81
-    codec in operators/jpegcodec.py); other formats (PNG, progressive JPEG,
-    ...) go to PIL when installed, else raise (plumbing stays testable via
-    fake_decode)."""
+    """Route a payload to a real decoder by magic bytes: PPM/PGM, BMP, PNG,
+    and JPEG (baseline + progressive, operators/jpegcodec.py) are decoded
+    pure-Python in-container; anything else goes to PIL when installed, else
+    raises (plumbing stays testable via fake_decode)."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
     if payload[:2] in (b"P6", b"P5"):
@@ -145,9 +144,9 @@ def decode_array(payload: bytes):
         from datapipelines_spark.operators.jpegcodec import decode_jpeg
 
         try:
-            return decode_jpeg(payload)
+            return decode_jpeg(payload)  # baseline AND progressive
         except ValueError:
-            # progressive/arithmetic streams fall through to PIL if present
+            # arithmetic-coded/12-bit streams fall through to PIL if present
             pass
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from datapipelines_spark.operators.pngcodec import decode_png
@@ -161,9 +160,9 @@ def decode_array(payload: bytes):
         from PIL import Image  # type: ignore
     except ImportError as e:  # pragma: no cover - env lacks codecs
         raise NotImplementedError(
-            "payload is not PPM/BMP/baseline-JPEG and compressed-image codecs "
-            "(Pillow) are not installed in this container; pass "
-            "decode_fn=fake_decode or install Pillow"
+            "payload is not PPM/BMP/JPEG/PNG (in-repo codecs) and Pillow is "
+            "not installed in this container; pass decode_fn=fake_decode or "
+            "install Pillow"
         ) from e
     import io  # pragma: no cover
 

@@ -68,13 +68,47 @@ def test_noise_survives_lossily():
     assert _psnr(img, dec) > 25  # noise is the worst case for JPEG
 
 
-def test_progressive_rejected_with_clear_error():
+def test_malformed_progressive_scan_rejected():
+    """A baseline stream relabeled SOF2 has a full-band scan (Ss=0, Se=63),
+    which a progressive frame may not contain — clean rejection, not a
+    crash."""
     img = _smooth_rgb(16, 16)
     enc = bytearray(encode_jpeg(img, quality=85))
     idx = enc.find(b"\xff\xc0")
     enc[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive scan mixes"):
         decode_jpeg(bytes(enc))
+
+
+def test_progressive_decodes_pixel_identical_to_baseline():
+    """Progressive (SOF2, spectral selection + successive approximation)
+    carries the SAME quantized coefficients as the baseline sibling, so the
+    decoded pixels must be EXACTLY equal — a strong cross-check because the
+    baseline entropy layer is independently validated."""
+    from datapipelines_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (_smooth_rgb(48, 56), False),
+        (_smooth_rgb(48, 56), True),
+        (rng.integers(0, 256, (33, 41, 3), np.uint8), False),
+        (rng.integers(0, 256, (33, 41, 3), np.uint8), True),
+    ]
+    for img, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=85, subsample=sub))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_identical_to_baseline():
+    from datapipelines_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    yy = np.mgrid[0:40, 0:56][0]
+    g = (yy * 4 % 200 + 20).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=90)),
+        decode_jpeg(encode_jpeg_progressive(g, quality=90)),
+    )
 
 
 def test_not_a_jpeg_rejected():
@@ -144,6 +178,24 @@ def test_roundtrip_never_crashes_and_preserves_shape(h, w, quality, sub, seed):
 def test_garbage_bytes_raise_valueerror_not_hang(data):
     with pytest.raises(ValueError):
         decode_jpeg(data)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(1, 25),
+    w=st.integers(1, 25),
+    quality=st.integers(40, 95),
+    sub=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_equals_baseline_property(h, w, quality, sub, seed):
+    from datapipelines_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality, subsample=sub))
+    assert np.array_equal(base, prog)
 
 
 @settings(max_examples=10, deadline=None)
