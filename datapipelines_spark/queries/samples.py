@@ -310,14 +310,15 @@ def mapper_square_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-image decode end-to-end (M4 closure): per-doc solid
-    gray JPEGs are encoded by the pure-numpy T.81 baseline encoder
-    (operators/jpegcodec.py) in an Arrow pandas UDF, then decoded by the
-    pure-numpy baseline decoder inside the mapInPandas stage — the full
-    compressed codec path with zero third-party image libraries. Dimensions
-    are checked exactly; the mean pixel is checked to a ±2/255 tolerance
-    (JPEG is lossy; solid-color blocks round-trip to within DC quantization
-    error), asserted Spark-side and emitted as a boolean the oracle states
-    must be TRUE — a decoder drift flips rows to FALSE and fails the hash."""
+    gray JPEGs — BASELINE for even doc_ids, PROGRESSIVE (SOF2) for odd —
+    are encoded by the pure-numpy T.81 encoders (operators/jpegcodec.py) in
+    an Arrow pandas UDF, then decoded by the pure-numpy decoder inside the
+    mapInPandas stage, so the driver gate exercises both JPEG processes
+    with zero third-party image libraries. Dimensions are checked exactly;
+    the mean pixel is checked to a ±2/255 tolerance (JPEG is lossy;
+    solid-color blocks round-trip to within DC quantization error),
+    asserted Spark-side and emitted as a boolean the oracle states must be
+    TRUE — a decoder drift flips rows to FALSE and fails the hash."""
     import pandas as pd
 
     from datapipelines_spark.operators.multimodal import decode_images, real_decode
@@ -328,14 +329,20 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def make_jpeg(doc_id):
         import numpy as np
 
-        from datapipelines_spark.operators.jpegcodec import encode_jpeg
+        from datapipelines_spark.operators.jpegcodec import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         out = []
         for i in doc_id:
-            w = 16 + (int(i) % 3) * 8
-            h = 16 + (int(i) % 2) * 8
-            c = (int(i) * 37) % 256
-            out.append(encode_jpeg(np.full((h, w, 3), c, dtype=np.uint8), quality=90))
+            i = int(i)
+            w = 16 + (i % 3) * 8
+            h = 16 + (i % 2) * 8
+            c = (i * 37) % 256
+            img = np.full((h, w, 3), c, dtype=np.uint8)
+            enc = encode_jpeg if i % 2 == 0 else encode_jpeg_progressive
+            out.append(enc(img, quality=90))
         return pd.Series(out)
 
     d = load_table(spark, sf_dir, "documents")

@@ -153,3 +153,21 @@ def test_wav_garbage_raises_valueerror(data):
     assume(not data.startswith(b"RIFF"))
     with pytest.raises(ValueError):
         decode_wav(data)
+
+
+def test_mjpeg_split_handles_progressive_frames():
+    """The structure-aware splitter must walk multi-scan (progressive)
+    frames too — several SOS segments per frame."""
+    from datapipelines_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    frames_src = [30, 90, 150]
+    stream = b"".join(
+        encode_jpeg_progressive(np.full((16, 16, 3), c, np.uint8), quality=90)
+        for c in frames_src
+    )
+    frames = split_mjpeg(stream)
+    assert len(frames) == 3
+    for c, f in zip(frames_src, frames):
+        arr = decode_jpeg(f)
+        assert arr.shape == (16, 16, 3)
+        assert abs(float(arr.mean()) - c) < 2.0
