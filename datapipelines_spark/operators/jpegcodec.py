@@ -408,13 +408,15 @@ def _assemble_stream(h, w, gray, subsample, qy, qc, entropy: bytes) -> bytes:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline sequential JPEG bytes to an (H, W, C) uint8 array.
+    """Decode JPEG bytes to an (H, W, C) uint8 array.
 
-    Supports: SOF0 (and SOF1) 8-bit, 1 or 3 components, any sampling factors
-    in {1, 2}, multiple DQT/DHT segments, restart intervals, byte stuffing.
-    Raises ValueError on progressive (SOF2) / arithmetic-coded streams and
-    on truncated/garbage input (never an unbounded read or raw IndexError —
-    the permissive pipeline modes key off ValueError).
+    Supports both common processes: baseline sequential (SOF0/SOF1) and
+    progressive (SOF2, spectral selection + successive approximation);
+    8-bit, 1 or 3 components, sampling factors in {1, 2}, multiple DQT/DHT
+    segments, restart intervals, byte stuffing. Raises ValueError on
+    arithmetic-coded/12-bit/hierarchical streams and on truncated/garbage
+    input (never an unbounded read or raw IndexError — the permissive
+    pipeline modes key off ValueError).
     """
     try:
         return _decode_jpeg(data)
