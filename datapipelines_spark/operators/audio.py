@@ -77,13 +77,44 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"unsupported PCM bit depth {bits}")
     elif audio_format == 3 and bits == 32:  # IEEE float
         arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif audio_format == 6 and bits == 8:  # A-law (G.711)
+        arr = _alaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+    elif audio_format == 7 and bits == 8:  # mu-law (G.711)
+        arr = _mulaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
     else:
         raise ValueError(
-            f"unsupported WAV format {audio_format}/{bits}-bit; only PCM and "
-            "float32 are implemented (compressed audio needs external codecs)"
+            f"unsupported WAV format {audio_format}/{bits}-bit; PCM, float32 "
+            "and G.711 A-law/mu-law are implemented (other compressed audio "
+            "needs external codecs)"
         )
     n = len(arr) // ch
     return arr[: n * ch].reshape(n, ch), sr
+
+
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear PCM16 (public spec formula)."""
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = ((mantissa << 3) + 0x84) << exponent
+    magnitude -= 0x84
+    return np.where(sign, -magnitude, magnitude).astype(np.float64)
+
+
+def _alaw_expand(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte -> linear PCM16 (public spec formula)."""
+    a = a.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    magnitude = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    # A-law sign convention is inverted vs mu-law: bit SET means positive
+    return np.where(sign, magnitude, -magnitude).astype(np.float64)
 
 
 def real_audio_decode(payload: bytes, envelope_bins: int = 8) -> dict:

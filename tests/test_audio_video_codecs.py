@@ -171,3 +171,33 @@ def test_mjpeg_split_handles_progressive_frames():
         arr = decode_jpeg(f)
         assert arr.shape == (16, 16, 3)
         assert abs(float(arr.mean()) - c) < 2.0
+
+
+def test_g711_expansion_known_values():
+    """G.711 A-law / mu-law expansion checked against spec-known points."""
+    from datapipelines_spark.operators.audio import _alaw_expand, _mulaw_expand
+
+    mu = _mulaw_expand(np.array([0xFF, 0x7F, 0x80, 0x00], dtype=np.uint8))
+    assert mu[0] == 0 and mu[1] == 0          # +0 / -0
+    assert mu[2] == 32124                      # max positive
+    assert mu[3] == -32124                     # max negative
+    al = _alaw_expand(np.array([0xD5, 0x55, 0xAA, 0x2A], dtype=np.uint8))
+    assert al[0] == 8 and al[1] == -8          # smallest +/-
+    assert al[2] == 32256 and al[3] == -32256  # max +/-
+
+
+def test_g711_wav_decode_end_to_end():
+    """Hand-built mu-law WAV (format 7) decodes through decode_wav."""
+    n = 64
+    payload = bytes([0xFF] * n)  # all +0 samples
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    chunks = fmt + b"data" + len(payload).to_bytes(4, "little") + payload
+    wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    dec, sr = decode_wav(wav)
+    assert sr == 8000 and dec.shape == (n, 1)
+    assert np.all(dec == 0.0)
