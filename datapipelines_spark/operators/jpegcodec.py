@@ -16,9 +16,11 @@ Everything here derives from the published standard: Annex K example
 quantization/Huffman tables, the zigzag scan, the level-shift/DCT/quantize
 pipeline, and JFIF's BT.601 YCbCr. The arithmetic is vectorized numpy
 (matrix DCT/IDCT, array upsampling); only the entropy coder walks bits in
-Python, which is acceptable where this runs — inside Arrow-batched
-``mapInPandas`` tasks on thumbnail-scale payloads, with the per-call timeout
-(E4) armed.
+Python — measured on this container at ~14 ms (baseline) / ~73 ms
+(progressive) per smooth 128x128 image and ~68/~222 ms on dense-noise
+worst cases, single core. Acceptable where this runs — inside Arrow-batched
+``mapInPandas`` tasks with the per-call timeout (E4) armed; swap a native
+codec in production via ``decode_fn`` for order-of-magnitude headroom.
 """
 
 from __future__ import annotations
@@ -209,7 +211,9 @@ class _BitReader:
                 raise _AtMarker(nxt)
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed high bits BEFORE shifting: without this, acc grows
+        # by 8 bits per fill forever and every shift becomes O(stream size)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -219,10 +223,10 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def sync_restart(self) -> None:
         """Consume an RSTn marker and reset bit state."""

@@ -146,21 +146,43 @@ def _decode_png(data: bytes) -> np.ndarray:
             recon = filt.copy()
         elif ftype == 2:
             recon = filt + prev  # uint8 wraparound == mod 256
-        elif ftype in (1, 3, 4):
-            recon = np.empty(stride, dtype=np.uint8)
-            upleft_shift = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]]) \
-                if stride > bpp else np.zeros(stride, np.uint8)
-            for x in range(stride):
-                a = recon[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (int(a) + int(prev[x])) // 2
-                else:
-                    pred = int(_paeth(
-                        np.uint8(a), prev[x], upleft_shift[x]
-                    ))
-                recon[x] = (int(filt[x]) + pred) & 0xFF
+        elif ftype == 1:
+            # sub is linear mod 256: per-byte-lane cumulative sum — exact
+            # and fully vectorized (recon[x] = sum of filt[x-k*bpp]) mod 256
+            lanes = filt.astype(np.int64).copy()
+            n_full = stride // bpp * bpp
+            view = lanes[:n_full].reshape(-1, bpp)
+            np.cumsum(view, axis=0, out=view)
+            if n_full < stride:  # stride not a bpp multiple cannot happen,
+                lanes[n_full:] += lanes[n_full - bpp:stride - bpp]  # but be safe
+            recon = (lanes & 0xFF).astype(np.uint8)
+        elif ftype in (3, 4):
+            # average/paeth have sequential left-dependence with a floor/
+            # branch, so run them as a plain-int loop (lists avoid numpy
+            # scalar overhead — ~30x faster than per-element ndarray ops)
+            fl = filt.tolist()
+            pl = prev.tolist()
+            rl = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    a = rl[x - bpp] if x >= bpp else 0
+                    rl[x] = (fl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = rl[x - bpp] if x >= bpp else 0
+                    c = pl[x - bpp] if x >= bpp else 0
+                    b = pl[x]
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - 2 * c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rl[x] = (fl[x] + pred) & 0xFF
+            recon = np.array(rl, dtype=np.uint8)
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = recon
