@@ -152,10 +152,9 @@ def decode_array(payload: bytes):
         from datapipelines_spark.operators.pngcodec import decode_png
 
         try:
-            return decode_png(payload)
+            return decode_png(payload)  # incl. Adam7 interlace and 16-bit
         except ValueError:
-            # interlaced/16-bit fall through to PIL if present
-            pass
+            pass  # exotic variants fall through to PIL if present
     try:
         from PIL import Image  # type: ignore
     except ImportError as e:  # pragma: no cover - env lacks codecs

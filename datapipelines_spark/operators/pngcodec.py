@@ -5,13 +5,14 @@ compression library — DEFLATE is stdlib ``zlib`` — so both of the formats th
 reference decodes constantly (jpg/png via PIL-backed webdataset handlers)
 now decode in-container with zero third-party media libraries.
 
-Coverage: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
-(gray+alpha), 6 (RGBA); all five filter types; multiple IDAT chunks;
-ancillary chunks skipped by declared length. Adam7 interlacing and 16-bit
-depth are rejected with a clear ValueError naming the limitation. The
-encoder can apply any single filter type to every scanline, which gives the
-decoder's five defilter paths spec-defined forward counterparts to
-round-trip against (PNG is lossless, so round-trips are exact)."""
+Coverage: 8- and 16-bit depth (16-bit downscaled to the high byte — media
+pipelines consume 8-bit), color types 0 (gray), 2 (RGB), 3 (palette), 4
+(gray+alpha), 6 (RGBA); all five filter types; Adam7 interlacing (seven
+independently-filtered passes, reassembled); multiple IDAT chunks;
+ancillary chunks skipped by declared length. The encoder can write any
+single filter type, 16-bit samples, and interlaced layout, which gives
+every decoder path a spec-defined forward counterpart to round-trip
+against (PNG is lossless, so round-trips are exact)."""
 
 from __future__ import annotations
 
@@ -47,24 +48,18 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode (H, W), (H, W, 1/2/3/4) uint8 as PNG, one filter for all rows."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ch = img.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    bpp = ch
-    raw = img.reshape(h, w * ch)
-    prev = np.zeros(w * ch, dtype=np.uint8)
+def _filter_rows(raw: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Forward-filter every row of one (sub-)image with one filter type."""
+    n_rows, stride = raw.shape
+    prev = np.zeros(stride, dtype=np.uint8)
     lines = []
-    for y in range(h):
+    for y in range(n_rows):
         row = raw[y]
-        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]]) if w * ch > bpp \
-            else np.zeros(w * ch, np.uint8)
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, np.uint8)
         up = prev
-        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]]) if w * ch > bpp \
-            else np.zeros(w * ch, np.uint8)
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, np.uint8)
         if filter_type == 0:
             filt = row
         elif filter_type == 1:
@@ -79,8 +74,48 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f"unknown filter type {filter_type}")
         lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), 6)
+    return b"".join(lines)
+
+
+def encode_png(
+    img: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """Encode (H, W) or (H, W, 1/2/3/4) as PNG, one filter for all rows.
+
+    uint8 input writes 8-bit; uint16 input writes 16-bit (big-endian
+    samples). ``interlace=True`` writes Adam7 (each pass independently
+    filtered) — both exist chiefly so the decoder's pass-reassembly and
+    16-bit paths round-trip against spec-defined forward transforms."""
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(np.uint16 if depth == 16 else np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch * (depth // 8)
+
+    def to_bytes_rows(sub: np.ndarray) -> np.ndarray:
+        """(n, pw, ch) samples -> (n, pw*bpp) raw filter-input byte rows."""
+        n = sub.shape[0]
+        if depth == 8:
+            return sub.reshape(n, -1).astype(np.uint8)
+        return np.frombuffer(
+            sub.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(n, -1)
+
+    if not interlace:
+        body = _filter_rows(to_bytes_rows(img), bpp, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(_filter_rows(to_bytes_rows(sub), bpp, filter_type))
+        body = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
+    idat = zlib.compress(body, 6)
     return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -92,55 +127,24 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt or truncated PNG stream: {type(e).__name__}") from e
 
 
-def _decode_png(data: bytes) -> np.ndarray:
-    if data[:8] != _SIGNATURE:
-        raise ValueError("not a PNG: bad signature")
-    pos = 8
-    ihdr = None
-    palette = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos:pos + 4])
-        ctype = data[pos + 4:pos + 8]
-        payload = data[pos + 8:pos + 8 + length]
-        if ctype == b"IHDR":
-            w, h, depth, color_type, compression, filt_method, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}; only 8-bit")
-            if interlace != 0:
-                raise ValueError("Adam7-interlaced PNG not supported")
-            if compression != 0 or filt_method != 0:
-                raise ValueError("nonstandard PNG compression/filter method")
-            if color_type not in _CHANNELS:
-                raise ValueError(f"unsupported PNG color type {color_type}")
-            ihdr = (w, h, color_type)
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += payload
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    if not idat:
-        raise ValueError("PNG missing IDAT")
-    w, h, color_type = ihdr
-    ch = _CHANNELS[color_type]
-    stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG pixel data shorter than geometry requires")
+#: Adam7 pass layout: (x0, y0, dx, dy) per pass (PNG spec 8.2).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    out = np.zeros((h, stride), dtype=np.uint8)
+
+def _defilter(raw: bytes, p: int, n_rows: int, stride: int, bpp: int):
+    """Undo PNG filtering for one image (or one Adam7 pass): ``n_rows``
+    scanlines of ``stride`` bytes, each preceded by a filter byte. Returns
+    (array (n_rows, stride), bytes consumed)."""
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = ch
-    p = 0
-    for y in range(h):
+    for y in range(n_rows):
         ftype = raw[p]
         filt = np.frombuffer(raw[p + 1:p + 1 + stride], dtype=np.uint8)
+        if len(filt) < stride:
+            raise ValueError("PNG pixel data shorter than geometry requires")
         p += 1 + stride
         if ftype == 0:
             recon = filt.copy()
@@ -187,8 +191,74 @@ def _decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = recon
         prev = recon
+    return out, p
 
-    arr = out.reshape(h, w, ch)
+
+def _decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color_type, compression, filt_method, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth not in (8, 16):
+                raise ValueError(f"unsupported PNG bit depth {depth}; 8/16 only")
+            if depth == 16 and color_type == 3:
+                raise ValueError("16-bit palette PNG is not a legal combination")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+            if compression != 0 or filt_method != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            ihdr = (w, h, color_type, depth, interlace)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    w, h, color_type, depth, interlace = ihdr
+    ch = _CHANNELS[color_type]
+    sample_bytes = depth // 8
+    bpp = ch * sample_bytes
+    raw = zlib.decompress(bytes(idat))
+
+    def rows_to_pixels(rows: np.ndarray, width: int):
+        """(n, width*bpp) filtered-byte rows -> (n, width, ch) samples
+        (16-bit scaled down to 8 via the high byte)."""
+        if depth == 8:
+            return rows.reshape(-1, width, ch)
+        wide = rows.reshape(-1).view(">u2").reshape(-1, width, ch)
+        return (wide >> 8).astype(np.uint8)
+
+    if interlace == 0:
+        rows, _ = _defilter(raw, 0, h, w * bpp, bpp)
+        arr = rows_to_pixels(rows, w)
+    else:  # Adam7: seven independently-filtered sub-images, reassembled
+        arr = np.zeros((h, w, ch), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, p = _defilter(raw, p, ph, pw * bpp, bpp)
+            arr[y0::dy, x0::dx] = rows_to_pixels(rows, pw)
+
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")

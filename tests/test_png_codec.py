@@ -45,18 +45,26 @@ def test_not_png_and_truncated_rejected():
         decode_png(enc[: len(enc) // 2])
 
 
-def test_interlaced_rejected_clearly():
-    enc = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
-    # IHDR payload starts at offset 16; interlace byte is its 13th byte
-    ihdr_off = 16
-    enc[ihdr_off + 12] = 1
-    import struct
-    import zlib
+@pytest.mark.parametrize("shape", [(16, 16, 3), (13, 9, 3), (7, 7, 1), (3, 3, 4), (1, 1, 3), (2, 9, 3)])
+def test_adam7_interlaced_roundtrip_exact(shape):
+    """Adam7: seven independently-filtered passes reassemble exactly,
+    including sizes where some passes are empty."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, np.uint8)
+    for ft in (0, 2, 4):
+        assert np.array_equal(
+            decode_png(encode_png(img, filter_type=ft, interlace=True)), img
+        )
 
-    crc = zlib.crc32(b"IHDR" + bytes(enc[ihdr_off:ihdr_off + 13])) & 0xFFFFFFFF
-    enc[ihdr_off + 13:ihdr_off + 17] = struct.pack(">I", crc)
-    with pytest.raises(ValueError, match="Adam7"):
-        decode_png(bytes(enc))
+
+def test_16bit_decodes_to_high_byte():
+    rng = np.random.default_rng(16)
+    img8 = rng.integers(0, 256, (11, 13, 3), np.uint8)
+    img16 = (img8.astype(np.uint16) << 8) | img8  # v*257: high byte == v
+    dec = decode_png(encode_png(img16, filter_type=4))
+    assert np.array_equal(dec, img8)
+    dec_i = decode_png(encode_png(img16, filter_type=2, interlace=True))
+    assert np.array_equal(dec_i, img8)
 
 
 def test_router_decodes_png_payloads():
