@@ -156,6 +156,6 @@ PRIORITY_50: tuple[str, ...] = (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-#: Empty right now: the r4 window absorbs every query added this round, so
-#: cumulative driver coverage reaches the full catalog in r4.
-PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+PENDING_FIRST_VERDICT: tuple[str, ...] = (
+    "multimodal_mp4_probe",  # added after the r4 window absorbed the rest
+)

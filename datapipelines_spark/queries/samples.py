@@ -691,3 +691,74 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_channels").cast("bigint").alias("n_channels"),
         F.round("mean_pixel", 6).alias("mean_pixel"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_mp4_probe",
+    oracle="""
+    SELECT doc_id,
+           round(1.0 + (doc_id % 20) * 0.5, 6) AS duration_s,
+           CAST(160 * (1 + doc_id % 3) AS BIGINT) AS width,
+           CAST(240 AS BIGINT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
+           CAST(1 AS BIGINT) AS n_tracks
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-decode video metadata pass ON the driver gate: per-doc MP4
+    containers (built box-by-box to the ISO 14496-12 layout, no media data)
+    are probed in an Arrow stage for duration / resolution / codec — the
+    filter step a video corpus runs before paying any decode cost; every
+    extracted field is formula-exact against the oracle."""
+    import pandas as pd
+
+    from datapipelines_spark.operators.video import probe_mp4
+
+    @F.pandas_udf("binary")
+    def make_mp4(doc_id):
+        from datapipelines_spark.operators.video import build_test_mp4
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            out.append(
+                build_test_mp4(
+                    duration_s=1.0 + (i % 20) * 0.5,
+                    timescale=1000,
+                    width=160 * (1 + i % 3),
+                    height=240,
+                    codec=b"avc1" if i % 2 == 0 else b"hvc1",
+                )
+            )
+        return pd.Series(out)
+
+    @F.pandas_udf("duration_s double, width double, height double, codec string, n_tracks int")
+    def probe(payloads):
+        out = []
+        for p in payloads:
+            m = probe_mp4(bytes(p))
+            tr = m["tracks"][0]
+            out.append(
+                {
+                    "duration_s": m["duration_s"],
+                    "width": tr["width"],
+                    "height": tr["height"],
+                    "codec": tr["codec"],
+                    "n_tracks": m["n_tracks"],
+                }
+            )
+        return pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    probed = d.select(
+        "doc_id", probe(make_mp4("doc_id")).alias("m")
+    ).select("doc_id", "m.*")
+    return probed.select(
+        "doc_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "codec",
+        F.col("n_tracks").cast("bigint").alias("n_tracks"),
+    ).orderBy("doc_id")
