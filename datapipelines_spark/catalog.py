@@ -158,4 +158,5 @@ PRIORITY_50: tuple[str, ...] = (
 #: every query is either driver-verified, in the window, or listed here).
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "multimodal_mp4_probe",  # added after the r4 window absorbed the rest
+    "jsonl_gz_roundtrip",
 )

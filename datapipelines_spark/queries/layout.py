@@ -131,3 +131,43 @@ def bucketed_join_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "jsonl_gz_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+               AS text_hash_sum
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text corpus interchange: documents are written as gzipped
+    JSON-lines (the format training corpora actually ship in — splittable
+    per file, schema-on-read) and read back through the JSON source; the
+    order-independent sum of a portable per-text hash proves every text
+    byte survived serialization, compression, and inference. The write is
+    scratch-dir, idempotent, memoized per session."""
+    from datapipelines_spark.functions.hashing import portable_hash64
+
+    out = _scratch(sf_dir, "documents_jsonl_gz")
+    marker = (spark.sparkContext.applicationId, out)
+    if marker not in _WRITTEN:
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        ).write.mode("overwrite").option("compression", "gzip").json(out)
+        _WRITTEN.add(marker)
+    back = spark.read.json(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("bigint").alias("text_hash_sum"),
+        )
+        .orderBy("lang")
+    )
