@@ -160,3 +160,13 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "multimodal_mp4_probe",  # added after the r4 window absorbed the rest
     "jsonl_gz_roundtrip",
 )
+
+# r5 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r04 (fix first, then pin);
+#   2. PENDING_FIRST_VERDICT above (first driver verdicts);
+#   3. queries whose plans/outputs change in r5;
+#   4. the r2-only verdicts not re-confirmed in r4 — the remaining 43:
+#      everything in CORRECTNESS_r02.json except q1_pricing_summary,
+#      dedup_minhash_lsh, dedup_clusters, corpus_clean_pipeline (done r4)
+#      and stream_tumbling/dedup_embedding_cosine/sim_topk (re-done r3/r4);
+#   5. oldest r3 verdicts with remaining slots.
