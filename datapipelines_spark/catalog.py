@@ -77,78 +77,78 @@ def all_queries() -> dict[str, QuerySpec]:
             ordered[name] = spec
     return ordered
 
-
 # The driver's correctness gate hashes exactly the FIRST 50 entries of
 # all_queries() in iteration order. The window ROTATES each round so
 # cumulative driver-green coverage grows instead of re-verifying the same 50
-# (VERDICT r2 #6): round 4 pins (a) the four r3-red queries, now fixed
-# (array outputs stringified/exploded, float SUM decimal-cast), (b) queries
-# whose plans changed this round, (c) the 7 queries never driver-checked in
-# r1-r3, (d) every query ADDED this round (first verdicts beat re-confirms:
-# cumulative coverage reaches the full catalog in r4), (e) all 21 r1-only
-# verdicts re-confirmed under current code, then (f) the oldest r2-only
-# verdicts (4 of 47; the rest rotate in r5).
+# (VERDICT r2 #6). Round-5 window, following the r4 rotation plan and
+# VERDICT r4 items 1+4:
+#   (a) CORRECTNESS_r04 was 50/50 green -- no reds to pin;
+#   (b) the 2 queries pending a first verdict lead the window
+#       (multimodal_mp4_probe, jsonl_gz_roundtrip -- with these, every one of
+#       the 140 catalog queries has at least one driver verdict);
+#   (c) multimodal_jpeg_decode re-pins because the JPEG codec changed this
+#       round (ADVICE r4 restart-interval / fill-byte / multi-scan fixes);
+#   (d) all 43 r2-only verdicts re-confirm so no query's latest verdict is
+#       more than two rounds stale;
+#   (e) the 4 remaining slots take the oldest r3-only verdicts.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
-# SPARK_GRAFT_ORACLE_DIR). Queries ADDED in r4 after the window was pinned
-# live in PENDING_FIRST_VERDICT below — pin them first in the r5 window.
+# SPARK_GRAFT_ORACLE_DIR).
 PRIORITY_50: tuple[str, ...] = (
-    # --- pins: red in r3, fixed this round (must re-verify) ---
-    "null_semantics",              # r3 hash-red -> decimal-cast SUM
-    "map_type_status_counts",      # r3 err -> statuses array_join'd
-    "mapper_einops_reduce_groups", # r3 err -> exploded to scalar rows
-    "kmeans_centroids_2iter",      # r3 err -> centroid exploded to rows
-    # --- pins: changed this round ---
-    "sim_topk_bruteforce",         # changed: small-corpus broadcast route
-    "sim_ivf_cell_assign",         # changed: max_by argmin, lean broadcast side
-    # --- first driver verdicts: the 7 never-checked from r1-r3 ---
-    "fuzzy_join_supplier_names",
-    "sample_n_per_lang",
-    "scalar_from_json_typed",
-    "scalar_map_hof_funcs",
-    "agg_approx_percentile_contract",
-    "sql_recursive_region_chain",
-    "sql_exists_correlated",
-    # --- first driver verdicts: queries ADDED this round ---
-    "mapper_square_crop",
-    "pii_redact_documents",
-    "text_repetition_signals",
+    # --- first driver verdicts (pending from r4) ---
+    "multimodal_mp4_probe",
+    "jsonl_gz_roundtrip",
+    # --- changed this round: JPEG codec ADVICE fixes ---
     "multimodal_jpeg_decode",
-    "multimodal_wav_decode",
-    "multimodal_mjpeg_frames",
-    "tar_roundtrip_shards",
-    "partition_pruned_scan",
-    "bucketed_join_revenue_by_status",
-    "stream_static_join_replay",
-    "config_pipeline_quality_filter",
-    "multimodal_quarantine_decode",
-    "multimodal_png_decode",
-    # --- r1-only verdicts, re-confirmed under current code ---
-    "agg_distinct_suppliers_per_flag",
-    "cube_lineitem_flags",
-    "dedup_exact_normalized",
-    "events_sliding_1h_30m",
-    "events_tumbling_1h",
-    "scalar_conditional_funcs",
-    "scalar_date_funcs",
-    "scalar_fuzzy_string",
-    "scalar_math_funcs",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "sim_lsh_bucket_histogram",
-    "text_fingerprint",
-    "text_language_id",
-    "text_length_histogram",
-    "text_quality_score",
-    "text_token_stats",
-    "window_moving_avg_events",
-    "window_order_gaps",
-    "window_price_rank_in_brand",
-    # --- oldest r2-only verdicts, re-confirmed (4 of 47; rest rotate r5) ---
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "corpus_clean_pipeline",
+    # --- the 43 r2-only verdicts, re-confirmed under current code ---
+    "agg_approx_distinct_parts",
+    "asof_join_last_order_before_event",
+    "batch_fixed_size_groups",
+    "decontaminate_ngram_overlap",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "epoch_repeat_cycle",
+    "filter_required_keys",
+    "filter_size_range",
+    "having_big_part_groups",
+    "join_anti_customers_without_orders",
+    "join_metadata_rename_collision",
+    "join_null_safe_segments",
+    "join_outer_order_counts",
+    "join_semi_customers_with_orders",
+    "mapper_rescale_embeddings",
+    "mix_weighted_sources",
+    "multimodal_binary_stats",
+    "pack_sequences_budget",
+    "percentile_order_values",
+    "pivot_status_by_priority",
+    "q12_priority_shipping_split",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_orders_waiting",
+    "q3_shipping_priority",
+    "q9_profit_by_nation_year",
+    "range_join_price_bands",
+    "rollup_order_totals",
+    "scalar_array_funcs",
+    "scalar_json_extract",
+    "setop_union_customer_supplier_nations",
+    "shuffle_deterministic_rank",
+    "sim_ivf_topk_probe2",
+    "sim_lsh_candidate_pairs",
+    "sql_grouping_sets_mixed",
+    "sql_lateral_top2_orders",
+    "stream_dedup_exact_replay",
+    "subquery_above_avg_orders",
+    "text_tfidf_top_terms",
+    "unpivot_lineitem_measures",
+    "window_range_frame_30d_spend",
+    "window_topk_parts_per_supplier",
+    # --- oldest r3-only verdicts (4 remaining slots) ---
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "dedup_embedding_cosine",
+    "stream_tumbling_1h_replay",
 )
 
 
@@ -156,17 +156,13 @@ PRIORITY_50: tuple[str, ...] = (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "multimodal_mp4_probe",  # added after the r4 window absorbed the rest
-    "jsonl_gz_roundtrip",
-)
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 
-# r5 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r04 (fix first, then pin);
-#   2. PENDING_FIRST_VERDICT above (first driver verdicts);
-#   3. queries whose plans/outputs change in r5;
-#   4. the r2-only verdicts not re-confirmed in r4 — the remaining 43:
-#      everything in CORRECTNESS_r02.json except q1_pricing_summary,
-#      dedup_minhash_lsh, dedup_clusters, corpus_clean_pipeline (done r4)
-#      and stream_tumbling/dedup_embedding_cosine/sim_topk (re-done r3/r4);
-#   5. oldest r3 verdicts with remaining slots.
+# r6 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r05 (fix first, then pin);
+#   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
+#   3. queries whose plans/outputs change in r6;
+#   4. the r3-only verdicts not re-confirmed in r5 -- everything in
+#      CORRECTNESS_r03.json minus CORRECTNESS_r04.json minus the 4 oldest
+#      re-confirmed above (40 queries);
+#   5. oldest r4 verdicts with remaining slots.

@@ -1,7 +1,24 @@
 """The driver's correctness gate checks exactly the first 50 entries of
 ``all_queries()`` in iteration order; PRIORITY_50 pins those slots."""
 
-from datapipelines_spark.catalog import PRIORITY_50, all_queries
+import json
+import os
+
+from datapipelines_spark.catalog import (
+    PENDING_FIRST_VERDICT,
+    PRIORITY_50,
+    all_queries,
+)
+
+
+def _verdicts(*rounds: str) -> set[str]:
+    seen: set[str] = set()
+    for fname in rounds:
+        path = os.path.join(os.path.dirname(__file__), "..", fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                seen |= set(json.load(f))
+    return seen
 
 
 def test_priority_window_is_exactly_50_unique_names():
@@ -14,69 +31,39 @@ def test_priority_window_leads_registry_order():
     assert names[:50] == list(PRIORITY_50)
 
 
-def test_priority_window_pins_changed_queries_first():
-    # Round-4 rotation policy (VERDICT r3 #4): the leading slots are the four
-    # r3-red queries (now fixed) plus queries new/changed this round — they
-    # MUST get a fresh driver verdict; the rest grows cumulative coverage.
-    fixed_reds = {
-        "null_semantics",
-        "map_type_status_counts",
-        "mapper_einops_reduce_groups",
-        "kmeans_centroids_2iter",
-    }
-    assert fixed_reds <= set(PRIORITY_50[:4])
-    assert "sim_topk_bruteforce" in PRIORITY_50[:6]
-    assert "sim_ivf_cell_assign" in PRIORITY_50[:6]
-    # every query added in r4 gets its first verdict THIS round
-    for name in (
-        "mapper_square_crop",
-        "pii_redact_documents",
-        "text_repetition_signals",
-        "multimodal_jpeg_decode",
-        "multimodal_wav_decode",
-        "multimodal_mjpeg_frames",
-        "tar_roundtrip_shards",
-        "partition_pruned_scan",
-        "bucketed_join_revenue_by_status",
-        "stream_static_join_replay",
-        "config_pipeline_quality_filter",
-        "multimodal_quarantine_decode",
-    ):
-        assert name in PRIORITY_50, name
+def test_priority_window_pins_first_verdicts_and_changed_queries_first():
+    # Round-5 rotation policy (VERDICT r4 #1): the two queries that were
+    # pending a first verdict after r4 lead the window, then the query whose
+    # code changed this round (JPEG codec ADVICE fixes).
+    assert PRIORITY_50[0] == "multimodal_mp4_probe"
+    assert PRIORITY_50[1] == "jsonl_gz_roundtrip"
+    assert "multimodal_jpeg_decode" in PRIORITY_50[:3]
+
+
+def test_priority_window_refreshes_all_stale_r2_verdicts():
+    """VERDICT r4 #4: every r2-only verdict (not re-confirmed in r3/r4)
+    must be in the r5 window so no query's latest verdict is more than two
+    rounds stale."""
+    r2 = _verdicts("CORRECTNESS_r02.json")
+    if not r2:  # fresh checkout without round artifacts
+        return
+    later = _verdicts("CORRECTNESS_r03.json", "CORRECTNESS_r04.json")
+    stale = sorted(r2 - later)
+    missing = [n for n in stale if n not in PRIORITY_50]
+    assert not missing, f"stale r2-only verdicts not in the r5 window: {missing}"
 
 
 def test_priority_window_completes_cumulative_driver_coverage():
-    """Round-4 window + rounds 1-3 verdicts must cover the ENTIRE catalog
-    except queries added after the window was pinned and the (rows-only)
-    streaming replays outside it — i.e. the 7 never-checked queries all get
-    their first verdict this round (VERDICT r3 #4)."""
-    import json
-    import os
-
-    seen = set()
-    for fname in (
+    """Rounds 1-4 verdicts + the r5 window must cover the ENTIRE catalog
+    except queries explicitly declared PENDING_FIRST_VERDICT."""
+    seen = _verdicts(
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
-    ):
-        path = os.path.join(os.path.dirname(__file__), "..", fname)
-        if os.path.exists(path):
-            with open(path) as f:
-                seen |= set(json.load(f))
+        "CORRECTNESS_r04.json",
+    )
     if not seen:  # fresh checkout without round artifacts
         return
-    for name in (
-        "fuzzy_join_supplier_names",
-        "sample_n_per_lang",
-        "scalar_from_json_typed",
-        "scalar_map_hof_funcs",
-        "agg_approx_percentile_contract",
-        "sql_recursive_region_chain",
-        "sql_exists_correlated",
-    ):
-        assert name not in seen and name in PRIORITY_50, name
-    from datapipelines_spark.catalog import PENDING_FIRST_VERDICT
-
     uncovered = [
         n
         for n in all_queries()
