@@ -16,19 +16,33 @@ width.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 
-#: (applicationId, plan semanticHash) -> probed partition width. The width of
-#: a deterministic plan cannot change within a session, so repeated builds of
-#: the same query (bench repeats, retried pipelines) skip the physical-
-#: planning pass the ``.rdd`` probe forces — the session-scoped analogue of a
-#: catalog's table-statistics cache.
-_WIDTH_CACHE: dict[tuple[str, int], int] = {}
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """sha256 of ``df``'s analyzed logical plan string — a collision-safe
+    cache key, unlike ``DataFrame.semanticHash()`` whose 32 bits let distinct
+    plans collide and return each other's memoized values."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.sha256(plan.encode()).hexdigest()
+
+
+#: (applicationId, analyzed-plan sha256) -> probed partition width. The width
+#: of a deterministic plan over immutable inputs cannot change within a
+#: session, so repeated builds of the same query (bench repeats, retried
+#: pipelines) skip the physical-planning pass the ``.rdd`` probe forces — the
+#: session-scoped analogue of a catalog's table-statistics cache. Caveat: for
+#: mutable/appended sources the width CAN drift within a session; the cached
+#: value then only mis-sizes the widen-if-narrow check below (perf, never
+#: correctness).
+_WIDTH_CACHE: dict[tuple[str, str], int] = {}
 
 
 def plan_width(df: DataFrame) -> int:
     """Partition count of ``df``'s physical plan, memoized per session."""
-    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    key = (df.sparkSession.sparkContext.applicationId, plan_fingerprint(df))
     width = _WIDTH_CACHE.get(key)
     if width is None:
         if len(_WIDTH_CACHE) > 4096:

@@ -187,6 +187,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
 
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn — raw marker bytes, never stuffed."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     """Reads the entropy-coded segment: un-stuffs 0xFF00, stops at markers."""
@@ -205,10 +210,16 @@ class _BitReader:
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via sync()
-                raise _AtMarker(nxt)
             else:
-                raise _AtMarker(nxt)
+                # 0xFF fill bytes before a marker are legal (T.81 B.1.1.2):
+                # skip the run, then classify the first non-0xFF byte.
+                while nxt == 0xFF:
+                    self.pos += 1
+                    nxt = d[self.pos + 1]
+                if nxt == 0x00:  # fill bytes then a stuffed 0xFF data byte
+                    self.pos += 2
+                else:  # RSTn and friends handled by caller via sync_restart()
+                    raise _AtMarker(nxt)
         else:
             self.pos += 1
         # mask consumed high bits BEFORE shifting: without this, acc grows
@@ -295,12 +306,18 @@ def _prepare_coeffs(img: np.ndarray, quality: int, subsample: bool):
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsample: bool = False
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (H, W, 3) or (H, W) uint8 array as baseline JFIF JPEG.
 
     ``subsample=True`` writes 4:2:0 (2x2 chroma decimation) — exercises the
     decoder's general MCU path; ``False`` writes 4:4:4.
+    ``restart_interval=N`` emits a DRI segment and an RSTn marker every N
+    MCUs (predictors reset per T.81 E.1.4) — independent decode segments,
+    the property parallel/robust decoders key off.
     """
     h, w, gray, coeffs, quants, samp = _prepare_coeffs(img, quality, subsample)
     qy, qc = quants[0], quants[-1]
@@ -317,8 +334,15 @@ def encode_jpeg(
 
     bw_ = _BitWriter()
     pred = [0] * len(coeffs)
+    mcu_count = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count == restart_interval:
+                bw_.restart(rst)
+                rst = (rst + 1) & 7
+                pred = [0] * len(coeffs)
+                mcu_count = 0
             for ci, (sh, sv) in enumerate(samp):
                 tab = 0 if ci == 0 else 1
                 grid = coeffs[ci]
@@ -329,10 +353,11 @@ def encode_jpeg(
                         _encode_block(
                             bw_, grid[row, col], pred, ci, dc_tabs[tab], ac_tabs[tab]
                         )
+            mcu_count += 1
     bw_.flush()
 
     return _assemble_stream(
-        h, w, gray, subsample, qy, qc, bytes(bw_.out)
+        h, w, gray, subsample, qy, qc, bytes(bw_.out), restart_interval
     )
 
 
@@ -373,7 +398,9 @@ def _encode_block(bw, block, pred, ci, dc_tab, ac_tab) -> None:
         run = 0
 
 
-def _assemble_stream(h, w, gray, subsample, qy, qc, entropy: bytes) -> bytes:
+def _assemble_stream(
+    h, w, gray, subsample, qy, qc, entropy: bytes, restart_interval: int = 0
+) -> bytes:
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
@@ -398,6 +425,8 @@ def _assemble_stream(h, w, gray, subsample, qy, qc, entropy: bytes) -> bytes:
     if not gray:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytearray([ncomp, 1, 0x00])
     if not gray:
         sos += bytes([2, 0x11, 3, 0x11])
@@ -517,6 +546,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 except IndexError as e:
                     raise ValueError("truncated JPEG entropy stream") from e
                 continue
+            if len(scan) != len(frame["comps"]):
+                # A conforming sequential JPEG may carry one scan per
+                # component; decoding only the first would silently yield a
+                # Y-only image (and scan-local geometry would mis-size
+                # non-interleaved subsampled scans). Refuse loudly instead.
+                raise ValueError(
+                    "multi-scan baseline JPEG not supported: SOS covers "
+                    f"{len(scan)} of {len(frame['comps'])} frame components"
+                )
             try:
                 return _decode_scan(
                     data, pos + length, frame, scan, quant, huff, restart_interval
@@ -551,25 +589,32 @@ def _decode_scan(data, pos, frame, scan, quant, huff, restart_interval):
                 reader.sync_restart()
                 pred = [0] * len(scan)
                 mcu_count = 0
-            try:
-                for ci, c in enumerate(scan):
-                    dc_tab = huff[(0, c["td"])]
-                    ac_tab = huff[(1, c["ta"])]
-                    q = quant[c["tq"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            block = _decode_block(reader, dc_tab, ac_tab, pred, ci)
-                            pix = _C.T @ (block * q) @ _C + 128.0
-                            r0 = (my * c["v"] + by) * 8
-                            c0 = (mx * c["h"] + bx) * 8
-                            planes[ci][r0:r0 + 8, c0:c0 + 8] = pix
-            except _AtMarker as m:
-                if 0xD0 <= m.marker <= 0xD7:
-                    reader.sync_restart()
-                    pred = [0] * len(scan)
-                    mcu_count = 0
-                    continue
-                raise ValueError(f"unexpected marker 0xFF{m.marker:02X} in scan") from m
+            while True:
+                try:
+                    for ci, c in enumerate(scan):
+                        dc_tab = huff[(0, c["td"])]
+                        ac_tab = huff[(1, c["ta"])]
+                        q = quant[c["tq"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block = _decode_block(reader, dc_tab, ac_tab, pred, ci)
+                                pix = _C.T @ (block * q) @ _C + 128.0
+                                r0 = (my * c["v"] + by) * 8
+                                c0 = (mx * c["h"] + bx) * 8
+                                planes[ci][r0:r0 + 8, c0:c0 + 8] = pix
+                    break
+                except _AtMarker as m:
+                    if 0xD0 <= m.marker <= 0xD7:
+                        # restart sits BETWEEN MCUs: consume it, reset
+                        # predictors, and RETRY the interrupted MCU (the
+                        # post-marker data belongs to it)
+                        reader.sync_restart()
+                        pred = [0] * len(scan)
+                        mcu_count = 0
+                        continue
+                    raise ValueError(
+                        f"unexpected marker 0xFF{m.marker:02X} in scan"
+                    ) from m
             mcu_count += 1
 
     # upsample to full resolution and crop
@@ -694,43 +739,57 @@ def _reset_on_restart(reader, pred):
 def _decode_dc_scan(reader, frame, scan, huff, ah, al, state,
                     mcus_x, mcus_y, restart_interval):
     pred = [0] * len(scan)
+    # Group data units per MCU: the restart interval counts MCUs (T.81
+    # E.1.4) — one block for a single-component scan, sum(h*v) blocks for an
+    # interleaved one.
     if len(scan) == 1:
         c = scan[0]
         ch, cw = _comp_block_dims(frame, c)
-        units = [(c, by, bx) for by in range(ch) for bx in range(cw)]
+        mcus = [[(c, by, bx, 0)] for by in range(ch) for bx in range(cw)]
     else:
-        units = []
+        mcus = []
         for my in range(mcus_y):
             for mx in range(mcus_x):
-                for c in scan:
+                mcu = []
+                for si, c in enumerate(scan):
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
-                            units.append((c, my * c["v"] + by, mx * c["h"] + bx))
-    # Restart markers are in-band: the bit reader raises _AtMarker when it
-    # reaches one, and the handler consumes it and resets predictors — no
-    # proactive interval counting needed (the encoder byte-aligns first).
-    for c, by, bx in units:
-        buf = state["coeffs"][c["ci"]]
-        si = scan.index(c) if len(scan) > 1 else 0
+                            mcu.append((c, my * c["v"] + by, mx * c["h"] + bx, si))
+                mcus.append(mcu)
+    # Count decoded MCUs and consume RSTn proactively at the interval (as
+    # _decode_ac_scan does): in DC refinement scans (ah != 0) each unit reads
+    # one raw bit, so the up-to-7 pad 1-bits before a marker would otherwise
+    # be consumed as refinement bits for subsequent units. The in-band
+    # _AtMarker handler stays as a fallback for DC-first scans, whose Huffman
+    # codes can't be formed from all-ones padding.
+    count = 0
+    for mcu in mcus:
+        if restart_interval and count == restart_interval:
+            _reset_on_restart(reader, pred)
+            count = 0
         while True:
             try:
-                if ah == 0:
-                    s = _decode_huff(reader, huff[(0, c["td"])])
-                    diff = _extend(reader.receive(s), s) if s else 0
-                    pred[si] += diff
-                    buf[by, bx, 0] = pred[si] << al
-                else:
-                    if reader.bit():
-                        buf[by, bx, 0] = int(buf[by, bx, 0]) | (1 << al)
+                for c, by, bx, si in mcu:
+                    buf = state["coeffs"][c["ci"]]
+                    if ah == 0:
+                        s = _decode_huff(reader, huff[(0, c["td"])])
+                        diff = _extend(reader.receive(s), s) if s else 0
+                        pred[si] += diff
+                        buf[by, bx, 0] = pred[si] << al
+                    else:
+                        if reader.bit():
+                            buf[by, bx, 0] = int(buf[by, bx, 0]) | (1 << al)
                 break
             except _AtMarker as m:
                 if 0xD0 <= m.marker <= 0xD7:
-                    # restart sits BETWEEN units: consume it, reset, RETRY
+                    # restart sits BETWEEN MCUs: consume it, reset, RETRY
                     _reset_on_restart(reader, pred)
+                    count = 0
                     continue
                 raise ValueError(
                     f"unexpected marker 0xFF{m.marker:02X} in DC scan"
                 ) from m
+        count += 1
 
 
 def _decode_ac_scan(reader, frame, c, huff, ss, se, ah, al, state,
@@ -876,7 +935,10 @@ PROG_AC_VALS = tuple(range(255)) + (255,)
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 85, subsample: bool = False
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode as progressive JFIF JPEG (SOF2) with a 4-phase scan script
     that exercises every progressive path: interleaved DC first at Al=1,
@@ -884,7 +946,12 @@ def encode_jpeg_progressive(
     refinement (1 bit/block), per-component AC refinement (correction
     bits). Quantized coefficients are IDENTICAL to ``encode_jpeg``'s, so a
     progressive stream must decode pixel-for-pixel equal to its baseline
-    sibling — the cross-check the tests enforce."""
+    sibling — the cross-check the tests enforce.
+
+    ``restart_interval=N`` emits a DRI segment and RSTn markers every N MCUs
+    in EVERY scan — including DC refinement scans, where the decoder must
+    count units proactively (pad bits before a marker are raw refinement
+    bits otherwise; ADVICE r4)."""
     h, w, gray, coeffs, quants, samp = _prepare_coeffs(img, quality, subsample)
     qy, qc = quants[0], quants[-1]
     dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -928,32 +995,46 @@ def encode_jpeg_progressive(
     mcus_x = _ceil_div(w, 8 * hmax)
     mcus_y = _ceil_div(h, 8 * vmax)
 
-    def dc_units():
+    def dc_mcus():
+        """Data units grouped per MCU — the unit the restart interval counts."""
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                mcu = []
                 for ci, (sh, sv) in enumerate(samp):
                     grid = coeffs[ci]
                     for by in range(sv):
                         for bx in range(sh):
                             row = min(my * sv + by, grid.shape[0] - 1)
                             col = min(mx * sh + bx, grid.shape[1] - 1)
-                            yield ci, int(grid[row, col, 0, 0])
+                            mcu.append((ci, int(grid[row, col, 0, 0])))
+                yield mcu
 
     al = 1  # successive-approximation split: Al=1 first, refinement to Al=0
+
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
 
     # scan 1: DC first, interleaved, Al=1 (arithmetic shift per G.1.2.1)
     bw_ = _BitWriter()
     pred = [0] * ncomp
-    for ci, dc in dc_units():
-        t = dc >> al
-        diff = t - pred[ci]
-        pred[ci] = t
-        tab = dc_tabs[0 if ci == 0 else 1]
-        s = _category(diff)
-        code, length = tab[s]
-        bw_.write(code, length)
-        if s:
-            bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    count, rst = 0, 0
+    for mcu in dc_mcus():
+        if restart_interval and count == restart_interval:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
+            pred = [0] * ncomp
+            count = 0
+        for ci, dc in mcu:
+            t = dc >> al
+            diff = t - pred[ci]
+            pred[ci] = t
+            tab = dc_tabs[0 if ci == 0 else 1]
+            s = _category(diff)
+            code, length = tab[s]
+            bw_.write(code, length)
+            if s:
+                bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        count += 1
     bw_.flush()
     out += sos_header([(1, 0, 0)] + ([(2, 1, 0), (3, 1, 0)] if not gray else []),
                       0, 0, 0, al)
@@ -962,12 +1043,19 @@ def encode_jpeg_progressive(
     # scans 2..: AC first per component, band 1-63, Al=1
     for ci in range(ncomp):
         out += sos_header([(ci + 1, 0, 0)], 1, 63, 0, al)
-        out += _encode_ac_first_scan(coeffs[ci], prog_ac, al)
+        out += _encode_ac_first_scan(coeffs[ci], prog_ac, al, restart_interval)
 
     # DC refinement: one raw bit per block, Ah=1 -> Al=0
     bw_ = _BitWriter()
-    for ci, dc in dc_units():
-        bw_.write(dc & 1, 1)
+    count, rst = 0, 0
+    for mcu in dc_mcus():
+        if restart_interval and count == restart_interval:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
+            count = 0
+        for ci, dc in mcu:
+            bw_.write(dc & 1, 1)
+        count += 1
     bw_.flush()
     out += sos_header([(1, 0, 0)] + ([(2, 0, 0), (3, 0, 0)] if not gray else []),
                       0, 0, al, 0)
@@ -978,7 +1066,7 @@ def encode_jpeg_progressive(
     # newly-significant test, >1 means already significant at Ah.
     for ci in range(ncomp):
         out += sos_header([(ci + 1, 0, 0)], 1, 63, al, 0)
-        out += _encode_ac_refine_scan(coeffs[ci], prog_ac, 0)
+        out += _encode_ac_refine_scan(coeffs[ci], prog_ac, 0, restart_interval)
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -1004,12 +1092,20 @@ def _emit_eobrun(bw, tab, eobrun: int, pending_bits=None) -> int:
     return 0
 
 
-def _encode_ac_first_scan(grid, tab, al) -> bytes:
+def _encode_ac_first_scan(grid, tab, al, restart_interval=0) -> bytes:
     bw = _BitWriter()
     eobrun = 0
+    count, rst = 0, 0
     bh, bwid = grid.shape[:2]
     for by in range(bh):
         for bx in range(bwid):
+            if restart_interval and count == restart_interval:
+                # EOB-runs must not cross a restart boundary (T.81 E.1.4)
+                eobrun = _emit_eobrun(bw, tab, eobrun)
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                count = 0
+            count += 1
             zz = grid[by, bx].reshape(64)[ZIGZAG]
             band = [_pt(int(zz[k]), al) for k in range(1, 64)]
             r = 0
@@ -1039,16 +1135,25 @@ def _encode_ac_first_scan(grid, tab, al) -> bytes:
     return bytes(bw.out)
 
 
-def _encode_ac_refine_scan(grid, tab, al) -> bytes:
+def _encode_ac_refine_scan(grid, tab, al, restart_interval=0) -> bytes:
     """jcphuff-style AC refinement: newly-significant coefficients emit
     run/1 symbols with a sign bit; already-nonzero coefficients contribute
     buffered correction bits that ride behind the next emitted symbol."""
     bw = _BitWriter()
     eobrun = 0
+    count, rst = 0, 0
     eob_bits: list[int] = []  # correction bits deferred to the EOB-run flush
     bh, bwid = grid.shape[:2]
     for by in range(bh):
         for bx in range(bwid):
+            if restart_interval and count == restart_interval:
+                # flush the pending EOB-run AND its buffered correction bits
+                # before byte-aligning — neither may cross the boundary
+                eobrun = _emit_eobrun(bw, tab, eobrun, eob_bits)
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                count = 0
+            count += 1
             zz = grid[by, bx].reshape(64)[ZIGZAG]
             absvals = [abs(int(zz[k])) >> al for k in range(1, 64)]
             coefs = [int(zz[k]) for k in range(1, 64)]

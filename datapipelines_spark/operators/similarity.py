@@ -209,6 +209,7 @@ def cosine_topk_auto(
     k: int = 5,
     pair_budget: int = 5_000_000,
     max_query_rows: int = 100_000,
+    cache_probes: bool = True,
 ) -> DataFrame:
     """Route exact top-k by cost: when queries × corpus fits ``pair_budget``,
     use the broadcast-join expression path (``cosine_topk``) — pure Catalyst,
@@ -219,13 +220,19 @@ def cosine_topk_auto(
 
     Both probes early-stop via ``limit(n+1).count()``: on a billion-row
     corpus the router reads a bounded prefix, never a full scan. Probe
-    results are memoized per (session, plan) — deterministic counts cannot
-    change within a session — so repeated builds pay the probe jobs once.
-    Results are identical across paths including tie order (tested)."""
+    results are memoized per (session, analyzed plan) so repeated builds pay
+    the probe jobs once. Caveat: the memo assumes the PLAN determines the
+    count — true for immutable fixture inputs, false for mutable/appended
+    sources (a table that grows between builds can keep routing through the
+    broadcast path). Pass ``cache_probes=False`` for mutable sources; a
+    stale probe only mis-ROUTES (both paths return identical results, tie
+    order included — tested)."""
     probe = pair_budget // max(k, 1)
-    n_corpus = _bounded_count(df.select(id_col), probe + 1)
+    n_corpus = _bounded_count(df.select(id_col), probe + 1, cache_probes)
     if n_corpus <= probe:
-        n_queries = _bounded_count(df.where(query_pred).select(id_col), probe + 1)
+        n_queries = _bounded_count(
+            df.where(query_pred).select(id_col), probe + 1, cache_probes
+        )
         if n_queries * n_corpus <= pair_budget:
             return cosine_topk(df, vec_col, id_col, query_pred, k)
     return cosine_topk_vectorized(
@@ -233,13 +240,23 @@ def cosine_topk_auto(
     )
 
 
-#: (applicationId, plan semanticHash, limit) -> bounded count; see
-#: functions/partitioning.plan_width for the rationale.
-_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
+#: (applicationId, analyzed-plan sha256, limit) -> bounded count; see
+#: functions/partitioning.plan_width for the rationale. Keyed on the full
+#: analyzed plan string, not DataFrame.semanticHash() — that is a 32-bit
+#: hash, so distinct plans can collide and return each other's counts.
+_COUNT_CACHE: dict[tuple[str, str, int], int] = {}
 
 
-def _bounded_count(df: DataFrame, limit: int) -> int:
-    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash(), limit)
+def _bounded_count(df: DataFrame, limit: int, cache: bool = True) -> int:
+    from datapipelines_spark.functions.partitioning import plan_fingerprint
+
+    if not cache:
+        return df.limit(limit).count()
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        plan_fingerprint(df),
+        limit,
+    )
     n = _COUNT_CACHE.get(key)
     if n is None:
         if len(_COUNT_CACHE) > 4096:

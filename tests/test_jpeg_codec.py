@@ -209,3 +209,97 @@ def test_truncated_jpeg_raises_cleanly(frac, seed):
         decode_jpeg(cut)
     except ValueError:
         pass  # clean rejection is the contract; a short cut may still decode
+
+
+# --- restart intervals (DRI / RSTn; ADVICE r4 fixes) -------------------------
+
+
+def _rng_img(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    base = np.linspace(0, 255, h * w * 3).reshape(h, w, 3)
+    return (base + rng.integers(0, 30, (h, w, 3))).astype(np.uint8) 
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_restart_interval_baseline_roundtrip(ri, subsample):
+    """A DRI stream must decode identically to its restart-free sibling:
+    the decoder consumes RSTn at the interval and resets DC predictors."""
+    img = _rng_img(40, 56)
+    ref = decode_jpeg(encode_jpeg(img, 85, subsample=subsample))
+    got = decode_jpeg(encode_jpeg(img, 85, subsample=subsample, restart_interval=ri))
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("ri", [1, 3])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_restart_interval_progressive_roundtrip(ri, subsample):
+    """Progressive with restarts in EVERY scan — crucially the DC refinement
+    scan, where each unit reads one raw bit: without proactive interval
+    counting the pad 1-bits before each RSTn are consumed as refinement bits
+    for later blocks (ADVICE r4, medium)."""
+    from datapipelines_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    img = _rng_img(40, 56, seed=11)
+    ref = decode_jpeg(encode_jpeg(img, 85, subsample=subsample))
+    got = decode_jpeg(
+        encode_jpeg_progressive(img, 85, subsample=subsample, restart_interval=ri)
+    )
+    assert np.array_equal(got, ref)
+
+
+def test_restart_interval_grayscale_roundtrip():
+    from datapipelines_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    img = _rng_img(24, 40)[:, :, 0]
+    ref = decode_jpeg(encode_jpeg(img, 85))
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, 85, restart_interval=2)), ref)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, 85, restart_interval=2)), ref
+    )
+
+
+def test_restart_markers_decoded_in_band_without_dri():
+    """Strip the DRI segment from a restart stream: the decoder then meets
+    RSTn in-band (via the bit reader) instead of via the interval counter,
+    and must RETRY the interrupted MCU after resync rather than skipping it
+    (ADVICE r4, low)."""
+    img = _rng_img(24, 32, seed=3)
+    data = encode_jpeg(img, 90, restart_interval=2)
+    i = data.find(b"\xff\xdd")
+    assert i > 0
+    stripped = data[:i] + data[i + 6 :]  # drop the 6-byte DRI segment
+    assert np.array_equal(decode_jpeg(stripped), decode_jpeg(data))
+
+
+def test_fill_bytes_before_restart_markers_accepted():
+    """0xFF fill bytes before a marker are legal (T.81 B.1.1.2); the bit
+    reader must skip the run and classify the first non-0xFF byte instead of
+    failing on 0xFF 0xFF (ADVICE r4, low)."""
+    img = _rng_img(24, 32, seed=5)
+    data = encode_jpeg(img, 90, restart_interval=2)
+    sos = data.find(b"\xff\xda")
+    buf = bytearray(data[:sos])
+    rest = data[sos:]
+    j = 0
+    while j < len(rest) - 1:
+        if rest[j] == 0xFF and 0xD0 <= rest[j + 1] <= 0xD7:
+            buf += b"\xff\xff\xff"  # fill bytes ahead of the marker's own FF
+        buf.append(rest[j])
+        j += 1
+    buf.append(rest[-1])
+    assert np.array_equal(decode_jpeg(bytes(buf)), decode_jpeg(data))
+
+
+def test_multi_scan_baseline_rejected_loudly():
+    """A baseline SOS covering only some frame components must raise — not
+    silently return a Y-only image (ADVICE r4, low)."""
+    img = _rng_img(16, 16, seed=9)
+    data = bytearray(encode_jpeg(img, 90))
+    sos = data.find(b"\xff\xda")
+    # original SOS payload: len(2) ns=3 [1,00 2,11 3,11] ss se ahal = 12 bytes
+    assert data[sos + 2 : sos + 5] == bytes([0x00, 0x0C, 0x03])
+    single = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00])
+    patched = bytes(data[:sos]) + single + bytes(data[sos + 14 :])
+    with pytest.raises(ValueError, match="multi-scan baseline"):
+        decode_jpeg(patched)
