@@ -25,6 +25,14 @@ Gates: total ratio > 2x the DuckDB baseline fails the run (BASELINE.md bar).
 Per-query ratios above 10x (where the oracle took a non-trivial >=50 ms) are
 reported as "slow_queries" so a single slow oracle can't mask per-query
 regressions in the aggregate.
+
+Scaled pass: the top-N most expensive queries are re-measured (same
+median-of-repeats protocol, Spark only) against a factor×-replicated fixture
+(datapipelines_spark/benchscale.py) under the "scaled" JSON key — at sf0.1
+many per-query numbers sit at Spark's ~0.5 s scheduler floor, where a 0.15 s
+swing reads as a 13x "regression"; at 4× the floor is amortized and
+round-over-round comparisons are meaningful. Disable with
+SPARK_GRAFT_BENCH_SCALED=0.
 """
 
 from __future__ import annotations
@@ -149,6 +157,47 @@ def main() -> None:
         finally:
             con.close()
 
+    # Scaled second pass (VERDICT r4 #6): re-measure the most expensive
+    # queries at factor× the fixture, where real regressions sit well above
+    # Spark's ~0.5 s fixed scheduler floor. Spark-only — the DuckDB ratio is
+    # pass 1's job; this pass exists to make round-over-round Spark numbers
+    # comparable above the noise.
+    scaled_out = None
+    scale_factor = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_FACTOR", "4"))
+    scale_top_n = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_TOP_N", "10"))
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALED", "1") != "0" and scale_factor > 1:
+        from datapipelines_spark.benchscale import build_scaled_dir
+
+        t0 = time.perf_counter()
+        scaled_dir = build_scaled_dir(sf_dir, scale_factor)
+        build_sec = time.perf_counter() - t0
+        top = [
+            n for n, _ in sorted(per_query.items(), key=lambda kv: -kv[1])
+        ][:scale_top_n]
+        scaled_queries: dict[str, float] = {}
+        for name in top:
+            release_persists()
+            spark.catalog.clearCache()
+            times = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                registry[name].builder(spark, scaled_dir).count()
+                times.append(time.perf_counter() - t0)
+            scaled_queries[name] = _median(times)
+            print(
+                f"# scaled x{scale_factor} {name}: {scaled_queries[name]:.3f}s "
+                f"median of {repeats}",
+                file=sys.stderr,
+            )
+        release_persists()
+        spark.catalog.clearCache()
+        scaled_out = {
+            "factor": scale_factor,
+            "build_sec": round(build_sec, 3),
+            "queries": {n: round(v, 3) for n, v in scaled_queries.items()},
+            "total": round(sum(scaled_queries.values()), 3),
+        }
+
     duck_total = sum(duck_per_query.values())
     spark_on_oracled = sum(per_query[n] for n in duck_per_query)
     total_ratio = spark_on_oracled / duck_total if duck_total else None
@@ -166,6 +215,8 @@ def main() -> None:
         "queries": {n: round(v, 3) for n, v in per_query.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if scaled_out is not None:
+        out["scaled"] = scaled_out
     if duck_per_query:
         out["duckdb_queries"] = {n: round(v, 4) for n, v in duck_per_query.items()}
         out["duckdb_total"] = round(duck_total, 3)
