@@ -593,6 +593,10 @@ def embedding_cosine_pairs_blocked(
     threshold: float = 0.9,
     block_size: int = 2048,
     min_blocks: int = 8,
+    prefilter: str | None = None,
+    n_cells: int = 64,
+    probes: int = 4,
+    kmeans_iters: int = 4,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via blocked GEMM — the scale path.
 
@@ -618,10 +622,27 @@ def embedding_cosine_pairs_blocked(
 
     Reference parity: the reference has no vector dedup at all; this extends
     sdata's dedup surface per the LLM-pipeline mandate (SURVEY §2.10).
+
+    ``prefilter='ivf'`` (VERDICT r4 stretch #7) swaps the exact O(n²/B)
+    block-pair sweep for IVF pre-blocking: k-means cells are trained on the
+    corpus, each vector multi-assigns to its ``probes`` nearest cells
+    (broadcast centroids, no corpus shuffle), and the GEMM runs only WITHIN
+    cells — total work drops from n² to Σ|cell|², the true-100 TB shape.
+    Approximate: a pair is missed iff the two vectors share none of their
+    ``probes`` nearest cells; recall vs the exact path is measured by
+    tests/test_dedup_ivf_prefilter.py on the embeddings fixture, and every
+    emitted pair is a true pair with the identical rounded cosine.
     """
     import math
 
     from datapipelines_spark.functions.partitioning import parallelize_small
+
+    if prefilter == "ivf":
+        return _embedding_cosine_pairs_ivf(
+            df, vec_col, id_col, threshold, n_cells, probes, kmeans_iters, block_size
+        )
+    if prefilter is not None:
+        raise ValueError(f"unknown prefilter {prefilter!r}; None or 'ivf'")
 
     e = managed_persist(
         parallelize_small(
@@ -714,4 +735,113 @@ def embedding_cosine_pairs_blocked(
 
     return tasks.groupBy("bi", "bj").applyInPandas(
         _gemm, "vec_a long, vec_b long, cosine double"
+    )
+
+
+def _embedding_cosine_pairs_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_cells: int,
+    probes: int,
+    kmeans_iters: int,
+    block_size: int,
+) -> DataFrame:
+    """IVF pre-blocking for near-dup pairs: per-cell GEMM after multi-probe
+    cell assignment. See ``embedding_cosine_pairs_blocked(prefilter='ivf')``.
+
+    Plan shape: one Arrow pass for assignment (broadcast centroids), one hash
+    shuffle keyed on cell, Σ|cell|² BLAS flops, then a distinct to collapse
+    pairs discovered through more than one shared cell. Row chunking inside
+    the per-cell GEMM bounds the score matrix at ``block_size × |cell|``
+    float64 regardless of cell skew.
+    """
+    from datapipelines_spark.functions.partitioning import parallelize_small
+    from datapipelines_spark.operators.clustering import kmeans_fit
+
+    import pyspark.sql.types as T
+
+    e = managed_persist(
+        parallelize_small(
+            df.select(
+                F.col(id_col).cast("long").alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+    )
+    n = e.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    k = int(min(n_cells, max(1, n // max(2 * probes, 4))))
+    cents, _ = kmeans_fit(e, "v", "__id", k=k, max_iter=kmeans_iters, tol=0)
+    pr = int(min(probes, k))
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def multi_assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # argsort (not argpartition) for deterministic tie order
+            top = np.argsort(d, kind="stable", axis=1)[:, :pr]
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            for p in range(pr):
+                yield pd.DataFrame(
+                    {"__id": ids, "v": pdf["v"], "cell": top[:, p].astype("int32")}
+                )
+
+    cells = e.mapInPandas(multi_assign, assign_schema)
+    thr = float(threshold)
+    bs = int(block_size)
+
+    def cell_gemm(key, pdf):
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        V = np.stack(pdf["v"].to_numpy())
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        outs = []
+        for c0 in range(0, len(ids), bs):
+            C = V[c0:c0 + bs] @ V.T
+            keep = C >= thr  # NaN (zero-norm) drops, same as the exact paths
+            # strict upper triangle in GLOBAL row order (ids ascending)
+            rows = np.arange(c0, min(c0 + bs, len(ids)))
+            keep &= rows[:, None] < np.arange(len(ids))[None, :]
+            ia, ib = np.nonzero(keep)
+            if len(ia):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[rows[ia]],
+                            "vec_b": ids[ib],
+                            "cosine": np.floor(C[ia, ib] * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        cells.groupBy("cell")
+        .applyInPandas(cell_gemm, "vec_a long, vec_b long, cosine double")
+        .distinct()
     )
