@@ -171,3 +171,88 @@ def jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange with schema-on-read discipline: orders are written as
+    headered CSV and read back under an EXPLICIT schema (dates as DateType,
+    prices as double) in FAILFAST mode — a malformed row aborts instead of
+    nulling silently. The aggregate over the round-tripped data must equal
+    DuckDB over the original parquet, proving dates, doubles and strings
+    survive text serialization and typed re-parse. Scratch-dir write,
+    idempotent, memoized per session."""
+    out = _scratch(sf_dir, "orders_csv")
+    marker = (spark.sparkContext.applicationId, out)
+    if marker not in _WRITTEN:
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").option(
+            "header", "true"
+        ).csv(out)
+        _WRITTEN.add(marker)
+    back = spark.read.options(header="true", mode="FAILFAST").schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string"
+    ).csv(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+               AS text_hash_sum
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange (the second columnar format large stacks standardize
+    on): documents round-trip through Spark's native ORC writer/reader with
+    zlib compression, and the order-independent sum of a portable per-text
+    hash proves byte-exact text survival — same integrity contract as
+    jsonl_gz_roundtrip, different container."""
+    from datapipelines_spark.functions.hashing import portable_hash64
+
+    out = _scratch(sf_dir, "documents_orc")
+    marker = (spark.sparkContext.applicationId, out)
+    if marker not in _WRITTEN:
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source", "n_chars"
+        ).write.mode("overwrite").option("compression", "zlib").orc(out)
+        _WRITTEN.add(marker)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("bigint").alias("text_hash_sum"),
+        )
+        .orderBy("source")
+    )
