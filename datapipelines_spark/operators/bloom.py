@@ -1,0 +1,149 @@
+"""Bloom-filter membership for corpus-scale decontamination.
+
+``contamination_overlap`` (operators/text.py) broadcasts the DISTINCT eval
+n-gram set — exact, and the right plan while that set fits executor memory.
+When the held-out suite grows to billions of n-grams, the scale tool is a
+Bloom filter: ~10 bits per element at 1% false positives instead of the
+strings themselves (1 GB of filter covers ~800M n-grams), with one-sided
+error that is SAFE for decontamination — a false positive over-removes a
+training doc, never leaks an eval document into training.
+
+Implementation notes (Spark has no public bloom_filter_agg SQL function —
+it is internal to runtime join filters — so the filter is built explicitly):
+
+- Hashing happens JVM-side: ``F.xxhash64(col)`` reduces every n-gram to an
+  int64 before anything crosses to Python. The k probe positions derive from
+  that one hash by double hashing (h1 + i*h2, Kirsch-Mitzenmacher), so build
+  and probe agree by construction.
+- The bit array is built with ``rdd.treeAggregate``: each partition ORs its
+  hashes into a local numpy bitmap, partials merge tree-wise — the driver
+  receives O(log P) bitmaps of m/8 bytes, never rows.
+- The probe side broadcasts the packed bitmap once and tests membership in a
+  vectorized Arrow batch UDF over the same ``xxhash64`` values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def optimal_bits(expected_items: int, fpp: float = 0.01) -> int:
+    """Standard sizing: m = -n ln(p) / (ln 2)^2, rounded up to a word."""
+    import math
+
+    n = max(1, expected_items)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    return max(64, (m + 63) // 64 * 64)
+
+
+def optimal_hashes(num_bits: int, expected_items: int) -> int:
+    import math
+
+    return max(1, round(num_bits / max(1, expected_items) * math.log(2)))
+
+
+def _probe_positions(h: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(n, k) bit positions from int64 hashes via double hashing."""
+    u = h.astype(np.uint64)
+    h1 = u & np.uint64(0xFFFFFFFF)
+    h2 = (u >> np.uint64(32)) | np.uint64(1)  # odd -> full-period stepping
+    i = np.arange(num_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(num_bits)).astype(
+        np.int64
+    )
+
+
+def build_bloom(
+    df: DataFrame, col: str, num_bits: int, num_hashes: int
+) -> np.ndarray:
+    """Aggregate ``xxhash64(col)`` of every row into a packed uint64 bitmap.
+
+    One Arrow pass: each task folds its partition into a local bitmap and
+    emits ONE row of m/8 bytes; the driver ORs the partials — O(partitions)
+    bitmaps, never rows. (At multi-GB filter sizes the partials would merge
+    executor-side via treeReduce instead; at the ~10-100 MB filters a
+    billion-n-gram eval suite needs, the driver OR is fine.)"""
+    hashes = df.select(F.xxhash64(F.col(col)).alias("h"))
+    words = num_bits // 64
+
+    def partials(batches):
+        bits = np.zeros(words, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = _probe_positions(
+                pdf["h"].to_numpy(dtype=np.int64), num_bits, num_hashes
+            )
+            np.bitwise_or.at(
+                bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+            )
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    out = np.zeros(words, dtype=np.uint64)
+    for row in hashes.mapInPandas(partials, "bits binary").collect():
+        out |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return out
+
+
+def might_contain(
+    bloom_bits: np.ndarray, hash_col: Column, num_bits: int, num_hashes: int, spark
+) -> Column:
+    """Vectorized membership test over a broadcast bitmap; apply to the
+    ``F.xxhash64`` of the probed column."""
+    bc = spark.sparkContext.broadcast(bloom_bits)
+
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        bits = bc.value
+        pos = _probe_positions(h.to_numpy(dtype=np.int64), num_bits, num_hashes)
+        word = bits[pos // 64]
+        mask = np.uint64(1) << (pos % 64).astype(np.uint64)
+        return pd.Series(((word & mask) != 0).all(axis=1))
+
+    return probe(hash_col)
+
+
+def contamination_overlap_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_overlap: int = 3,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Bloom-filtered variant of ``text.contamination_overlap``: same
+    contract, one-sided error (returns a SUPERSET of the exact result —
+    equality-tested at tight fpp in tests/test_bloom_decontaminate.py).
+
+    Scale shape: the eval side reduces to a bitmap of ``optimal_bits``
+    bits regardless of n-gram count; the training side is scan → xxhash64 →
+    broadcast-bitmap probe → agg. Neither corpus shuffles; the only wide op
+    is the final per-doc count, over already-filtered hits.
+    """
+    from datapipelines_spark.operators.dedup import word_shingles
+
+    ev = word_shingles(eval_df, text_col, id_col, n).select("s").distinct()
+    if expected_items is None:
+        expected_items = ev.count()
+    num_bits = optimal_bits(expected_items, fpp)
+    num_hashes = optimal_hashes(num_bits, expected_items)
+    bits = build_bloom(ev, "s", num_bits, num_hashes)
+
+    tr = word_shingles(train, text_col, id_col, n)
+    hit = might_contain(
+        bits, F.xxhash64(F.col("s")), num_bits, num_hashes, train.sparkSession
+    )
+    return (
+        tr.where(hit)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
