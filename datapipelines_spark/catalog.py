@@ -159,6 +159,7 @@ PRIORITY_50: tuple[str, ...] = (
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "csv_roundtrip",  # added r5 after the window was pinned
     "orc_roundtrip",
+    "quality_nb_classifier",
 )
 
 # r6 rotation plan (build the next PRIORITY_50 from this, in order):

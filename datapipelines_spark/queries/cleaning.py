@@ -334,3 +334,66 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("redacted_text").alias("redacted_md5"),
         F.length("redacted_text").cast("bigint").alias("redacted_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "quality_nb_classifier",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS pos, t.token
+        FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(token)
+        WHERE t.token <> ''
+    ),
+    counts AS (
+        SELECT token,
+               SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+        FROM toks GROUP BY token
+    ),
+    totals AS (
+        SELECT SUM(n_pos) AS tot_pos, SUM(n_neg) AS tot_neg,
+               COUNT(*) AS vocab
+        FROM counts
+    ),
+    w AS (
+        SELECT token,
+               CAST(ROUND(ln(((n_pos + 1.0) / (tot_pos + 1.0 * vocab))
+                             / ((n_neg + 1.0) / (tot_neg + 1.0 * vocab))), 6)
+                    AS DECIMAL(18,6)) AS weight
+        FROM counts, totals
+    ),
+    scored AS (
+        SELECT tk.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(w.weight) AS DECIMAL(28,6)) AS score
+        FROM toks tk JOIN w USING (token)
+        GROUP BY tk.doc_id
+    )
+    SELECT doc_id, n_tokens, CAST(score AS DOUBLE) AS score,
+           score > 0 AS predicted_en
+    FROM scored ORDER BY doc_id
+    """,
+)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality/domain gating wholly in-plan: a multinomial
+    Naive Bayes classifier is TRAINED (token log-odds with Laplace
+    smoothing, ``lang='en'`` as the positive class) and APPLIED (per-doc
+    exact-decimal score sum via a broadcast weight join) in one relational
+    pipeline — the classical learned-filter baseline, with no Python stage
+    and no driver-resident model. Per-token log-odds are rounded to 6
+    decimals BEFORE the sum, so both engines aggregate identical decimals
+    in any order (operators/nbayes.py)."""
+    from datapipelines_spark.operators.nbayes import nb_score, nb_token_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = nb_token_weights(d, "text", F.col("lang") == "en", "doc_id")
+    return (
+        nb_score(d, weights, "text", "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("score").cast("double").alias("score"),
+            (F.col("score") > 0).alias("predicted_en"),
+        )
+        .orderBy("doc_id")
+    )
