@@ -59,15 +59,21 @@ def connected_components(
     )
     # labels lineage would otherwise grow by two joins per round (and the
     # convergence count re-executes the entire stack each time) — truncate
-    # it at every iteration
+    # it at every iteration.
+    # Initialization FUSES the first propagation round: with labels = ids,
+    # round 1's neighbor-min is just min(neighbor ids), so
+    # label0(v) = min(v, min neighbors) comes out of ONE aggregate over the
+    # edge list — same result as init-to-self + one full round, minus one
+    # checkpoint+convergence job pair (r5 perf: the CC rounds are
+    # fixed-overhead-dominated at small scale).
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("component"))
+        .withColumnRenamed("u", "node")
         .localCheckpoint()
     )
     converged = False
-    for round_no in range(max_iterations):
+    for round_no in range(1, max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
