@@ -160,6 +160,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "csv_roundtrip",  # added r5 after the window was pinned
     "orc_roundtrip",
     "quality_nb_classifier",
+    "text_bm25_search",
 )
 
 # r6 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -236,3 +236,71 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("repetition_bucket"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str,
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval wholly in-plan: (doc, score, rank) for the
+    ``top_k`` documents against a term-set query.
+
+    Classic Robertson/Sparck-Jones BM25: ``idf = ln((N - df + 0.5)/(df +
+    0.5) + 1)`` (the Lucene non-negative variant), tf saturation ``tf·(k1+1)
+    / (tf + k1·(1 - b + b·len/avglen))``. Everything is aggregates and
+    broadcast joins — corpus statistics (N, avg length) are scalar
+    aggregates, per-term df a grouped count, and the scoring join touches
+    only documents containing a query term. Per-term partial scores round
+    to 6 decimals BEFORE the per-doc sum (exact decimal aggregation — the
+    same cross-engine reproducibility discipline as operators/nbayes.py).
+
+    ``query_terms``: single-column DataFrame of terms (column ``term``).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        doclen.agg(F.avg("len").alias("avglen"))
+    )
+    qdf = query_terms.select("term").distinct()
+    dfreq = (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0
+    )
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * ((1.0 - b) + b * (F.col("len") / F.col("avglen")))
+    )
+    partial = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(idf * sat, 6).cast("decimal(18,6)").alias("w"),
+        )
+    )
+    scored = partial.groupBy(id_col).agg(
+        F.sum("w").cast("decimal(28,6)").alias("score_dec")
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.desc("score_dec"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= top_k)
+        .select(
+            id_col, F.col("score_dec").cast("double").alias("score"), "rank"
+        )
+    )

@@ -215,3 +215,78 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     word), never the text."""
     d = load_table(spark, sf_dir, "documents")
     return ops.repetition_signals(d, text_col="text", id_col="doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    qterms AS (
+        SELECT term FROM (
+            SELECT t.term, COUNT(*) AS c
+            FROM documents d,
+                 LATERAL unnest(string_split(d.text, ' ')) AS t(term)
+            WHERE d.lang = 'en' AND t.term <> ''
+            GROUP BY t.term
+            ORDER BY c DESC, t.term
+            LIMIT 3
+        )
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    doclen AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+    stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT AVG(len) FROM doclen) AS avglen
+    ),
+    dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf JOIN qterms USING (term)
+        GROUP BY term
+    ),
+    part AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0)
+                   * ((tf * (1.2 + 1.0))
+                      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (len / avglen)))),
+                   6) AS DECIMAL(18,6)) AS w
+        FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT doc_id, CAST(SUM(w) AS DECIMAL(28,6)) AS s
+        FROM part GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, s, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(s AS DOUBLE) AS score, rank
+    FROM ranked WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval inside the engine: BM25-rank every document
+    against a data-derived query (the 3 most frequent tokens of the 'en'
+    slice), return the top 10. Corpus statistics, per-term document
+    frequency, tf saturation and length normalization are all aggregates
+    and broadcast joins (operators/text.py:bm25_search); per-term partials
+    round to 6 decimals before the per-doc sum so both engines aggregate
+    identical decimals."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_en = (
+        d.where(F.col("lang") == "en")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    qterms = (
+        toks_en.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(3)
+        .select("term")
+    )
+    return ops.bm25_search(d, qterms, "text", "doc_id", top_k=10).orderBy("rank")
