@@ -161,6 +161,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "orc_roundtrip",
     "quality_nb_classifier",
     "text_bm25_search",
+    "multimodal_gif_decode",
 )
 
 # r6 rotation plan (build the next PRIORITY_50 from this, in order):

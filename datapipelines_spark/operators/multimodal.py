@@ -130,16 +130,20 @@ def decode_bmp(payload: bytes):
 
 
 def decode_array(payload: bytes):
-    """Route a payload to a real decoder by magic bytes: PPM/PGM, BMP, PNG,
-    and JPEG (baseline + progressive, operators/jpegcodec.py) are decoded
-    pure-Python in-container; anything else goes to PIL when installed, else
-    raises (plumbing stays testable via fake_decode)."""
+    """Route a payload to a real decoder by magic bytes: PPM/PGM, BMP, GIF,
+    PNG, and JPEG (baseline + progressive, operators/jpegcodec.py) are
+    decoded pure-Python in-container; anything else goes to PIL when
+    installed, else raises (plumbing stays testable via fake_decode)."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from datapipelines_spark.operators.gifcodec import decode_gif
+
+        return decode_gif(payload)  # LZW, interlace, palettes, transparency
     if payload[:2] == b"\xff\xd8":
         from datapipelines_spark.operators.jpegcodec import decode_jpeg
 

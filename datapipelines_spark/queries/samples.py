@@ -762,3 +762,59 @@ def multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codec",
         F.col("n_tracks").cast("bigint").alias("n_tracks"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_gif_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+           CAST(8 + (doc_id % 2) * 8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           round(((doc_id * 37) % 256) / 255.0, 6) AS mean_pixel
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: per-doc palette GIFs are LZW-encoded by
+    the pure-Python codec (operators/gifcodec.py) in an Arrow pandas UDF —
+    odd doc_ids interlaced, exercising the 4-pass row order — and decoded
+    inside the mapInPandas stage. GIF is lossless palette indexing, so the
+    mean pixel is checked EXACTLY against the formula."""
+    import pandas as pd
+
+    from datapipelines_spark.operators.multimodal import decode_images, real_decode
+
+    @F.pandas_udf("binary")
+    def make_gif(doc_id):
+        import numpy as np
+
+        from datapipelines_spark.operators.gifcodec import encode_gif
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            w = 8 + (i % 5) * 4
+            h = 8 + (i % 2) * 8
+            c = (i * 37) % 256
+            pal = np.array([[c, c, c], [255 - c, c, 255 - c]], dtype=np.uint8)
+            img = np.zeros((h, w), dtype=np.uint8)  # all palette index 0
+            out.append(encode_gif(img, pal, interlace=bool(i % 2)))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select(
+        F.col("doc_id").cast("string").alias("__key__"),
+        make_gif("doc_id").alias("gif"),
+    )
+    decoded = decode_images(
+        framed, payload_col="gif", key_col="__key__",
+        decode_fn=real_decode, on_error="fail", timeout_s=10.0,
+    )
+    return decoded.select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    ).orderBy("doc_id")
