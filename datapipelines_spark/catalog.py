@@ -162,6 +162,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "quality_nb_classifier",
     "text_bm25_search",
     "multimodal_gif_decode",
+    "graph_pagerank_trade",
 )
 
 # r6 rotation plan (build the next PRIORITY_50 from this, in order):

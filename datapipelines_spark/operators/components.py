@@ -149,3 +149,77 @@ def duplicate_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Weighted PageRank, fixed iteration count — (node, rank).
+
+    Each iteration is one aggregate shuffle keyed on the destination:
+    ``rank'(v) = (1-d)/N + d · Σ_u rank(u) · w(u,v)/outw(u)``. Dangling
+    nodes keep the teleport term only (standard simplification, mirrored by
+    the oracle). Per-edge contributions and the resulting ranks are rounded
+    to 9 decimals each iteration, so ranks are exact decimals and the whole
+    computation reproduces bit-for-bit across engines and partitionings —
+    the same cross-engine discipline as operators/nbayes.py.
+
+    Scale shape: edge list persisted once; per iteration one broadcast-able
+    rank table join (|nodes| << |edges|) and one groupBy(dst) — O(iters)
+    shuffles of partial sums, the corpus-side edge list never re-shuffles.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .persist()
+    )
+    outw = e.groupBy("u").agg(F.sum("w").alias("outw"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    # rounding happens in Spark expressions (HALF_UP), not Python round()
+    # (banker's): the SQL oracle's ROUND matches the former exactly
+    init = F.round(F.lit(1.0) / F.lit(float(n)), 9).cast("decimal(18,9)")
+    teleport = F.round(F.lit(1.0 - damping) / F.lit(float(n)), 9).cast(
+        "decimal(18,9)"
+    )
+    ranks = nodes.withColumn("rank", init).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e.join(outw, "u")
+            .join(ranks.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.round(
+                    F.lit(damping)
+                    * F.col("rank").cast("double")
+                    * (F.col("w") / F.col("outw")),
+                    9,
+                ).cast("decimal(18,9)").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (teleport + F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,9)")))
+                .cast("decimal(18,9)")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

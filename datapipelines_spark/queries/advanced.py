@@ -240,3 +240,86 @@ def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _pagerank_iter_sql(prev: str, this: str) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE (fixed-iteration
+    power method: no aggregation-in-recursion needed)."""
+    return f"""
+    {this} AS (
+        SELECT nd.node,
+               CAST(CAST(ROUND((1.0 - 0.85) / (SELECT n FROM nn), 9)
+                         AS DECIMAL(18,9))
+                    + COALESCE(SUM(x.c), CAST(0 AS DECIMAL(18,9)))
+                    AS DECIMAL(18,9)) AS rank
+        FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(ROUND(0.85 * CAST(r.rank AS DOUBLE) * (e.w / o.outw), 9)
+                        AS DECIMAL(18,9)) AS c
+            FROM edges e
+            JOIN outw o USING (src)
+            JOIN {prev} r ON r.node = e.src
+        ) x ON x.node = nd.node
+        GROUP BY nd.node
+    )"""
+
+
+@query(
+    "graph_pagerank_trade",
+    oracle=f"""
+    WITH edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT node,
+               CAST(ROUND(1.0 / (SELECT n FROM nn), 9) AS DECIMAL(18,9)) AS rank
+        FROM nodes
+    ),{_pagerank_iter_sql("r0", "r1")},{_pagerank_iter_sql("r1", "r2")},{_pagerank_iter_sql("r2", "r3")}
+    SELECT n.n_name AS nation, CAST(r.rank AS DOUBLE) AS rank
+    FROM r3 r JOIN nation n ON n.n_nationkey = r.node
+    ORDER BY rank DESC, nation
+    """,
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics beyond connected components: 3 iterations
+    of weighted PageRank over the nation-level trade graph (supplier nation
+    → customer nation, edge weight = lineitem count). The engine runs the
+    generic iterative operator (operators/components.py:pagerank — one
+    groupBy(dst) shuffle per iteration, decimal-exact arithmetic); the
+    oracle unrolls the same three iterations as CTEs. Ranks reproduce
+    bit-for-bit because every contribution is rounded to 9 decimals before
+    summation."""
+    from datapipelines_spark.operators.components import pagerank
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges, "src", "dst", "weight", damping=0.85, iterations=3)
+    return (
+        ranks.join(F.broadcast(n), ranks.node == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("rank").cast("double").alias("rank"))
+        .orderBy(F.desc("rank"), "nation")
+    )

@@ -1,0 +1,67 @@
+"""Weighted PageRank operator (operators/components.py:pagerank): numpy
+reference parity, mass conservation, and partitioning determinism."""
+
+from decimal import Decimal
+
+import numpy as np
+import pytest
+
+from datapipelines_spark.operators.components import pagerank
+
+EDGES = [  # (src, dst, weight) — includes a dangling node (4)
+    (0, 1, 2.0), (0, 2, 1.0), (1, 2, 3.0), (2, 0, 1.0), (3, 4, 1.0),
+    (1, 4, 1.0),
+]
+
+
+def _numpy_pagerank(edges, d=0.85, iters=3):
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+
+    def r9(x):  # round-half-up at 9 dp, matching the engines' ROUND
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), rounding="ROUND_HALF_UP"))
+
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0.0) + w
+    rank = np.full(n, r9(1.0 / n))
+    tel = r9((1.0 - d) / n)
+    for _ in range(iters):
+        new = np.full(n, tel)
+        for u, v, w in edges:
+            new[idx[v]] += r9(d * rank[idx[u]] * (w / outw[u]))
+        rank = np.round(new, 9)
+    return {v: rank[idx[v]] for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long, weight double")
+
+
+def test_matches_numpy_reference(spark, edges_df):
+    got = {r["node"]: float(r["rank"]) for r in pagerank(edges_df).collect()}
+    expect = _numpy_pagerank(EDGES)
+    assert set(got) == set(expect)
+    for node in expect:
+        assert got[node] == pytest.approx(expect[node], abs=2e-9), node
+
+
+def test_rank_mass_bounded(spark, edges_df):
+    total = sum(float(r["rank"]) for r in pagerank(edges_df).collect())
+    # dangling node 4 leaks its mass (documented simplification): total is
+    # below 1 but above the teleport floor
+    assert 0.15 <= total <= 1.0 + 1e-6
+
+
+def test_deterministic_across_partitionings(spark, edges_df):
+    a = {r["node"]: r["rank"] for r in pagerank(edges_df).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(edges_df.repartition(7)).collect()}
+    assert a == b  # decimal-exact sums: partitioning-independent
+
+
+def test_higher_in_weight_ranks_higher(spark, edges_df):
+    got = {r["node"]: float(r["rank"]) for r in pagerank(edges_df).collect()}
+    # node 2 receives weight from 0 and 1; node 3 receives nothing
+    assert got[2] > got[3]
