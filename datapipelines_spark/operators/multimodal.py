@@ -144,6 +144,13 @@ def decode_array(payload: bytes):
         from datapipelines_spark.operators.gifcodec import decode_gif
 
         return decode_gif(payload)  # LZW, interlace, palettes, transparency
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from datapipelines_spark.operators.tiffcodec import decode_tiff
+
+        try:
+            return decode_tiff(payload)  # baseline: none/PackBits strips
+        except ValueError:
+            pass  # LZW/JPEG-in-TIFF fall through to PIL if present
     if payload[:2] == b"\xff\xd8":
         from datapipelines_spark.operators.jpegcodec import decode_jpeg
 
