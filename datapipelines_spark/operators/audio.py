@@ -190,3 +190,43 @@ def sample_mjpeg_frames(payload: bytes, every_n: int = 1) -> list[tuple[int, byt
     return [
         (i, f) for i, f in enumerate(split_mjpeg(payload)) if i % max(every_n, 1) == 0
     ]
+
+
+def spectral_features(samples: np.ndarray, sample_rate: int) -> dict:
+    """Spectral summary of a mono float signal via the numpy real FFT:
+    centroid (power-weighted mean frequency), bandwidth (power-weighted
+    stddev around the centroid), 85% rolloff, and flatness (geometric /
+    arithmetic mean of the power spectrum — 1.0 is white noise, → 0 pure
+    tones). The per-clip feature vector audio corpus curation filters on
+    (speech/music/noise triage) without any external DSP library."""
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    if len(x) == 0:
+        raise ValueError("empty signal")
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sample_rate)
+    total = spec.sum()
+    if total <= 0:
+        return {
+            "centroid_hz": 0.0, "bandwidth_hz": 0.0,
+            "rolloff_hz": 0.0, "flatness": 1.0,
+        }
+    p = spec / total
+    centroid = float((freqs * p).sum())
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * p).sum()))
+    cum = np.cumsum(p)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85))])
+    eps = 1e-12
+    flatness = float(
+        np.exp(np.mean(np.log(spec + eps))) / (np.mean(spec) + eps)
+    )
+    return {
+        "centroid_hz": centroid, "bandwidth_hz": bandwidth,
+        "rolloff_hz": rolloff, "flatness": flatness,
+    }
+
+
+def spectral_decode(payload: bytes) -> dict:
+    """WAV bytes -> spectral feature dict (first channel); composes with the
+    multimodal decode stages the same way real_audio_decode does."""
+    samples, sr = decode_wav(payload)
+    return spectral_features(samples[:, 0], sr)

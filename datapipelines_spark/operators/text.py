@@ -1,11 +1,13 @@
 """Text-analysis operators: token stats, quality scoring, language ID,
-fingerprinting. All JVM-side expressions (split/regexp/higher-order array
-functions) — a 100 TB corpus pass stays inside whole-stage codegen with zero
-Python workers.
+fingerprinting. JVM-side expressions (split/regexp/higher-order array
+functions) throughout — a 100 TB corpus pass stays inside whole-stage
+codegen; the single exception is the zlib compression-ratio signal, which
+is inherently non-relational and runs as one Arrow-batched pandas UDF.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -303,4 +305,37 @@ def bm25_search(
         .select(
             id_col, F.col("score_dec").cast("double").alias("score"), "rank"
         )
+    )
+
+
+def compression_ratio_signal(
+    df: DataFrame, text_col: str, id_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap quality /
+    boilerplate signal (highly repetitive or templated text compresses far
+    below natural prose; near-random noise barely compresses at all).
+
+    Runs as one Arrow-batched pandas UDF over stdlib zlib (DEFLATE is not
+    expressible relationally); everything around it stays JVM-side. Emits
+    ``compressed_ratio`` = deflated bytes / utf-8 bytes, plus both sizes.
+    Typical gates: drop ratio < 0.25 (template spam) or > 1.0 (binary
+    noise); thresholds belong to the caller.
+    """
+    @F.pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        F.round(ratio(F.col(text_col)), 6).alias("compressed_ratio"),
     )
