@@ -163,6 +163,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "text_bm25_search",
     "multimodal_gif_decode",
     "graph_pagerank_trade",
+    "xml_roundtrip",
 )
 
 # r6 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -256,3 +256,49 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "xml_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+               AS text_hash_sum
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange via Spark 4's built-in XML source: documents are
+    written as row-tagged XML and read back under an explicit schema; the
+    order-independent portable text-hash sum proves every text byte
+    survived XML escaping and re-parse — the third container in the
+    round-trip family (jsonl.gz, ORC, CSV, XML)."""
+    from datapipelines_spark.functions.hashing import portable_hash64
+
+    out = _scratch(sf_dir, "documents_xml")
+    marker = (spark.sparkContext.applicationId, out)
+    if marker not in _WRITTEN:
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        ).write.mode("overwrite").format("xml").option("rootTag", "docs").option(
+            "rowTag", "doc"
+        ).save(out)
+        _WRITTEN.add(marker)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id bigint, text string, lang string, n_chars bigint")
+        .load(out)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(portable_hash64(F.col("text"))).cast("bigint").alias("text_hash_sum"),
+        )
+        .orderBy("lang")
+    )
