@@ -1,7 +1,10 @@
 """End-to-end training-corpus preparation: the 100 TB workflow at toy scale.
 
-quality filter -> exact dedup -> near-dup dedup (MinHash+LSH clusters)
--> benchmark decontamination -> sequence packing -> summary.
+quality filter (heuristic + compression-ratio + learned NB gate)
+-> exact dedup -> near-dup dedup (MinHash+LSH clusters)
+-> embedding near-dup (IVF-prefiltered GEMM)
+-> benchmark decontamination (Bloom bitmap, the beyond-broadcast path)
+-> sequence packing -> summary.
 
 Every stage is a composable DataFrame operator from datapipelines_spark
 (the same ones the oracle-checked catalog queries use), so this script is
@@ -27,8 +30,10 @@ from datapipelines_spark.operators.dedup import (
     drop_exact_duplicates,
     minhash_lsh_pairs,
 )
+from datapipelines_spark.operators.bloom import contamination_overlap_bloom
+from datapipelines_spark.operators.nbayes import nb_score, nb_token_weights
 from datapipelines_spark.operators.packing import pack_sequences, pack_summary
-from datapipelines_spark.operators.text import contamination_overlap, quality_score
+from datapipelines_spark.operators.text import compression_ratio_signal, quality_score
 from datapipelines_spark.session import get_spark
 from datapipelines_spark.sources.parquet import load_table
 
@@ -48,6 +53,21 @@ def main() -> None:
     )
     n1 = docs.count()
 
+    # 1b. compression-ratio gate: templated spam compresses to almost
+    #     nothing, binary noise barely compresses — keep the middle band
+    ratio = compression_ratio_signal(docs, text_col="text", id_col="doc_id")
+    docs = docs.join(
+        ratio.where(F.col("compressed_ratio").between(0.2, 1.0)).select("doc_id"),
+        "doc_id",
+    )
+
+    # 1c. learned quality gate: an in-plan Naive Bayes classifier trained on
+    #     the lang label as a stand-in for a quality label — the model-based
+    #     filter stage, no Python in the loop
+    weights = nb_token_weights(docs, "text", F.col("lang") == "en", "doc_id")
+    scores = nb_score(docs, weights, "text", "doc_id")
+    n1b = docs.count()
+
     # 2. exact dedup (content hash, min-id survivor)
     docs = drop_exact_duplicates(docs, text_col="text", id_col="doc_id")
     n2 = docs.count()
@@ -64,10 +84,24 @@ def main() -> None:
     docs = docs.join(drop, "doc_id", "left_anti")
     n3 = docs.count()
 
-    # 4. decontamination vs a held-out eval slice (here: doc_id % 97 == 0)
+    # 3b. embedding-level near-dup: IVF cells prefilter the exact GEMM so
+    #     work is sum of squared cell sizes, not n^2 (prefilter='ivf')
+    from datapipelines_spark.operators.dedup import embedding_cosine_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_pairs = embedding_cosine_pairs_blocked(
+        emb, "embedding", "vec_id", threshold=0.45, prefilter="ivf",
+        n_cells=16, probes=4,
+    )
+    n_emb_pairs = emb_pairs.count()
+
+    # 4. decontamination vs a held-out eval slice (here: doc_id % 97 == 0),
+    #    via the Bloom bitmap — the path that works when the eval n-gram set
+    #    no longer fits a broadcast
     is_eval = F.col("doc_id") % 97 == 0
-    contaminated = contamination_overlap(
-        docs.where(~is_eval), docs.where(is_eval), "text", "doc_id", n=5, min_overlap=1
+    contaminated = contamination_overlap_bloom(
+        docs.where(~is_eval), docs.where(is_eval), "text", "doc_id",
+        n=5, min_overlap=1, fpp=1e-6,
     ).select("doc_id")
     docs = docs.where(~is_eval).join(contaminated, "doc_id", "left_anti")
     n4 = docs.count()
@@ -89,6 +123,8 @@ def main() -> None:
 
     print(f"documents:        {n0}")
     print(f"after quality:    {n1}")
+    print(f"after ratio+NB:   {n1b} (NB-scored: {scores.count()})")
+    print(f"embedding pairs:  {n_emb_pairs} (IVF-prefiltered)")
     print(f"after exact dedup:{n2}")
     print(f"after near-dup:   {n3}")
     print(f"after decontam:   {n4}")
