@@ -27,6 +27,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PREDICTOR = 317
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -72,6 +73,102 @@ def _packbits_encode(row: bytes) -> bytes:
             j += 1
         out += bytes([j - i]) + row[i : j + 1]
         i = j + 1
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (spec §13): MSB-first bit packing, Clear=256/EOI=257,
+    and the EARLY code-width change (width bumps when the table reaches
+    2^width - 1, one code sooner than GIF's LSB-first variant)."""
+    CLEAR, EOI = 256, 257
+    width = 9
+    dictionary: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated TIFF LZW strip")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            dictionary = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = dictionary[code]
+        elif code < len(dictionary):
+            entry = dictionary[code]
+            dictionary.append(prev + entry[:1])
+        elif code == len(dictionary):  # KwKwK
+            entry = prev + prev[:1]
+            dictionary.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(dictionary) == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW strip shorter than raster")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    buf = b""
+    for b in raw:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        # early change: the DECODER bumps when its table hits 2^width - 1.
+        # Its table trails ours by one entry (nothing is added for the first
+        # code after a clear), so mirror at next_code == 2^width.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4093:  # reset before the table saturates 12 bits
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        buf = bytes([b])
+    if buf:
+        emit(table[buf])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 
@@ -128,14 +225,19 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     compression = tags.get(_TAG_COMPRESSION, [1])[0]
     photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
     rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
     if bits not in (8, 16):
         raise ValueError(f"unsupported TIFF bit depth {bits}; 8/16 only")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(
-            f"unsupported TIFF compression {compression}; uncompressed (1) "
-            "and PackBits (32773) are implemented (LZW/JPEG-in-TIFF need "
-            "external codecs)"
+            f"unsupported TIFF compression {compression}; uncompressed (1), "
+            "LZW (5) and PackBits (32773) are implemented (JPEG-in-TIFF "
+            "needs external codecs)"
         )
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}; 1/2 only")
+    if predictor == 2 and bits != 8:
+        raise ValueError("TIFF horizontal predictor implemented for 8-bit only")
 
     row_bytes = w * spp * (bits // 8)
     raster = bytearray()
@@ -146,6 +248,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         n_rows = min(rows_per_strip, h - si * rows_per_strip)
         if compression == 32773:
             raster += _packbits_decode(strip, row_bytes * n_rows)
+        elif compression == 5:
+            raster += _tiff_lzw_decode(strip, row_bytes * n_rows)
         else:
             raster += strip[: row_bytes * n_rows]
     if len(raster) < row_bytes * h:
@@ -154,6 +258,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if bits == 8:
         arr = np.frombuffer(bytes(raster[: row_bytes * h]), dtype=np.uint8)
         arr = arr.reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing: undo with a cumsum
+            arr = np.cumsum(arr.astype(np.uint32), axis=1, dtype=np.uint32)
+            arr = (arr & 0xFF).astype(np.uint8)
     else:
         dt = np.dtype(np.uint16).newbyteorder(e)
         arr = np.frombuffer(bytes(raster[: row_bytes * h]), dtype=dt)
@@ -164,21 +271,36 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
 
 def encode_tiff(
-    img: np.ndarray, packbits: bool = False, big_endian: bool = False
+    img: np.ndarray,
+    packbits: bool = False,
+    big_endian: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
 ) -> bytes:
-    """Encode (H, W) or (H, W, C) uint8 as a single-strip baseline TIFF."""
+    """Encode (H, W) or (H, W, C) uint8 as a single-strip baseline TIFF.
+    ``lzw=True`` uses LZW (compression 5); ``predictor=True`` applies
+    horizontal differencing (tag 317 = 2) before compression."""
+    if packbits and lzw:
+        raise ValueError("choose one compression")
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[..., None]
     h, w, spp = img.shape
     e = ">" if big_endian else "<"
-    raster = img.tobytes()
+    if predictor:
+        diffed = img.astype(np.int32)
+        diffed[:, 1:] -= img[:, :-1].astype(np.int32)
+        raster = (diffed & 0xFF).astype(np.uint8).tobytes()
+    else:
+        raster = img.tobytes()
     if packbits:
         row_bytes = w * spp
         raster = b"".join(
             _packbits_encode(raster[r * row_bytes : (r + 1) * row_bytes])
             for r in range(h)
         )
+    elif lzw:
+        raster = _tiff_lzw_encode(raster)
 
     # layout: header(8) | raster | bits-per-sample array (if spp>1) | IFD
     data_off = 8
@@ -202,12 +324,14 @@ def encode_tiff(
         entry(_TAG_BITS, 3, spp, long_val(bits_off))
     else:
         entry(_TAG_BITS, 3, 1, short_val(8))
-    entry(_TAG_COMPRESSION, 3, 1, short_val(32773 if packbits else 1))
+    entry(_TAG_COMPRESSION, 3, 1, short_val(32773 if packbits else 5 if lzw else 1))
     entry(_TAG_PHOTOMETRIC, 3, 1, short_val(2 if spp >= 3 else 1))
     entry(_TAG_STRIP_OFFSETS, 4, 1, long_val(data_off))
     entry(_TAG_SPP, 3, 1, short_val(spp))
     entry(_TAG_ROWS_PER_STRIP, 4, 1, long_val(h))
     entry(_TAG_STRIP_COUNTS, 4, 1, long_val(len(raster)))
+    if predictor:
+        entry(_TAG_PREDICTOR, 3, 1, short_val(2))
     entries.sort(key=lambda b: struct.unpack(e + "H", b[:2])[0])
 
     out = bytearray()

@@ -45,14 +45,14 @@ def test_garbage_rejected(payload):
 def test_unsupported_compression_named_error():
     img = np.zeros((2, 2), dtype=np.uint8)
     data = bytearray(encode_tiff(img))
-    # rewrite the Compression tag value (type SHORT, little-endian) to 5=LZW
+    # rewrite the Compression tag value (SHORT, little-endian) to 7 = JPEG
     ifd_off = struct.unpack("<I", data[4:8])[0]
     n = struct.unpack("<H", data[ifd_off:ifd_off + 2])[0]
     for i in range(n):
         base = ifd_off + 2 + 12 * i
         tag = struct.unpack("<H", data[base:base + 2])[0]
         if tag == 259:
-            data[base + 8:base + 10] = struct.pack("<H", 5)
+            data[base + 8:base + 10] = struct.pack("<H", 7)
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(data))
 
@@ -169,3 +169,62 @@ def test_golden_packbits_strip():
     img = decode_tiff(bytes(out))
     expect = np.array([[0, 0, 0, 0], [1, 2, 3, 4]], dtype=np.uint8)[..., None]
     assert np.array_equal(img, expect)
+
+
+# --- LZW (compression 5) + horizontal predictor (tag 317) --------------------
+
+
+@pytest.mark.parametrize("predictor", [False, True])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_lzw_roundtrip(predictor, big_endian):
+    img = np.random.default_rng(11).integers(0, 256, (50, 60, 3)).astype(np.uint8)
+    out = decode_tiff(
+        encode_tiff(img, lzw=True, predictor=predictor, big_endian=big_endian)
+    )
+    assert np.array_equal(out, img)
+
+
+def test_lzw_dictionary_reset_path():
+    # 100k random bytes force >4093 dictionary entries -> Clear-code reset
+    from datapipelines_spark.operators.tiffcodec import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    raw = np.random.default_rng(3).integers(0, 256, 100_000).astype(np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(raw), len(raw)) == raw
+
+
+def test_predictor_improves_gradient_compression():
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 1))
+    assert len(encode_tiff(grad, lzw=True, predictor=True)) < len(
+        encode_tiff(grad, lzw=True)
+    )
+    assert np.array_equal(
+        decode_tiff(encode_tiff(grad, lzw=True, predictor=True))[..., 0], grad
+    )
+
+
+def test_golden_lzw_code_sequence():
+    """Hand-derived TIFF-LZW stream for samples [7,7,7,8] (spec §13 worked
+    through by hand): codes Clear(256), 7, 258 (the just-created "7,7"
+    entry — the KwKwK case), 8, EOI(257), all at 9 bits, MSB-first."""
+    from datapipelines_spark.operators.tiffcodec import _tiff_lzw_decode
+
+    codes = [256, 7, 258, 8, 257]
+    acc, nbits, out = 0, 0, bytearray()
+    for c in codes:  # mechanical MSB-first packing of the hand-derived codes
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    assert _tiff_lzw_decode(bytes(out), 4) == bytes([7, 7, 7, 8])
+
+
+def test_both_compressions_rejected():
+    with pytest.raises(ValueError, match="one compression"):
+        encode_tiff(np.zeros((2, 2), dtype=np.uint8), packbits=True, lzw=True)
