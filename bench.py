@@ -79,6 +79,10 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "decontaminate_ngram_overlap",
     "pack_sequences_budget",
+    # r5 additions: learned quality gate, ranked retrieval, graph analytics
+    "quality_nb_classifier",
+    "text_bm25_search",
+    "graph_pagerank_trade",
 ]
 
 #: Per-query ratio flag bar: >10x slower than a >=50 ms oracle is a

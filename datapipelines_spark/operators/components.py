@@ -158,6 +158,7 @@ def pagerank(
     weight: str = "weight",
     damping: float = 0.85,
     iterations: int = 3,
+    checkpoint_interval: int = 8,
 ) -> DataFrame:
     """Weighted PageRank, fixed iteration count — (node, rank).
 
@@ -194,11 +195,15 @@ def pagerank(
     teleport = F.round(F.lit(1.0 - damping) / F.lit(float(n)), 9).cast(
         "decimal(18,9)"
     )
-    ranks = nodes.withColumn("rank", init).localCheckpoint()
-    for _ in range(iterations):
+    # Lineage control: a handful of iterations compose fine as one lazy
+    # plan (the rank table is tiny and the persisted edge list anchors the
+    # tree); checkpoint only every ``checkpoint_interval`` rounds so short
+    # runs pay ZERO eager materialization jobs while deep runs stay bounded.
+    ranks = nodes.withColumn("rank", init)
+    for it in range(iterations):
         contrib = (
-            e.join(outw, "u")
-            .join(ranks.withColumnRenamed("node", "u"), "u")
+            e.join(F.broadcast(outw), "u")
+            .join(F.broadcast(ranks.withColumnRenamed("node", "u")), "u")
             .select(
                 F.col("v").alias("node"),
                 F.round(
@@ -211,15 +216,17 @@ def pagerank(
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(summed, "node", "left")
+            nodes.join(F.broadcast(summed), "node", "left")
             .select(
                 "node",
                 (teleport + F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,9)")))
                 .cast("decimal(18,9)")
                 .alias("rank"),
             )
-            .localCheckpoint()
         )
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint()  # materialize before releasing the cache
     e.unpersist()
     nodes.unpersist()
     return ranks
