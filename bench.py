@@ -5,13 +5,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 BENCH_LOCAL.json so a truncated stdout capture can't lose the artifact.
 
 Measurement protocol (symmetric by construction):
-- Spark: median of $SPARK_GRAFT_BENCH_REPEATS (default 3) timed runs of
+- Spark: median of $SPARK_GRAFT_BENCH_REPEATS (default 5) timed runs of
   ``builder(...).count()``, after one untimed warm-up of the flagship
   (JVM, parquet footers, Python worker pool).
 - DuckDB: the oracle SQL wrapped in ``SELECT COUNT(*) FROM (...)`` —
   comparable work to Spark's .count() (no full-result materialization into
   Python on either side) — with one untimed warm-up run per query (view
-  binding, parquet footer reads), then the median of the same repeat count.
+  binding, parquet footer reads), then the median of the same repeat count;
+  oracles whose warm-up exceeds 5 s run once (their relative noise is tiny
+  and repeating them would dominate the bench wall time).
 - Ratios and totals are computed on UNROUNDED floats; rounding happens only
   when building the JSON output (a sub-millisecond oracle must not round to
   0.000 and explode its ratio).
@@ -108,7 +110,7 @@ def main() -> None:
     # Warm-up: JVM, parquet footer caches, Python worker pool.
     registry["q1_pricing_summary"].builder(spark, sf_dir).count()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     per_query: dict[str, float] = {}
     for name in names:
         # Hygiene boundary is per QUERY, not per repeat: repeats of one query
@@ -145,9 +147,16 @@ def main() -> None:
                 if oracle is None:
                     continue
                 counted = f"SELECT COUNT(*) FROM ({oracle}) AS __bench"
+                t0 = time.perf_counter()
                 con.execute(counted).fetchall()  # warm-up, untimed
+                warm = time.perf_counter() - t0
+                # adaptive repeats: a >5 s oracle (DuckDB's 44 s all-pairs
+                # LSH baseline) is measured once — its noise is
+                # proportionally tiny and 5 repeats would dominate the
+                # whole bench wall time
+                reps = 1 if warm > 5.0 else repeats
                 times = []
-                for _ in range(repeats):
+                for _ in range(reps):
                     t0 = time.perf_counter()
                     con.execute(counted).fetchall()
                     times.append(time.perf_counter() - t0)

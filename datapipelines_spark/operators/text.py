@@ -263,11 +263,17 @@ def bm25_search(
 
     ``query_terms``: single-column DataFrame of terms (column ``term``).
     """
+    from datapipelines_spark.functions.caching import managed_persist
+
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
+    tf = managed_persist(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # doc length = sum of its term frequencies: reuses tf's shuffle instead
+    # of a second explode pass over the corpus
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("len"))
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         doclen.agg(F.avg("len").alias("avglen"))
     )
