@@ -22,11 +22,24 @@ from pyspark.sql import DataFrame
 
 
 def plan_fingerprint(df: DataFrame) -> str:
-    """sha256 of ``df``'s analyzed logical plan string — a collision-safe
+    """sha256 of ``df``'s CANONICALIZED analyzed plan — a collision-safe
     cache key, unlike ``DataFrame.semanticHash()`` whose 32 bits let distinct
-    plans collide and return each other's memoized values."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return hashlib.sha256(plan.encode()).hexdigest()
+    plans collide and return each other's memoized values.
+
+    Canonicalization normalizes expression IDs (``doc_id#123L`` →
+    ``none#0L``), so two independent rebuilds of the same query fingerprint
+    identically — the raw analyzed string embeds freshly-allocated exprIds
+    and would never hit the cache for its stated purpose (bench repeats,
+    retried pipelines). The schema JSON is mixed in as a discriminator
+    because ``treeString`` elides columns past
+    ``spark.sql.debug.maxToStringFields`` (default 25): without it, two
+    distinct wide plans could share a fingerprint and return each other's
+    memoized width."""
+    qe = df._jdf.queryExecution()
+    plan = qe.analyzed().canonicalized().toString()
+    return hashlib.sha256(
+        plan.encode() + b"\x00" + df.schema.json().encode()
+    ).hexdigest()
 
 
 #: (applicationId, analyzed-plan sha256) -> probed partition width. The width

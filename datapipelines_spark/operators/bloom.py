@@ -45,11 +45,28 @@ def optimal_hashes(num_bits: int, expected_items: int) -> int:
     return max(1, round(num_bits / max(1, expected_items) * math.log(2)))
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Finalizer of the splitmix64 PRNG (public domain, Steele et al.) —
+    a full-width 64-bit mix used to derive a second hash independent of the
+    raw xxhash64 value. uint64 arithmetic wraps mod 2**64 (C semantics)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _probe_positions(h: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
-    """(n, k) bit positions from int64 hashes via double hashing."""
+    """(n, k) bit positions from int64 hashes via double hashing.
+
+    h1 and h2 are both full 64-bit values (h1 the raw xxhash64, h2 an
+    independent splitmix64 remix, forced odd for full-period stepping).
+    Deriving them from the two 32-bit halves instead would leave the i=0
+    probe unable to address anything past bit 2**32 — degrading the
+    false-positive rate for filters larger than ~512 MB, exactly the
+    multi-GB sizes the module docstring advertises."""
     u = h.astype(np.uint64)
-    h1 = u & np.uint64(0xFFFFFFFF)
-    h2 = (u >> np.uint64(32)) | np.uint64(1)  # odd -> full-period stepping
+    h1 = u
+    h2 = _splitmix64(u) | np.uint64(1)
     i = np.arange(num_hashes, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(num_bits)).astype(
         np.int64

@@ -2,7 +2,8 @@
 
 Decoder: LZW with variable code width (spec Appendix F), global and local
 color tables, interlaced images (the 4-pass row order), Graphic Control
-Extensions (transparency, disposal methods 0-2), and multi-frame animations
+Extensions (transparency, disposal methods 0-3, with the GCE scoped to the
+single rendering block that follows it per spec), and multi-frame animations
 composited onto the logical screen. Encoder: single- or multi-frame with a
 real LZW compressor (dictionary reset on overflow via Clear codes) — used
 by the round-trip tests; the golden tests hand-assemble streams
@@ -163,7 +164,6 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     frames: list[np.ndarray] = []
     transparent: int | None = None
     disposal = 0
-    prev_screen = screen.copy()
 
     while pos < len(payload):
         block = payload[pos]
@@ -221,9 +221,12 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         frames.append(screen.copy())
         if disposal == 2:  # restore to background (transparent)
             screen[iy : iy + ih, ix : ix + iw] = 0
-        elif disposal == 3:  # restore to previous
-            screen = prev_screen.copy()
-        prev_screen = before
+        elif disposal == 3:  # restore to state before THIS frame rendered
+            screen = before.copy()
+        # GIF89a: a Graphic Control Extension applies only to the first
+        # rendering block that follows it — reset per-frame state.
+        transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF contains no image data")
     return frames

@@ -286,6 +286,8 @@ def encode_tiff(
     if img.ndim == 2:
         img = img[..., None]
     h, w, spp = img.shape
+    if spp not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported samples-per-pixel {spp}")
     e = ">" if big_endian else "<"
     if predictor:
         diffed = img.astype(np.int32)
@@ -302,10 +304,13 @@ def encode_tiff(
     elif lzw:
         raster = _tiff_lzw_encode(raster)
 
-    # layout: header(8) | raster | bits-per-sample array (if spp>1) | IFD
+    # layout: header(8) | raster | bits-per-sample array (if spp>2) | IFD.
+    # TIFF requires tag values of <= 4 bytes INLINE in the entry — so the
+    # BitsPerSample SHORTs go out-of-line only when spp >= 3 (2*spp > 4);
+    # spp=2 (gray+alpha) inlines its two SHORTs.
     data_off = 8
     bits_off = data_off + len(raster)
-    ifd_off = bits_off + (2 * spp if spp > 1 else 0)
+    ifd_off = bits_off + (2 * spp if spp > 2 else 0)
 
     entries = []
 
@@ -320,8 +325,10 @@ def encode_tiff(
 
     entry(_TAG_WIDTH, 4, 1, long_val(w))
     entry(_TAG_HEIGHT, 4, 1, long_val(h))
-    if spp > 1:
+    if spp > 2:
         entry(_TAG_BITS, 3, spp, long_val(bits_off))
+    elif spp == 2:
+        entry(_TAG_BITS, 3, 2, struct.pack(e + "HH", 8, 8))
     else:
         entry(_TAG_BITS, 3, 1, short_val(8))
     entry(_TAG_COMPRESSION, 3, 1, short_val(32773 if packbits else 5 if lzw else 1))
@@ -338,7 +345,7 @@ def encode_tiff(
     out += (b"II*\x00" if not big_endian else b"MM\x00*")
     out += struct.pack(e + "I", ifd_off)
     out += raster
-    if spp > 1:
+    if spp > 2:
         out += struct.pack(e + "H" * spp, *([8] * spp))
     out += struct.pack(e + "H", len(entries))
     for ent in entries:

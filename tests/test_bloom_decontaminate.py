@@ -91,3 +91,22 @@ def test_sizing_formulas():
     assert optimal_hashes(9_585_088, 1_000_000) == 7
     assert optimal_bits(1, 0.01) >= 64
     assert np.uint64(optimal_bits(123, 0.05)) % 64 == 0
+
+
+def test_probe_positions_cover_whole_array_past_2_32_bits():
+    """Both double-hashing bases are full 64-bit: at multi-GB filter sizes
+    (num_bits > 2**32) the i=0 probe must be able to land in the upper
+    region — the 32-bit-halves derivation could not."""
+    import numpy as np
+
+    from datapipelines_spark.operators.bloom import _probe_positions
+
+    rng = np.random.default_rng(0)
+    h = rng.integers(-(2**63), 2**63, 4096, dtype=np.int64)
+    num_bits = 2**36
+    pos = _probe_positions(h, num_bits, 1)  # i=0 probe alone
+    assert pos.max() >= 2**32
+    # and the stepped probes stay uniform-ish across 8 octants
+    pos_k = _probe_positions(h, num_bits, 8).ravel()
+    counts, _ = np.histogram(pos_k, bins=8, range=(0, num_bits))
+    assert counts.min() > 0.8 * counts.mean()

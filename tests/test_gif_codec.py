@@ -143,3 +143,80 @@ def test_golden_hand_assembled_gif87a():
 def test_golden_frames_are_fully_opaque():
     (frame,) = decode_gif_frames(GOLDEN_GIF)
     assert np.all(frame[..., 3] == 255)
+
+# --- GCE scoping and disposal method 3 (restore-to-previous) -----------------
+
+
+import struct
+
+from datapipelines_spark.operators.gifcodec import _lzw_encode
+
+
+def _frame_block(idx, min_code, gce=None):
+    """Assemble one image block, optionally preceded by a GCE.
+
+    gce = (disposal, transparent_index_or_None)."""
+    out = bytearray()
+    if gce is not None:
+        disposal, transparent = gce
+        flags = ((disposal & 7) << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, 0, 0, transparent or 0, 0])
+    h, w = idx.shape
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    data = _lzw_encode(min_code, idx.reshape(-1).tolist())
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _assemble(pal, h, w, blocks):
+    size_bits = max(1, int(len(pal) - 1).bit_length()) - 1
+    n = 2 << size_bits
+    gct = np.concatenate([pal, np.zeros((n - len(pal), 3), dtype=np.uint8)])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | size_bits, 0, 0]) + gct.tobytes()
+    for b in blocks:
+        out += b
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_disposal3_restores_state_before_current_frame():
+    # f1 solid green (disposal=keep), f2 solid blue (disposal=3), f3 fully
+    # transparent. After f2's restore-to-previous, f3 must show f1's pixels.
+    h, w, mc = 4, 5, 2
+    f1 = np.full((h, w), 1, dtype=np.uint8)
+    f2 = np.full((h, w), 2, dtype=np.uint8)
+    f3 = np.zeros((h, w), dtype=np.uint8)
+    gif = _assemble(
+        PAL4, h, w,
+        [
+            _frame_block(f1, mc, gce=(1, None)),
+            _frame_block(f2, mc, gce=(3, None)),
+            _frame_block(f3, mc, gce=(0, 0)),  # every pixel transparent
+        ],
+    )
+    frames = decode_gif_frames(gif)
+    assert len(frames) == 3
+    assert np.array_equal(frames[1][..., :3], np.broadcast_to(PAL4[2], (h, w, 3)))
+    assert np.array_equal(frames[2], frames[0])  # f1 restored, not blank
+
+
+def test_gce_applies_only_to_next_rendering_block():
+    # f1 has transparent=0; f2 carries NO GCE, so index 0 must render opaque.
+    h, w, mc = 3, 4, 2
+    idx = np.array(
+        [[0, 1, 0, 1], [1, 0, 1, 0], [0, 1, 0, 1]], dtype=np.uint8
+    )
+    gif = _assemble(
+        PAL4, h, w,
+        [_frame_block(idx, mc, gce=(0, 0)), _frame_block(idx, mc, gce=None)],
+    )
+    frames = decode_gif_frames(gif)
+    assert np.array_equal(frames[0][..., 3], (idx != 0).astype(np.uint8) * 255)
+    assert np.all(frames[1][..., 3] == 255)
+    assert np.array_equal(frames[1][..., :3], PAL4[idx])

@@ -228,3 +228,30 @@ def test_golden_lzw_code_sequence():
 def test_both_compressions_rejected():
     with pytest.raises(ValueError, match="one compression"):
         encode_tiff(np.zeros((2, 2), dtype=np.uint8), packbits=True, lzw=True)
+
+
+def test_roundtrip_gray_alpha_spp2_inlines_bits():
+    """spp=2 BitsPerSample is 4 bytes and must be INLINE per spec — the
+    offset form put the bits values out-of-line where conforming readers
+    (including decode_tiff) parse the offset bytes as the values."""
+    import struct
+
+    import numpy as np
+
+    from datapipelines_spark.operators.tiffcodec import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (9, 7, 2)).astype(np.uint8)
+    for be in (False, True):
+        data = encode_tiff(img, big_endian=be)
+        assert np.array_equal(decode_tiff(data), img)
+
+
+def test_encode_rejects_unsupported_spp():
+    import numpy as np
+    import pytest
+
+    from datapipelines_spark.operators.tiffcodec import encode_tiff
+
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((4, 4, 5), dtype=np.uint8))
