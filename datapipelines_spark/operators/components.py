@@ -159,6 +159,8 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 3,
     checkpoint_interval: int = 8,
+    broadcast_max_nodes: int = 5_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Weighted PageRank, fixed iteration count — (node, rank).
 
@@ -170,10 +172,15 @@ def pagerank(
     computation reproduces bit-for-bit across engines and partitionings —
     the same cross-engine discipline as operators/nbayes.py.
 
-    Scale shape: edge list persisted once; per iteration one broadcast-able
-    rank table join (|nodes| << |edges|) and one groupBy(dst) — O(iters)
-    shuffles of partial sums, the corpus-side edge list never re-shuffles.
-    """
+    Scale shape: edge list persisted once; per iteration one rank-table
+    join and one groupBy(dst) — O(iters) shuffles of partial sums, the
+    edge list itself never re-shuffles. The rank/out-weight joins are
+    broadcast ONLY while the (exactly counted) node count stays under
+    ``broadcast_max_nodes``: |nodes| ≪ |edges| holds for similarity and
+    citation graphs, but a web-scale node table exceeds any broadcast
+    threshold and an unconditional hint would fail at submit — past the
+    gate the joins fall back to shuffle hash/sort-merge, which AQE sizes.
+    Both modes produce identical ranks (tested)."""
     e = (
         edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v"),
@@ -189,6 +196,9 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    # size gate for the per-iteration dimension-side joins: the node count
+    # is already exact (needed for the teleport term), so the router is free
+    maybe_broadcast = F.broadcast if n <= broadcast_max_nodes else (lambda d: d)
     # rounding happens in Spark expressions (HALF_UP), not Python round()
     # (banker's): the SQL oracle's ROUND matches the former exactly
     init = F.round(F.lit(1.0) / F.lit(float(n)), 9).cast("decimal(18,9)")
@@ -202,8 +212,8 @@ def pagerank(
     ranks = nodes.withColumn("rank", init)
     for it in range(iterations):
         contrib = (
-            e.join(F.broadcast(outw), "u")
-            .join(F.broadcast(ranks.withColumnRenamed("node", "u")), "u")
+            e.join(maybe_broadcast(outw), "u")
+            .join(maybe_broadcast(ranks.withColumnRenamed("node", "u")), "u")
             .select(
                 F.col("v").alias("node"),
                 F.round(
@@ -216,7 +226,7 @@ def pagerank(
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(F.broadcast(summed), "node", "left")
+            nodes.join(maybe_broadcast(summed), "node", "left")
             .select(
                 "node",
                 (teleport + F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,9)")))
@@ -226,6 +236,11 @@ def pagerank(
         )
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint()
+    if not materialize:
+        # plan-inspection path: return the lazy iteration plan with the
+        # edge/node caches still live (the checkpoint below would collapse
+        # the tree to a Scan ExistingRDD and hide the join strategy)
+        return ranks
     ranks = ranks.localCheckpoint()  # materialize before releasing the cache
     e.unpersist()
     nodes.unpersist()

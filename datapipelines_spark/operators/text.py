@@ -304,10 +304,18 @@ def bm25_search(
     )
     from pyspark.sql import Window
 
-    win = Window.orderBy(F.desc("score_dec"), F.asc(id_col))
+    # Global top-k as orderBy().limit(): TakeOrderedAndProject keeps a k-row
+    # heap per partition and merges heaps on the driver — never a
+    # single-partition sort of every matching document. (A bare global
+    # row_number window would be safe only on engines with the
+    # WindowGroupLimit pushdown; limit() makes the bound explicit in the
+    # plan — asserted in tests/test_plan_hygiene.py.) The rank column is
+    # derived AFTER the limit, over exactly top_k rows.
+    order = [F.desc("score_dec"), F.asc(id_col)]
+    topk = scored.orderBy(*order).limit(top_k)
+    win = Window.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= top_k)
+        topk.withColumn("rank", F.row_number().over(win))
         .select(
             id_col, F.col("score_dec").cast("double").alias("score"), "rank"
         )

@@ -65,3 +65,44 @@ def test_higher_in_weight_ranks_higher(spark, edges_df):
     got = {r["node"]: float(r["rank"]) for r in pagerank(edges_df).collect()}
     # node 2 receives weight from 0 and 1; node 3 receives nothing
     assert got[2] > got[3]
+
+
+def test_broadcast_size_gate_both_modes_identical(spark, edges_df):
+    """Under the node-count gate the rank joins carry broadcast hints; past
+    it they fall back to shuffle joins (a web-scale node table exceeds any
+    broadcast threshold — the unconditional hint would die at submit).
+    Ranks must be decimal-identical either way."""
+    lazy_shuffle = pagerank(
+        edges_df, broadcast_max_nodes=0, materialize=False
+    )
+    lazy_bcast = pagerank(edges_df, materialize=False)  # 5 nodes: broadcast
+    opt_shuffle = lazy_shuffle._jdf.queryExecution().optimizedPlan().toString()
+    opt_bcast = lazy_bcast._jdf.queryExecution().optimizedPlan().toString()
+    # the gate controls the HINT; Catalyst may still auto-broadcast by stats
+    assert "strategy=broadcast" in opt_bcast
+    assert "strategy=broadcast" not in opt_shuffle
+    # with stats-based auto-broadcast off, the gated plan genuinely shuffles
+    # (the web-scale behavior) while the hinted plan still broadcasts
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        phys_shuffle = (
+            pagerank(edges_df, broadcast_max_nodes=0, materialize=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        phys_bcast = (
+            pagerank(edges_df, materialize=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in phys_shuffle
+        assert "SortMergeJoin" in phys_shuffle or "ShuffledHashJoin" in phys_shuffle
+        assert "BroadcastHashJoin" in phys_bcast
+        b = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges_df, broadcast_max_nodes=0).collect()
+        }
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    a = {r["node"]: r["rank"] for r in pagerank(edges_df).collect()}
+    assert a == b

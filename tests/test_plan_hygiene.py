@@ -179,3 +179,12 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bm25_topk_is_take_ordered_not_global_window_sort(spark):
+    """bm25_search's final top-k must be a TakeOrderedAndProject (per-
+    partition k-row heaps, driver merge) — not a single-partition global
+    window sort over every matching document. The only window left in the
+    plan ranks the ALREADY-limited k rows."""
+    plan = _plan(all_queries()["text_bm25_search"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in plan
