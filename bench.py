@@ -87,6 +87,9 @@ HEADLINE = [
     "quality_nb_classifier",
     "text_bm25_search",
     "graph_pagerank_trade",
+    # r6 addition: Bloom decontamination (comparable exact-join work on the
+    # oracle side, unlike the invariant-style boolean queries)
+    "decontaminate_bloom",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

@@ -80,75 +80,78 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate hashes exactly the FIRST 50 entries of
 # all_queries() in iteration order. The window ROTATES each round so
 # cumulative driver-green coverage grows instead of re-verifying the same 50
-# (VERDICT r2 #6). Round-5 window, following the r4 rotation plan and
-# VERDICT r4 items 1+4:
-#   (a) CORRECTNESS_r04 was 50/50 green -- no reds to pin;
-#   (b) the 2 queries pending a first verdict lead the window
-#       (multimodal_mp4_probe, jsonl_gz_roundtrip -- with these, every one of
-#       the 140 catalog queries has at least one driver verdict);
-#   (c) multimodal_jpeg_decode re-pins because the JPEG codec changed this
-#       round (ADVICE r4 restart-interval / fill-byte / multi-scan fixes);
-#   (d) all 43 r2-only verdicts re-confirm so no query's latest verdict is
-#       more than two rounds stale;
-#   (e) the 4 remaining slots take the oldest r3-only verdicts.
+# (VERDICT r2 #6). Round-6 window, following the r5 rotation plan
+# (catalog.py r5:169-176) and VERDICT r5 items 1+2+6:
+#   (a) CORRECTNESS_r05 was 50/50 green -- no reds to pin;
+#   (b) the 7 queries pending a first verdict lead the window (with these,
+#       every pre-r6 catalog query has at least one driver verdict);
+#   (c) the 5 queries ADDED in r6 (driver-gating the four previously
+#       pytest-only operators -- CDC chunking, Bloom decontamination,
+#       compression-ratio signal, spectral features -- plus the TIFF codec
+#       stretch) pin their first verdicts; multimodal_gif_decode in (b) also
+#       re-pins the r6 GIF disposal/GCE fixes, text_bm25_search the top-k
+#       rewrite, graph_pagerank_trade the broadcast size gate;
+#   (d) 38 of the 40 r3-only verdicts not re-confirmed in r5 fill the rest
+#       (CORRECTNESS_r03 minus r04 minus r05 minus the 4 re-confirmed in
+#       r5); the final 2 (window_first_last_value,
+#       window_running_customer_spend) defer to r7 -- see the r7 plan.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
 PRIORITY_50: tuple[str, ...] = (
-    # --- first driver verdicts (pending from r4) ---
-    "multimodal_mp4_probe",
-    "jsonl_gz_roundtrip",
-    # --- changed this round: JPEG codec ADVICE fixes ---
-    "multimodal_jpeg_decode",
-    # --- the 43 r2-only verdicts, re-confirmed under current code ---
-    "agg_approx_distinct_parts",
-    "asof_join_last_order_before_event",
-    "batch_fixed_size_groups",
-    "decontaminate_ngram_overlap",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "epoch_repeat_cycle",
-    "filter_required_keys",
-    "filter_size_range",
-    "having_big_part_groups",
-    "join_anti_customers_without_orders",
-    "join_metadata_rename_collision",
-    "join_null_safe_segments",
-    "join_outer_order_counts",
-    "join_semi_customers_with_orders",
-    "mapper_rescale_embeddings",
-    "mix_weighted_sources",
-    "multimodal_binary_stats",
-    "pack_sequences_budget",
-    "percentile_order_values",
-    "pivot_status_by_priority",
-    "q12_priority_shipping_split",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_orders_waiting",
-    "q3_shipping_priority",
-    "q9_profit_by_nation_year",
-    "range_join_price_bands",
-    "rollup_order_totals",
-    "scalar_array_funcs",
-    "scalar_json_extract",
-    "setop_union_customer_supplier_nations",
-    "shuffle_deterministic_rank",
-    "sim_ivf_topk_probe2",
-    "sim_lsh_candidate_pairs",
-    "sql_grouping_sets_mixed",
-    "sql_lateral_top2_orders",
-    "stream_dedup_exact_replay",
-    "subquery_above_avg_orders",
-    "text_tfidf_top_terms",
-    "unpivot_lineitem_measures",
-    "window_range_frame_30d_spend",
-    "window_topk_parts_per_supplier",
-    # --- oldest r3-only verdicts (4 remaining slots) ---
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "dedup_embedding_cosine",
-    "stream_tumbling_1h_replay",
+    # --- first driver verdicts (pending from r5) ---
+    "csv_roundtrip",
+    "orc_roundtrip",
+    "xml_roundtrip",
+    "quality_nb_classifier",
+    "text_bm25_search",
+    "multimodal_gif_decode",
+    "graph_pagerank_trade",
+    # --- new in r6: driver gates for the r5 pytest-only operators + TIFF ---
+    "decontaminate_bloom",
+    "chunk_cdc_dedup",
+    "quality_compression_signal",
+    "multimodal_spectral_features",
+    "multimodal_tiff_decode",
+    # --- r3-only verdicts, re-confirmed under current code (38 of 40) ---
+    "calendar_fill_monthly_orders",
+    "corr_discount_quantity",
+    "events_funnel_conversion",
+    "events_interpolate_hourly",
+    "events_latest_per_user",
+    "events_session_windows",
+    "events_user_lifetime_stats",
+    "multimodal_ppm_decode",
+    "q10_returned_item_revenue",
+    "q11_important_part_value",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_high_volume_part_suppliers",
+    "q22_inactive_rich_customers",
+    "q4_order_priority_waiting",
+    "q5_local_supplier_volume",
+    "q7_nation_trade_volume",
+    "rollup_grouping_id",
+    "scalar_string_funcs_extended",
+    "sim_ivf_kmeans_topk",
+    "skew_salted_quantity_by_flag",
+    "sql_q6_forecast_revenue",
+    "sql_revenue_by_month",
+    "sql_top_customers",
+    "stratified_sample_by_lang",
+    "stream_session_6h_replay",
+    "stream_sliding_1h30m_replay",
+    "stream_stateful_user_stats_replay",
+    "stream_stream_join_replay",
+    "string_agg_nation_names",
+    "text_regex_token_classes",
+    "union_by_name_missing_columns",
+    "vector_label_centroids",
+    "vector_position_stats",
 )
 
 
@@ -157,20 +160,15 @@ PRIORITY_50: tuple[str, ...] = (
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "csv_roundtrip",  # added r5 after the window was pinned
-    "orc_roundtrip",
-    "quality_nb_classifier",
-    "text_bm25_search",
-    "multimodal_gif_decode",
-    "graph_pagerank_trade",
-    "xml_roundtrip",
+    "quality_lm_perplexity",  # added r6 after the window was pinned
+    "dedup_winnow_fingerprints",
 )
 
-# r6 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r05 (fix first, then pin);
+# r7 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r06 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r6;
-#   4. the r3-only verdicts not re-confirmed in r5 -- everything in
-#      CORRECTNESS_r03.json minus CORRECTNESS_r04.json minus the 4 oldest
-#      re-confirmed above (40 queries);
-#   5. oldest r4 verdicts with remaining slots.
+#   3. queries whose plans/outputs change in r7;
+#   4. the 2 r3-only verdicts deferred from the r6 window:
+#      window_first_last_value, window_running_customer_spend;
+#   5. oldest r4 verdicts (CORRECTNESS_r04 minus r05 minus r06), then
+#      oldest r5 verdicts, with remaining slots.

@@ -375,6 +375,68 @@ def decode_audio(
     return df.select(key_col, payload_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+SPECTRAL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("__key__", T.StringType()),
+        T.StructField("centroid_hz", T.DoubleType()),
+        T.StructField("bandwidth_hz", T.DoubleType()),
+        T.StructField("rolloff_hz", T.DoubleType()),
+        T.StructField("flatness", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def spectral_audio(
+    df: DataFrame,
+    payload_col: str = "wav",
+    key_col: str = "__key__",
+    on_error: str = "quarantine",
+    timeout_s: float | None = None,
+) -> DataFrame:
+    """WAV binary column -> spectral features (centroid/bandwidth/rolloff/
+    flatness, operators/audio.py:spectral_features) via Arrow mapInPandas —
+    the audio-curation analogue of decode_images, same on_error contract.
+    One Python stage over the payloads; everything downstream is JVM-side."""
+    from datapipelines_spark.operators.audio import spectral_decode
+
+    decode_fn = spectral_decode
+    if timeout_s is not None:
+        decode_fn = _with_timeout(decode_fn, timeout_s)
+    feat_cols = ("centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SPECTRAL_FEATURES_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                try:
+                    feats = decode_fn(bytes(payload) if payload is not None else b"")
+                    out.append(
+                        {
+                            "__key__": key,
+                            **{k: feats.get(k) for k in feat_cols},
+                            "decode_error": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 - permissive mode is the point
+                    if on_error == "fail":
+                        raise
+                    if on_error == "quarantine":
+                        out.append(
+                            {
+                                "__key__": key,
+                                **{k: None for k in feat_cols},
+                                "decode_error": f"{type(e).__name__}: {e}",
+                            }
+                        )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(key_col, payload_col).mapInPandas(
+        batches, SPECTRAL_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_stub(
     df: DataFrame,
     payload_col: str = "mp4",

@@ -397,3 +397,247 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "decontaminate_bloom",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, COUNT(*) AS n_overlap
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id
+    HAVING COUNT(*) >= 1
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/bloom.py) against the EXACT
+    broadcast-set oracle: the eval 5-gram set reduces to a distributed-built
+    bitmap instead of a broadcast set — the path for eval suites too big to
+    broadcast. One-sided error means the result is a superset of the exact
+    one; at fpp=1e-9 the fixture-sized probe count makes the expected extra
+    hits ~1e-3, so the driver hash must match the exact SQL EXACTLY (and the
+    hashes are deterministic: a clean pass is stable across reruns)."""
+    from datapipelines_spark.operators.bloom import contamination_overlap_bloom
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return (
+        contamination_overlap_bloom(
+            d.where(~is_eval), d.where(is_eval), "text", "doc_id",
+            n=5, min_overlap=1, fpp=1e-9,
+        )
+        .select("doc_id", F.col("n_overlap").cast("bigint").alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "chunk_cdc_dedup",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS reassembles,
+           TRUE AS lens_ok,
+           TRUE AS copy_chunks_equal,
+           TRUE AS copy_all_dup
+    FROM documents
+    WHERE text IS NOT NULL AND len(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def chunk_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + sub-document dedup (operators/chunking.py)
+    driver-gated via CDC's defining invariants, computed Spark-side as
+    booleans the oracle requires to be TRUE for every document:
+
+    - ``reassembles``: chunks concatenated in index order rebuild the text
+      byte-for-byte (no loss, no overlap);
+    - ``lens_ok``: every non-final chunk is within [min_len, max_len] bytes
+      and the final chunk within max_len;
+    - ``copy_chunks_equal`` / ``copy_all_dup``: an exact copy of each doc
+      under a shifted id chunks IDENTICALLY (content-defined boundaries
+      don't depend on the id) and every one of the copy's chunks is flagged
+      duplicate by chunk_dedup_stats, with the lower-id original holding
+      canonical — the keep/drop decision the operator exists for."""
+    from datapipelines_spark.operators.chunking import (
+        chunk_dedup_stats,
+        content_defined_chunks,
+    )
+
+    offset = 10_000_000
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    orig = d.select("doc_id", "text")
+    both = orig.unionByName(
+        orig.select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    )
+
+    chunks = content_defined_chunks(orig, "text", "doc_id")
+    arr = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk")))
+    reasm = chunks.groupBy("doc_id").agg(arr.alias("arr"))
+    nonfinal = F.slice(
+        F.col("arr"), 1, F.greatest(F.size("arr") - 1, F.lit(0))
+    )
+    reasm = reasm.select(
+        "doc_id",
+        F.concat_ws("", F.transform(F.col("arr"), lambda s: s["chunk"])).alias(
+            "rejoined"
+        ),
+        (
+            F.forall(
+                nonfinal,
+                lambda s: (F.octet_length(s["chunk"]) >= 16)
+                & (F.octet_length(s["chunk"]) <= 256),
+            )
+            & (F.octet_length(F.element_at("arr", -1)["chunk"]) <= 256)
+        ).alias("lens_ok"),
+    )
+
+    stats = chunk_dedup_stats(both, "text", "doc_id")
+    a = stats.where(F.col("doc_id") < offset).select(
+        "doc_id",
+        F.col("n_chunks").alias("a_chunks"),
+    )
+    b = stats.where(F.col("doc_id") >= offset).select(
+        (F.col("doc_id") - offset).alias("doc_id"),
+        F.col("n_chunks").alias("b_chunks"),
+        F.col("n_dup_chunks").alias("b_dup"),
+    )
+    return (
+        orig.join(reasm, "doc_id")
+        .join(a, "doc_id")
+        .join(b, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("rejoined") == F.col("text")).alias("reassembles"),
+            "lens_ok",
+            (F.col("a_chunks") == F.col("b_chunks")).alias("copy_chunks_equal"),
+            (F.col("b_dup") == F.col("b_chunks")).alias("copy_all_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "quality_compression_signal",
+    oracle="""
+    SELECT doc_id,
+           len(text) AS n_chars,
+           TRUE AS ratio_bounded,
+           TRUE AS doubling_compresses,
+           TRUE AS constant_run_compresses_best
+    FROM documents
+    WHERE text IS NOT NULL AND len(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def quality_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (operators/text.py:
+    compression_ratio_signal) driver-gated via DEFLATE's defining
+    monotonicity invariants, asserted Spark-side as booleans:
+
+    - ``ratio_bounded``: 0 < ratio(text) <= 1.5 (deflate never inflates a
+      natural-language doc past header overhead);
+    - ``doubling_compresses``: ratio(text || ' ' || text) < ratio(text) —
+      the second copy sits inside the 32 KB window and compresses to
+      near-zero, so the ratio must strictly drop;
+    - ``constant_run_compresses_best``: a constant run of the same length
+      compresses strictly better than the doc's own text."""
+    from datapipelines_spark.operators.text import compression_ratio_signal
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    base = compression_ratio_signal(d.select("doc_id", "text"), "text", "doc_id")
+    doubled = compression_ratio_signal(
+        d.select(
+            "doc_id", F.concat_ws(" ", "text", "text").alias("text")
+        ),
+        "text",
+        "doc_id",
+    ).select("doc_id", F.col("compressed_ratio").alias("r2"))
+    const = compression_ratio_signal(
+        d.select(
+            "doc_id", F.repeat(F.lit("a"), F.length("text")).alias("text")
+        ),
+        "text",
+        "doc_id",
+    ).select("doc_id", F.col("compressed_ratio").alias("rc"))
+    return (
+        base.join(doubled, "doc_id")
+        .join(const, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                (F.col("compressed_ratio") > 0)
+                & (F.col("compressed_ratio") <= 1.5)
+            ).alias("ratio_bounded"),
+            (F.col("r2") < F.col("compressed_ratio")).alias("doubling_compresses"),
+            (F.col("rc") < F.col("compressed_ratio")).alias(
+                "constant_run_compresses_best"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "quality_lm_perplexity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    big AS (
+        SELECT doc_id, w[i] AS v, w[i+1] AS t
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 1)) AS x(i)
+        WHERE len(w) >= 2
+    ),
+    refbig AS (
+        SELECT v, t, COUNT(*) AS c FROM big WHERE doc_id % 7 = 0 GROUP BY v, t
+    ),
+    refhist AS (SELECT v, SUM(c) AS ch FROM refbig GROUP BY v),
+    vocab AS (
+        SELECT COUNT(DISTINCT tok) AS vsz
+        FROM (SELECT unnest(w) AS tok FROM toks WHERE doc_id % 7 = 0)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln(
+                   (COALESCE(rb.c, 0) + 0.1)
+                   / (COALESCE(rh.ch, 0) + 0.1 * (vsz + 1))
+               ), 6) AS DECIMAL(18,6)) AS lp
+        FROM big b
+        LEFT JOIN refbig rb ON b.v = rb.v AND b.t = rb.t
+        LEFT JOIN refhist rh ON b.v = rh.v
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(lp) AS DECIMAL(28,6)) AS DOUBLE) AS sum_logp,
+           round(CAST(CAST(SUM(lp) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*), 6)
+               AS avg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter: per-doc average log-likelihood under an
+    add-0.1-smoothed bigram LM trained on the doc_id % 7 = 0 reference slice
+    (operators/lm.py — train is two grouped counts over the reference; score
+    is array-zip bigrams, one model join, one per-doc aggregate; per-bigram
+    log-probs round to 6 decimals into DECIMAL before summing, so the result
+    is cross-engine exact). Documents below a threshold on avg_logp are the
+    out-of-distribution / boilerplate candidates a corpus gate drops."""
+    from datapipelines_spark.operators.lm import bigram_lm_score
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 7 == 0)
+    return bigram_lm_score(d, ref, "text", "doc_id").orderBy("doc_id")

@@ -250,3 +250,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.embedding_cosine_pairs_blocked(
         e, vec_col="embedding", id_col="vec_id", threshold=0.45
     ).orderBy("vec_a", "vec_b")
+
+
+@query(
+    "dedup_winnow_fingerprints",
+    oracle="""
+    WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 6)) AS x(i)
+        WHERE len(w) >= 7
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(s) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+        FROM sh
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= max_pos - 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint overlap — local-match detection with the
+    guarantee that any shared run of >= window+k-1 = 10 consecutive tokens
+    yields a shared fingerprint (operators/fingerprint.py, lexicographic
+    robust winnowing so the oracle replicates the selection exactly). The
+    fixture unions an exact copy of every document under a shifted id, so
+    each (doc, copy) pair must surface alongside any natural overlaps; the
+    per-fingerprint sliding minimum is one doc-partitioned window, and the
+    pair join is the inverted-index shape shared with dedup_ngram_jaccard."""
+    from datapipelines_spark.operators.fingerprint import fingerprint_overlap_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = d.unionByName(
+        d.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    return (
+        fingerprint_overlap_pairs(
+            both, "text", "doc_id", k=7, window=4, min_shared=2,
+            max_fp_docs=10_000_000,
+        )
+        .select("doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    )

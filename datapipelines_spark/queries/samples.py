@@ -818,3 +818,130 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_channels").cast("bigint").alias("n_channels"),
         F.round("mean_pixel", 6).alias("mean_pixel"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_tiff_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + (doc_id % 4) * 4 AS BIGINT) AS width,
+           CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           round(((doc_id * 41) % 256) / 255.0, 6) AS mean_pixel
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end: per-doc solid RGB TIFFs are assembled by
+    the pure-Python encoder (operators/tiffcodec.py) in an Arrow pandas UDF
+    — rotating through uncompressed/PackBits/LZW+predictor strips and both
+    byte orders by doc_id — then decoded inside the mapInPandas stage via
+    the magic-byte router. TIFF is lossless, so the mean pixel is checked
+    EXACTLY against the formula."""
+    import pandas as pd
+
+    from datapipelines_spark.operators.multimodal import decode_images, real_decode
+
+    @F.pandas_udf("binary")
+    def make_tiff(doc_id):
+        import numpy as np
+
+        from datapipelines_spark.operators.tiffcodec import encode_tiff
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            w = 8 + (i % 4) * 4
+            h = 8 + (i % 3) * 4
+            c = (i * 41) % 256
+            img = np.full((h, w, 3), c, dtype=np.uint8)
+            mode = i % 3
+            out.append(
+                encode_tiff(
+                    img,
+                    packbits=(mode == 1),
+                    lzw=(mode == 2),
+                    predictor=(mode == 2),
+                    big_endian=bool(i % 2),
+                )
+            )
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select(
+        F.col("doc_id").cast("string").alias("__key__"),
+        make_tiff("doc_id").alias("tif"),
+    )
+    decoded = decode_images(
+        framed, payload_col="tif", key_col="__key__",
+        decode_fn=real_decode, on_error="fail", timeout_s=10.0,
+    )
+    return decoded.select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_spectral_features",
+    oracle="""
+    SELECT doc_id,
+           round((32 + doc_id % 64) * 15.625, 3) AS rolloff_hz,
+           TRUE AS centroid_within_tol,
+           TRUE AS bandwidth_small,
+           TRUE AS flatness_small
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio spectral analysis end-to-end: per-doc WAVs carry a pure
+    sine at an EXACT FFT-bin frequency (bin k = 32 + doc_id % 64 of a
+    1024-sample clip at 16 kHz → f = k·15.625 Hz), synthesized by the
+    pure-numpy WAV encoder in an Arrow pandas UDF and analyzed by the REAL
+    rFFT feature stage (operators/multimodal.py:spectral_audio →
+    operators/audio.py:spectral_features). A bin-exact tone concentrates
+    all power in one bin, so the 85% rolloff lands on the bin frequency
+    EXACTLY; centroid (±0.01 Hz), bandwidth (<2 Hz, int16 quantization
+    noise floor) and flatness (≈0 for a pure tone) are asserted Spark-side
+    as booleans the oracle requires TRUE."""
+    import pandas as pd
+
+    from datapipelines_spark.operators.multimodal import spectral_audio
+
+    @F.pandas_udf("binary")
+    def make_tone(doc_id):
+        import numpy as np
+
+        from datapipelines_spark.operators.audio import encode_wav
+
+        out = []
+        n, sr = 1024, 16000
+        t = np.arange(n)
+        for i in doc_id:
+            k = 32 + int(i) % 64
+            s = np.round(12000.0 * np.sin(2 * np.pi * k * t / n)).astype(
+                np.int16
+            )
+            out.append(encode_wav(s.reshape(-1, 1), sr))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select(
+        F.col("doc_id").cast("string").alias("__key__"),
+        make_tone("doc_id").alias("wav"),
+    )
+    feats = spectral_audio(framed, payload_col="wav", on_error="fail")
+    did = F.col("__key__").cast("bigint")
+    f_expect = (F.lit(32) + did % 64).cast("double") * 15.625
+    return feats.select(
+        did.alias("doc_id"),
+        F.round("rolloff_hz", 3).alias("rolloff_hz"),
+        (F.abs(F.col("centroid_hz") - f_expect) < 0.01).alias(
+            "centroid_within_tol"
+        ),
+        (F.col("bandwidth_hz") < 2.0).alias("bandwidth_small"),
+        (F.col("flatness") < 1e-3).alias("flatness_small"),
+    ).orderBy("doc_id")

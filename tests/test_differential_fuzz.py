@@ -165,3 +165,198 @@ def test_random_query_matches_duckdb(ctx, pred, agg_names, groups):
     d_cols, d_rows = duckdb_result(con, sql)
     assert sorted(s_cols) == sorted(d_cols)
     assert normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows), sql
+
+
+# --- join fuzzing (VERDICT r5 #7): the semantic surface the catalog pins ------
+# only pointwise. Random join TYPE x per-side predicates over
+# orders |X| customer, aggregated to a small deterministic result. Predicates
+# apply BEFORE the join on both engines (subqueries in SQL), mirroring the
+# filtered-then-joined DataFrames.
+
+_SEGMENTS = ("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE")
+_OSTATUS = ("O", "F", "P")
+
+_JOIN_TYPES = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "right": "RIGHT JOIN",
+    "full": "FULL JOIN",
+}
+
+
+def _opred(kind, v):
+    if kind == "price":
+        return (lambda: F.col("o_totalprice") < v, f"o_totalprice < {v}")
+    if kind == "status":
+        s = _OSTATUS[v % len(_OSTATUS)]
+        return (lambda: F.col("o_orderstatus") == s, f"o_orderstatus = '{s}'")
+    d = _DATES[v % len(_DATES)]
+    return (
+        lambda: F.col("o_orderdate") < F.lit(d).cast("date"),
+        f"o_orderdate < DATE '{d}'",
+    )
+
+
+def _cpred(kind, v):
+    if kind == "bal":
+        return (lambda: F.col("c_acctbal") > v, f"c_acctbal > {v}")
+    seg = _SEGMENTS[v % len(_SEGMENTS)]
+    return (lambda: F.col("c_mktsegment") == seg, f"c_mktsegment = '{seg}'")
+
+
+opreds = st.one_of(
+    st.integers(20_000, 200_000).map(lambda v: _opred("price", v)),
+    st.integers(0, 2).map(lambda v: _opred("status", v)),
+    st.integers(0, 3).map(lambda v: _opred("date", v)),
+)
+cpreds = st.one_of(
+    st.integers(-500, 5000).map(lambda v: _cpred("bal", v)),
+    st.integers(0, 4).map(lambda v: _cpred("seg", v)),
+)
+
+
+@pytest.fixture(scope="module")
+def join_ctx(spark):
+    con = duckdb_connection(SF_DIR)
+    yield spark, con, load_table(spark, SF_DIR, "orders"), load_table(
+        spark, SF_DIR, "customer"
+    )
+    con.close()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    how=st.sampled_from(sorted(_JOIN_TYPES) + ["left_semi", "left_anti"]),
+    op=opreds,
+    cp=cpreds,
+)
+def test_random_join_matches_duckdb(join_ctx, how, op, cp):
+    spark, con, orders, customer = join_ctx
+    o_build, o_sql = op
+    c_build, c_sql = cp
+    o = orders.where(o_build())
+    c = customer.where(c_build())
+    joined = o.join(c, o.o_custkey == c.c_custkey, how)
+    if how in ("left_semi", "left_anti"):
+        # only left columns survive: aggregate over orders
+        df = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        exists = "NOT EXISTS" if how == "left_anti" else "EXISTS"
+        sql = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders o
+        WHERE {o_sql} AND {exists} (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+               AND {c_sql})
+        """
+    else:
+        # count both sides' keys: outer joins emit NULLs the COUNTs must
+        # skip identically on both engines
+        df = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.count("c_custkey").alias("n_cust_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        sql = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(c_custkey) AS BIGINT) AS n_cust_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM (SELECT * FROM orders WHERE {o_sql}) o
+        {_JOIN_TYPES[how]} (SELECT * FROM customer WHERE {c_sql}) c
+          ON o.o_custkey = c.c_custkey
+        """
+    s_cols, s_rows = spark_result(df)
+    d_cols, d_rows = duckdb_result(con, sql)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows), sql
+
+
+# --- window-frame fuzzing: random partition x order x ROWS frame x function ---
+# Every ordering includes the unique (l_orderkey, l_linenumber) tiebreak so
+# ROWS frames are deterministic under ties; rank functions depend only on the
+# order spec. Row-level outputs compared in full at sf0.001.
+
+_PARTS = [("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")]
+_ORDERS = ["l_shipdate", "l_extendedprice", "l_quantity"]
+_STARTS = [None, -3, -1, 0]  # None = UNBOUNDED PRECEDING
+_ENDS = [0, 1, 3, None]  # None = UNBOUNDED FOLLOWING
+
+
+def _frame_sql(start, end):
+    lo = "UNBOUNDED PRECEDING" if start is None else (
+        "CURRENT ROW" if start == 0 else f"{-start} PRECEDING"
+    )
+    hi = "UNBOUNDED FOLLOWING" if end is None else (
+        "CURRENT ROW" if end == 0 else f"{end} FOLLOWING"
+    )
+    return f"ROWS BETWEEN {lo} AND {hi}"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    part=st.sampled_from(_PARTS),
+    order=st.sampled_from(_ORDERS),
+    start=st.sampled_from(_STARTS),
+    end=st.sampled_from(_ENDS),
+    fn=st.sampled_from(["sum", "count", "min", "max", "rank", "dense_rank",
+                        "row_number", "lag"]),
+)
+def test_random_window_frame_matches_duckdb(ctx, part, order, start, end, fn):
+    from pyspark.sql import Window
+
+    spark, con, li = ctx
+    order_cols = [order, "l_orderkey", "l_linenumber"]
+    win = Window.partitionBy(*part).orderBy(*order_cols)
+    frame_sql = ""
+    if fn in ("sum", "count", "min", "max"):
+        lo = Window.unboundedPreceding if start is None else start
+        hi = Window.unboundedFollowing if end is None else end
+        win = win.rowsBetween(lo, hi)
+        frame_sql = " " + _frame_sql(start, end)
+        val = F.col("l_quantity").cast("decimal(18,2)")
+        col = {
+            "sum": F.sum(val).over(win).cast("double"),
+            "count": F.count(F.lit(1)).over(win),
+            "min": F.min(val).over(win).cast("double"),
+            "max": F.max(val).over(win).cast("double"),
+        }[fn]
+        sql_expr = {
+            "sum": "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)",
+            "count": "CAST(COUNT(*) OVER w AS BIGINT)",
+            "min": "CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)",
+            "max": "CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)",
+        }[fn]
+    elif fn == "lag":
+        col = F.lag(F.col("l_quantity").cast("decimal(18,2)"), 2).over(win).cast("double")
+        sql_expr = "CAST(LAG(CAST(l_quantity AS DECIMAL(18,2)), 2) OVER w AS DOUBLE)"
+    else:
+        col = getattr(F, fn)().over(win).cast("long")
+        sql_expr = f"CAST({fn.upper()}() OVER w AS BIGINT)"
+    df = li.select("l_orderkey", "l_linenumber", col.alias("w_val"))
+    sql = f"""
+    SELECT l_orderkey, l_linenumber, {sql_expr} AS w_val
+    FROM lineitem
+    WINDOW w AS (PARTITION BY {', '.join(part)}
+                 ORDER BY {', '.join(order_cols)}{frame_sql})
+    """
+    s_cols, s_rows = spark_result(df)
+    d_cols, d_rows = duckdb_result(con, sql)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows), sql

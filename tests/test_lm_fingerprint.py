@@ -1,0 +1,96 @@
+"""Bigram LM scoring (operators/lm.py) and winnowing fingerprints
+(operators/fingerprint.py): the perplexity-filter ordering properties and
+the winnowing match guarantee."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datapipelines_spark.operators.fingerprint import (
+    fingerprint_overlap_pairs,
+    winnow_fingerprints,
+)
+from datapipelines_spark.operators.lm import bigram_lm_score
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_reference_doc_scores_highest(spark):
+    rows = [
+        (1, "the cat sat on the mat and the cat sat on the mat again"),
+        (2, "the cat sat on the mat and then walked away slowly today"),
+        (3, "zq xw vv uu tt ss rr qq pp oo nn mm ll kk"),
+    ]
+    df = _df(spark, rows)
+    got = {
+        r["doc_id"]: r["avg_logp"]
+        for r in bigram_lm_score(df, df.where("doc_id = 1"), "text", "doc_id").collect()
+    }
+    assert got[1] > got[2] > got[3]  # in-dist > partial overlap > pure OOV
+
+
+def test_lm_short_docs_drop_and_counts_match(spark):
+    df = _df(spark, [(1, "one two three"), (2, "single")])
+    out = bigram_lm_score(df, df, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in out} == {1}  # <2 tokens -> no bigrams
+    assert out[0]["n_bigrams"] == 2
+
+
+def test_lm_deterministic_across_partitionings(spark):
+    rows = [(i, f"w{i % 5} w{(i * 3) % 7} w{i % 5} w{(i + 1) % 4}") for i in range(40)]
+    df = _df(spark, rows)
+    a = sorted(bigram_lm_score(df, df.where("doc_id % 3 = 0"), "text", "doc_id").collect())
+    b = sorted(
+        bigram_lm_score(
+            df.repartition(7), df.where("doc_id % 3 = 0"), "text", "doc_id"
+        ).collect()
+    )
+    assert a == b  # decimal-exact sums: partitioning-independent
+
+
+def test_winnow_copy_shares_all_fingerprints(spark):
+    import pyspark.sql.functions as F
+
+    text = "a b c d e f g h i j k l m n o p q r s t"
+    df = _df(spark, [(1, text), (2, text)])
+    fps = winnow_fingerprints(df, "text", "doc_id", k=3, window=2)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] == by_doc[2]
+
+
+def test_winnow_too_short_doc_has_no_fingerprints(spark):
+    # window+k-1 = 2+3-1 = 4 tokens minimum for one complete window of
+    # 2 shingle positions
+    df = _df(spark, [(1, "a b c"), (2, "a b c d")])
+    out = winnow_fingerprints(df, "text", "doc_id", k=3, window=2).collect()
+    assert {r["doc_id"] for r in out} == {2}
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000), run_len=st.integers(10, 16))
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark, seed, run_len):
+    """Schleimer et al. Theorem: a common run of >= window+k-1 tokens
+    (k=7, window=4 -> 10) between two documents guarantees at least one
+    shared fingerprint."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    run = " ".join(rng.choice(vocab, run_len))
+    pre_a = " ".join(rng.choice(vocab, int(rng.integers(0, 20))))
+    post_a = " ".join(rng.choice(vocab, int(rng.integers(0, 20))))
+    pre_b = " ".join(rng.choice(vocab, int(rng.integers(0, 20))))
+    post_b = " ".join(rng.choice(vocab, int(rng.integers(0, 20))))
+    doc_a = " ".join(x for x in (pre_a, run, post_a) if x)
+    doc_b = " ".join(x for x in (pre_b, run, post_b) if x)
+    df = _df(spark, [(1, doc_a), (2, doc_b)])
+    pairs = fingerprint_overlap_pairs(
+        df, "text", "doc_id", k=7, window=4, min_shared=1
+    ).collect()
+    assert len(pairs) == 1 and pairs[0]["n_shared"] >= 1
