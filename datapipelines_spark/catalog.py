@@ -162,6 +162,7 @@ PRIORITY_50: tuple[str, ...] = (
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "quality_lm_perplexity",  # added r6 after the window was pinned
     "dedup_winnow_fingerprints",
+    "text_heavy_hitter_tokens",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

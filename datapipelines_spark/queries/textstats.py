@@ -290,3 +290,35 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     return ops.bm25_search(d, qterms, "text", "doc_id", top_k=10).orderBy("rank")
+
+
+@query(
+    "text_heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT item,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(COUNT(*) AS DOUBLE) / total, 6) AS share
+    FROM toks CROSS JOIN tot
+    GROUP BY item, total
+    HAVING COUNT(*) > 0.01::DOUBLE * total
+    ORDER BY item
+    """,
+)
+def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens above 1% frequency) via the
+    find-then-verify pattern (operators/sketch.py): a Misra-Gries-family
+    freqItems scan proposes a bounded candidate SUPERSET with no
+    full-vocabulary shuffle, then exact counts over the broadcast-filtered
+    candidates make the result exact — matching the brute-force SQL. The
+    threshold multiplication is double on both engines, so the boundary
+    behaves identically."""
+    from datapipelines_spark.operators.sketch import heavy_hitters
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return heavy_hitters(toks, "token", support=0.01).orderBy("item")
