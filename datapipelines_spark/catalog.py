@@ -163,6 +163,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "quality_lm_perplexity",  # added r6 after the window was pinned
     "dedup_winnow_fingerprints",
     "text_heavy_hitter_tokens",
+    "stream_minhash_bands_replay",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

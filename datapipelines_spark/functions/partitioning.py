@@ -81,6 +81,11 @@ def parallelize_small(df: DataFrame, min_partitions: int | None = None) -> DataF
     be squeezed to ``defaultParallelism``. Correct-at-scale beats saving
     one planning pass.
     """
+    if df.isStreaming:
+        # a streaming plan has no .rdd to probe and its micro-batch
+        # parallelism is the source's to decide; the widen-if-narrow check
+        # is a batch concern
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if plan_width(df) >= target:
         return df

@@ -307,3 +307,35 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_bands_oracle() -> str:
+    """DuckDB SQL for the DISTINCT (band_id, band_key) set of the corpus —
+    the LSH bucket keys, shared with the streaming replay query
+    (queries/streamrep.py:stream_minhash_bands_replay)."""
+    h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    mins = ",\n            ".join(
+        f"MIN(({a} * {h} + {b}) % {ops.MERSENNE_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH.coefficients())
+    )
+    band_rows = _MINHASH.num_hashes // _MINHASH.bands
+    band_exprs = []
+    for b in range(_MINHASH.bands):
+        cols = " || '-' || ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(b * band_rows, (b + 1) * band_rows)
+        )
+        band_exprs.append(f"SELECT {b} AS band_id, md5({cols}) AS band_key FROM sig")
+    bands = "\n        UNION ALL\n        ".join(band_exprs)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+            {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    )
+    SELECT DISTINCT CAST(band_id AS INT) AS band_id, band_key
+    FROM bands ORDER BY band_id, band_key
+    """

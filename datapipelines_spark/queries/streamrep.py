@@ -350,3 +350,51 @@ def stream_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, _sink_name("stream_static_join"), output_mode="append"
     )
     return out.orderBy("window_start_us", "c_mktsegment")
+
+
+def _minhash_bands_oracle() -> str:
+    from datapipelines_spark.queries.dedup import minhash_bands_oracle
+
+    return minhash_bands_oracle()
+
+
+@query("stream_minhash_bands_replay", oracle=_minhash_bands_oracle())
+def stream_minhash_bands_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup bucket construction: MinHash(16) signatures and
+    LSH(4x4) band keys computed with pure JVM expressions on a bounded
+    document replay, deduplicated on (band_id, band_key) in append mode —
+    the incremental half of the batch dedup_minhash_lsh pipeline (a new
+    document whose band key hits existing state is a near-dup candidate;
+    here the emitted DISTINCT bucket-key SET is the oracle-checkable part,
+    independent of arrival order). State is one fixed-width 32-byte key per
+    bucket ever seen — the same footprint as the batch shuffle keys; a
+    production deployment bounds it with a watermark on ingest time."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from datapipelines_spark.operators.dedup import lsh_band_keys, minhash_signatures
+    from datapipelines_spark.queries.dedup import _MINHASH
+    from datapipelines_spark.streaming.windows import stage_file_as_dir
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    path = stage_file_as_dir(os.path.join(sf_dir, "documents.parquet"))
+    raw = spark.readStream.schema(schema).parquet(path)
+    sig = minhash_signatures(raw, "text", "doc_id", _MINHASH, impl="expr")
+    bands = (
+        lsh_band_keys(sig, "doc_id", _MINHASH)
+        .select(F.col("band_id").cast("int").alias("band_id"), "band_key")
+        .dropDuplicates(["band_id", "band_key"])
+    )
+    out = run_bounded_to_memory(
+        bands, _sink_name("stream_minhash_bands"), output_mode="append"
+    )
+    return out.orderBy("band_id", "band_key")

@@ -59,3 +59,8 @@ def test_parallelize_small_is_floor_not_coalesce(spark):
     assert widened.rdd.getNumPartitions() >= 4
     wide = spark.range(100).repartition(8)
     assert parallelize_small(wide, min_partitions=4) is wide
+
+
+def test_parallelize_small_passes_streaming_frames_through(spark):
+    stream = spark.readStream.format("rate").load()
+    assert parallelize_small(stream, min_partitions=64) is stream
