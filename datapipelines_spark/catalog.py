@@ -164,6 +164,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "dedup_winnow_fingerprints",
     "text_heavy_hitter_tokens",
     "stream_minhash_bands_replay",
+    "sample_weighted_topk",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

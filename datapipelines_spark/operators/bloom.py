@@ -147,7 +147,11 @@ def contamination_overlap_bloom(
     """
     from datapipelines_spark.operators.dedup import word_shingles
 
-    ev = word_shingles(eval_df, text_col, id_col, n).select("s").distinct()
+    # NO .distinct() on the eval side: OR-ing a bit twice is idempotent, so
+    # deduplicating the n-grams first would add a full shuffle purely to
+    # shrink the sizing count. The raw count is an upper bound on distinct
+    # items — it only oversizes the filter (lower fpp), never undersizes.
+    ev = word_shingles(eval_df, text_col, id_col, n).select("s")
     if expected_items is None:
         expected_items = ev.count()
     num_bits = optimal_bits(expected_items, fpp)

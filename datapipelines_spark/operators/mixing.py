@@ -149,3 +149,38 @@ def sample_n_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    seed: int | str = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): the k rows with the largest ``u^(1/w)`` — equivalently
+    the largest ``ln(u)/w`` — where u is a data-derived uniform in (0, 1].
+    Each row's inclusion probability is proportional to its weight, the
+    classic primitive for quality-weighted corpus subsampling and mixture
+    construction.
+
+    Scale shape: one JVM-side expression per row and a global top-k
+    (TakeOrderedAndProject: per-partition k-row heaps, driver merge) —
+    no shuffle of the corpus, no RNG state. The uniform comes from
+    ``portable_hash_seeded`` (functions/hashing.py), so the sample is
+    retry-stable, partitioning-independent, and replicable in SQL; the sort
+    key is rounded to 12 decimals to make the cross-engine ordering immune
+    to 1-ulp libm differences in ln(). Rows with non-positive weight are
+    excluded (their inclusion probability is zero).
+
+    Emits the input columns plus ``sample_key`` (the rounded order key).
+    """
+    u = (portable_hash_seeded(F.col(key_col), seed) + 1) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(key_col))
+        .limit(k)
+    )

@@ -244,3 +244,34 @@ def sample_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_n_per_group(d, strata_col="lang", key_col="doc_id", n=10).select(
         "doc_id", "lang"
     ).orderBy("doc_id")
+
+
+@query(
+    "sample_weighted_topk",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(ln((CAST('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) + 1) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE), 12) AS sample_key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, operators/mixing.py:weighted_sample_topk): 50 documents
+    drawn with probability proportional to length. The data-derived uniform
+    makes the draw retry-stable and SQL-replicable; the top-k is a
+    TakeOrderedAndProject, so the corpus never shuffles."""
+    from datapipelines_spark.operators.mixing import weighted_sample_topk
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(d, "n_chars", "doc_id", k=50, seed=42).select(
+        "doc_id", "n_chars", "sample_key"
+    )
