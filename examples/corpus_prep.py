@@ -1,9 +1,11 @@
 """End-to-end training-corpus preparation: the 100 TB workflow at toy scale.
 
-quality filter (heuristic + compression-ratio + learned NB gate)
+quality filter (heuristic + compression-ratio + learned NB gate
++ bigram-LM perplexity gate)
 -> exact dedup -> near-dup dedup (MinHash+LSH clusters)
--> embedding near-dup (IVF-prefiltered GEMM)
+-> winnowing local-match audit -> embedding near-dup (IVF-prefiltered GEMM)
 -> benchmark decontamination (Bloom bitmap, the beyond-broadcast path)
+-> heavy-hitter token report -> length-weighted budget subsample
 -> sequence packing -> summary.
 
 Every stage is a composable DataFrame operator from datapipelines_spark
@@ -68,6 +70,17 @@ def main() -> None:
     scores = nb_score(docs, weights, "text", "doc_id")
     n1b = docs.count()
 
+    # 1d. perplexity gate (CCNet recipe): average bigram log-likelihood
+    #     under an LM trained on the clean slice; far-out-of-distribution
+    #     docs are boilerplate / wrong-language candidates
+    from datapipelines_spark.operators.lm import bigram_lm_score
+
+    lm = bigram_lm_score(docs, docs.where(F.col("lang") == "en"), "text", "doc_id")
+    docs = docs.join(
+        lm.where(F.col("avg_logp") > -12.0).select("doc_id"), "doc_id"
+    )
+    n1c = docs.count()
+
     # 2. exact dedup (content hash, min-id survivor)
     docs = drop_exact_duplicates(docs, text_col="text", id_col="doc_id")
     n2 = docs.count()
@@ -83,6 +96,15 @@ def main() -> None:
     )
     docs = docs.join(drop, "doc_id", "left_anti")
     n3 = docs.count()
+
+    # 3a'. local-match audit: winnowing fingerprints witness shared runs of
+    #      >= 10 consecutive tokens (sub-document boilerplate the doc-level
+    #      passes above cannot see; heavy sharers feed the CDC chunk dedup)
+    from datapipelines_spark.operators.fingerprint import fingerprint_overlap_pairs
+
+    n_local_pairs = fingerprint_overlap_pairs(
+        docs, "text", "doc_id", k=7, window=4, min_shared=2
+    ).count()
 
     # 3b. embedding-level near-dup: IVF cells prefilter the exact GEMM so
     #     work is sum of squared cell sizes, not n^2 (prefilter='ivf')
@@ -106,6 +128,25 @@ def main() -> None:
     docs = docs.where(~is_eval).join(contaminated, "doc_id", "left_anti")
     n4 = docs.count()
 
+    # 4b. corpus health report: exact heavy-hitter tokens (find-then-verify,
+    #     no full-vocabulary shuffle) — runaway boilerplate tokens show here
+    from datapipelines_spark.operators.sketch import heavy_hitters
+
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    n_heavy = heavy_hitters(toks, "token", support=0.01).count()
+
+    # 4c. budget subsample: draw a fixed-size training subset with
+    #     probability proportional to length (Efraimidis-Spirakis, retry-
+    #     stable) — swap the weight for a quality score in production
+    from datapipelines_spark.operators.mixing import weighted_sample_topk
+
+    subset = weighted_sample_topk(
+        docs.withColumn("n_chars", F.length("text")), "n_chars", "doc_id",
+        k=max(1, n4 // 2),
+    )
+    docs = subset.drop("sample_key", "n_chars") if n4 > 4 else docs
+    n4b = docs.count()
+
     # 5. sequence packing: 2048-token packs per source
     packed = pack_sequences(
         docs.select(
@@ -124,10 +165,14 @@ def main() -> None:
     print(f"documents:        {n0}")
     print(f"after quality:    {n1}")
     print(f"after ratio+NB:   {n1b} (NB-scored: {scores.count()})")
+    print(f"after perplexity: {n1c}")
     print(f"embedding pairs:  {n_emb_pairs} (IVF-prefiltered)")
+    print(f"local-match pairs:{n_local_pairs} (winnowing)")
     print(f"after exact dedup:{n2}")
     print(f"after near-dup:   {n3}")
     print(f"after decontam:   {n4}")
+    print(f"heavy tokens >1%: {n_heavy}")
+    print(f"after subsample:  {n4b} (length-weighted)")
     print(f"packs (2048 tok): {n_packs}")
     summary.orderBy("source", "pack_id").show(10, truncate=False)
 
