@@ -165,6 +165,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "text_heavy_hitter_tokens",
     "stream_minhash_bands_replay",
     "sample_weighted_topk",
+    "upsert_orders_snapshot",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

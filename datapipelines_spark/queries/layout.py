@@ -302,3 +302,58 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "upsert_orders_snapshot",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN round(o_totalprice + 1000.0, 2)
+                ELSE round(o_totalprice, 2) END AS price,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'restated' ELSE 'base' END
+               AS price_source
+    FROM orders
+    WHERE o_orderkey % 17 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read upsert table (sinks/upsert.py) end-to-end: a base
+    version of every order, a delta restating prices for o_orderkey % 10 = 0
+    (+1000, tagged 'restated'), and a tombstone delta deleting
+    o_orderkey % 17 = 0 land as three immutable v=N parquet versions; the
+    latest-wins snapshot read (one key-window over version-partition
+    discovery) must equal the final state DuckDB computes directly from the
+    original table. Scratch-dir writes are rebuilt only when the version
+    layout is absent/stale, so repeated builder runs reuse the table the
+    way a real session would."""
+    import shutil
+
+    from datapipelines_spark.sinks.upsert import (
+        _versions,
+        read_merged,
+        upsert_write,
+    )
+
+    out = _scratch(sf_dir, "orders_upsert")
+    if _versions(out) != [0, 1, 2]:
+        shutil.rmtree(out, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+            F.lit("base").alias("price_source"),
+        )
+        upsert_write(orders, out)
+        upsert_write(
+            orders.where(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey",
+                F.round(F.col("price") + 1000.0, 2).alias("price"),
+                F.lit("restated").alias("price_source"),
+            ),
+            out,
+        )
+        upsert_write(
+            orders.where(F.col("o_orderkey") % 17 == 0), out, delete=True
+        )
+    return read_merged(spark, out, ["o_orderkey"]).orderBy("o_orderkey")

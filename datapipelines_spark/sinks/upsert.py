@@ -1,0 +1,104 @@
+"""Merge-on-read upsert table on plain parquet — keyed mutation without a
+table format.
+
+Plain ``parquet`` directories are append/overwrite-only; pipelines that
+need keyed corrections (late metadata fixes, tombstoned documents, quality
+re-scores) usually reach for a lakehouse format. The merge-on-read pattern
+those formats implement (Hudi MOR / Iceberg v2 position-less equality
+deletes, both public designs) is itself expressible on bare parquet:
+
+  write:   every ``upsert_write`` lands a new immutable delta under
+           ``v=N/`` (monotonic version partition dirs); deletes are rows
+           with a ``__deleted`` tombstone flag;
+  read:    partition discovery yields the version column for free; the
+           snapshot is latest-version-wins per key — ONE window (or the
+           equivalent max-version semi-join) keyed on the primary key —
+           minus tombstones;
+  compact: rewrite the merged snapshot as a new base and drop history, so
+           read cost returns to a plain scan.
+
+Scale shape: deltas are small next to the base, so the merge shuffle
+carries base-size rows exactly once (the same cost a table format's MOR
+read pays); versions are coarse-grained directories, so planning stays
+O(#versions), and compaction bounds #versions. Readers racing a writer see
+a consistent PREFIX of versions (directories appear atomically on rename-
+capable filesystems); on object stores a manifest would pin the version
+list — out of scope here, as for any single-writer pipeline sink.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+DELETED_COL = "__deleted"
+VERSION_COL = "__v"
+
+
+def _versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def upsert_write(df: DataFrame, path: str, *, delete: bool = False) -> int:
+    """Land ``df`` as the next delta version; returns the version number.
+
+    ``delete=True`` writes the rows as tombstones (only the key columns
+    need real values). Rows in later versions fully replace same-key rows
+    from earlier versions at read time."""
+    version = (_versions(path)[-1] + 1) if _versions(path) else 0
+    (
+        df.withColumn(DELETED_COL, F.lit(bool(delete)))
+        .write.mode("errorifexists")
+        .parquet(os.path.join(path, f"v={version}"))
+    )
+    return version
+
+
+def read_merged(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
+    """Latest-version-wins snapshot of the upsert table, tombstones applied.
+
+    One window over the key: rows are already colocated by the merge
+    shuffle, so dedup and tombstone filtering share a single exchange."""
+    raw = spark.read.option("basePath", path).parquet(path)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("v"))
+    return (
+        raw.withColumn(VERSION_COL, F.row_number().over(w))
+        .where((F.col(VERSION_COL) == 1) & ~F.col(DELETED_COL))
+        .drop(VERSION_COL, DELETED_COL, "v")
+    )
+
+
+def compact(spark: SparkSession, path: str, key_cols: list[str]) -> int:
+    """Fold every delta into a fresh base version and remove history;
+    returns the new (single) version number. Read cost afterwards is a
+    plain scan of one directory until new deltas land."""
+    import shutil
+
+    merged = read_merged(spark, path, key_cols)
+    staging = path.rstrip("/") + ".compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    new_version = _versions(path)[-1] + 1
+    (
+        merged.withColumn(DELETED_COL, F.lit(False))
+        .write.mode("overwrite")
+        .parquet(os.path.join(staging, f"v={new_version}"))
+    )
+    # swap: move the compacted base in, drop old versions
+    for v in _versions(path):
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    os.rename(
+        os.path.join(staging, f"v={new_version}"),
+        os.path.join(path, f"v={new_version}"),
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return new_version
