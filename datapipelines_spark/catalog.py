@@ -166,6 +166,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "stream_minhash_bands_replay",
     "sample_weighted_topk",
     "upsert_orders_snapshot",
+    "quality_constraint_checks",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -357,3 +357,63 @@ def upsert_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.where(F.col("o_orderkey") % 17 == 0), out, delete=True
         )
     return read_merged(spark, out, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+@query(
+    "quality_constraint_checks",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               round(CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*), 6)
+                   AS custkey_completeness,
+               CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS orderkey_distinct,
+               COUNT(DISTINCT o_orderkey) = COUNT(o_orderkey) AS orderkey_unique,
+               CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS price_violations,
+               CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS status_violations
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'completeness' AS "constraint", 'o_custkey' AS "column",
+               custkey_completeness AS observed,
+               custkey_completeness >= 1.0 AS passed FROM t
+        UNION ALL
+        SELECT 'uniqueness', 'o_orderkey', orderkey_distinct, orderkey_unique
+        FROM t
+        UNION ALL
+        SELECT 'bounds', 'o_totalprice', price_violations,
+               price_violations = 0 FROM t
+        UNION ALL
+        SELECT 'accepted_values', 'o_orderstatus', status_violations,
+               status_violations = 0 FROM t
+    ) ORDER BY "constraint"
+    """,
+)
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style validation gate (operators/checks.py): four constraints
+    — o_custkey completeness, o_orderkey uniqueness, o_totalprice bounds,
+    o_orderstatus accepted domain — compiled into ONE aggregate pass over
+    orders (adding a check adds a column to the same scan, never a new
+    job) and emitted as one (constraint, column, observed, passed) row
+    each, matching the hand-written SQL measures."""
+    from datapipelines_spark.operators.checks import (
+        accepted_values,
+        bounds,
+        check_constraints,
+        completeness,
+        uniqueness,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check_constraints(
+        orders,
+        [
+            completeness("o_custkey", 1.0),
+            uniqueness("o_orderkey"),
+            bounds("o_totalprice", 0, 1_000_000),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+        ],
+    ).orderBy("constraint")
