@@ -87,9 +87,17 @@ HEADLINE = [
     "quality_nb_classifier",
     "text_bm25_search",
     "graph_pagerank_trade",
-    # r6 addition: Bloom decontamination (comparable exact-join work on the
-    # oracle side, unlike the invariant-style boolean queries)
+    # r6 additions: Bloom decontamination, perplexity filter, winnowing,
+    # heavy hitters, weighted sampling, MOR upsert, constraint gate — all
+    # with comparable real work on the oracle side (the invariant-style
+    # boolean queries stay out: their oracles are trivial SELECT TRUEs)
     "decontaminate_bloom",
+    "quality_lm_perplexity",
+    "dedup_winnow_fingerprints",
+    "text_heavy_hitter_tokens",
+    "sample_weighted_topk",
+    "upsert_orders_snapshot",
+    "quality_constraint_checks",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

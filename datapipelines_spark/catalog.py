@@ -167,6 +167,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "sample_weighted_topk",
     "upsert_orders_snapshot",
     "quality_constraint_checks",
+    "graph_triangle_interactions",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -245,3 +245,62 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, n_triangles) for every node in an undirected pair graph.
+
+    Degree-ordered orientation (the standard compact-forward scheme, e.g.
+    Schank/Wagner "Finding, Counting and Listing All Triangles in Large
+    Graphs"): each undirected edge is directed from its lower-(degree, id)
+    endpoint to the higher, every triangle then has exactly ONE wedge
+    a->b, a->c with a the minimum-key vertex, and the wedge join's fan-out
+    is bounded by the maximum ORIENTED out-degree — O(sqrt(m)) on skewed
+    graphs instead of the max raw degree, which is what keeps a hub node
+    from going quadratic at web scale. Plan: two self-joins on oriented
+    edges (wedge build + closing-edge check), then an explode over the
+    three member roles and one count aggregate.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation key: (degree, id) — total order, ties broken by id
+    ek = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = ek.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).persist()
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    # the closing edge may be oriented either way between x and y
+    closing = oriented.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tris = wedges.join(
+        closing.select(F.col("x"), F.col("y")).distinct(), ["x", "y"]
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    oriented.unpersist()
+    return per_node

@@ -323,3 +323,61 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("rank").cast("double").alias("rank"))
         .orderBy(F.desc("rank"), "nation")
     )
+
+
+@query(
+    "graph_triangle_interactions",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM events a JOIN events b
+          ON date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+         AND minute(a.ts) // 5 = minute(b.ts) // 5
+         AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+    ),
+    t AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT a AS node FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+    )
+    GROUP BY node ORDER BY node
+    """,
+)
+def graph_triangle_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/components.py:triangle_counts,
+    degree-ordered compact-forward enumeration — wedge fan-out bounded by
+    the max ORIENTED out-degree, O(sqrt(m)) on skewed graphs) over the
+    user-interaction graph: users co-active in the same 5-minute bucket
+    with the same event type. The oracle enumerates a<b<c triangles with a
+    plain 3-way self-join; both sides must agree node-for-node."""
+    from datapipelines_spark.operators.components import triangle_counts
+
+    # ts is TIMESTAMP_NTZ: bucket with timezone-free date parts (hour
+    # truncation + 5-minute sub-bucket), identical in Spark and DuckDB
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        F.floor(F.minute(F.col("ts")) / 5).alias("bucket_5m"),
+    )
+    a = ev.select(
+        F.col("user_id").alias("ua"), "event_type", "bucket_hour", "bucket_5m"
+    )
+    b = ev.select(
+        F.col("user_id").alias("ub"), "event_type", "bucket_hour", "bucket_5m"
+    )
+    edges = (
+        a.join(b, ["bucket_hour", "bucket_5m", "event_type"])
+        .where(F.col("ua") < F.col("ub"))
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy("node")

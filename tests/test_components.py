@@ -75,3 +75,52 @@ def test_long_chain_converges_in_log_rounds(spark):
     rows = labels.collect()
     assert len(rows) == 201
     assert {r["component"] for r in rows} == {0}  # one component, min id 0
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    from datapipelines_spark.operators.components import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    # each K4 vertex sits in C(3,2)=3 triangles; the pendant in none
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_triangle_free_graphs(spark):
+    from datapipelines_spark.operators.components import triangle_counts
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
+    assert triangle_counts(star).count() == 0
+
+
+def test_triangle_counts_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from datapipelines_spark.operators.components import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    edges = sorted(
+        {(u, v) for u, v in itertools.combinations(nodes, 2) if rng.random() < 0.4}
+    )
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    expect = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    # duplicate + reversed edges must not change counts
+    noisy = edges + [(v, u) for u, v in edges[:5]] + edges[:3]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expect
