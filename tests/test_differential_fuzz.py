@@ -360,3 +360,142 @@ def test_random_window_frame_matches_duckdb(ctx, part, order, start, end, fn):
     d_cols, d_rows = duckdb_result(con, sql)
     assert sorted(s_cols) == sorted(d_cols)
     assert normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows), sql
+
+
+# --- set-operation fuzzing: random setop x per-side predicates ----------------
+# Projected to low-cardinality columns so INTERSECT/EXCEPT actually overlap;
+# compared as row multisets (GROUP BY all columns + COUNT) so the ALL
+# variants' duplicate semantics are pinned too.
+
+_SETOPS = {
+    "union": "UNION",
+    "unionAll": "UNION ALL",
+    "intersect": "INTERSECT",
+    "intersectAll": "INTERSECT ALL",
+    "exceptAll": "EXCEPT ALL",
+    "subtract": "EXCEPT",
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(op=st.sampled_from(sorted(_SETOPS)), pa=predicates(), pb=predicates())
+def test_random_setop_matches_duckdb(ctx, op, pa, pb):
+    spark, con, li = ctx
+    build_a, sql_a = pa
+    build_b, sql_b = pb
+    proj = ["l_returnflag", "l_linestatus", "qty_band"]
+    banded = li.withColumn(
+        "qty_band", F.floor(F.col("l_quantity") / 10).cast("int")
+    )
+    a = banded.where(build_a()).select(*proj)
+    b = banded.where(build_b()).select(*proj)
+    combined = {
+        "union": a.union(b).distinct,
+        "unionAll": lambda: a.unionAll(b),
+        "intersect": lambda: a.intersect(b),
+        "intersectAll": lambda: a.intersectAll(b),
+        "exceptAll": lambda: a.exceptAll(b),
+        "subtract": lambda: a.subtract(b),
+    }[op]()
+    df = combined.groupBy(*proj).agg(F.count(F.lit(1)).alias("n"))
+    proj_sql = (
+        "l_returnflag, l_linestatus, "
+        "CAST(floor(l_quantity / 10) AS INT) AS qty_band"
+    )
+    sql = f"""
+    SELECT l_returnflag, l_linestatus, qty_band, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT {proj_sql} FROM lineitem WHERE {sql_a}
+        {_SETOPS[op]}
+        SELECT {proj_sql} FROM lineitem WHERE {sql_b}
+    )
+    GROUP BY 1, 2, 3
+    """
+    s_cols, s_rows = spark_result(df)
+    d_cols, d_rows = duckdb_result(con, sql)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows), sql
+
+
+# --- scalar-expression fuzzing: per-row values keyed by the primary key -------
+# Atoms restricted to expressions with identical cross-engine semantics
+# (decimal rounding discipline for arithmetic; positive substring offsets).
+
+_SCALARS = {
+    # double-typed arithmetic compares via floor(x * 10^k): IEEE multiply +
+    # floor are bit-identical across engines, unlike round(double, k) whose
+    # half-way behavior differs at representation boundaries (a real
+    # cross-engine trap this suite pinned; the catalog's decimal-cast
+    # discipline is the production answer)
+    "abs_disc": (
+        lambda: F.floor(F.abs(F.col("l_discount") - 0.05) * 10000).cast("long"),
+        "CAST(floor(abs(l_discount - 0.05) * 10000) AS BIGINT)",
+    ),
+    "mod7": (
+        lambda: F.col("l_partkey") % 7,
+        "l_partkey % 7",
+    ),
+    "concat_flags": (
+        lambda: F.concat_ws("|", "l_returnflag", "l_linestatus"),
+        "l_returnflag || '|' || l_linestatus",
+    ),
+    "lower_flag": (
+        lambda: F.lower(F.concat("l_returnflag", "l_linestatus")),
+        "lower(l_returnflag || l_linestatus)",
+    ),
+    "year_ship": (
+        lambda: F.year("l_shipdate").cast("long"),
+        "CAST(year(l_shipdate) AS BIGINT)",
+    ),
+    "month_ship": (
+        lambda: F.month("l_shipdate").cast("long"),
+        "CAST(month(l_shipdate) AS BIGINT)",
+    ),
+    "date_add30": (
+        lambda: F.date_add(F.col("l_shipdate"), 30),
+        "CAST(l_shipdate AS DATE) + 30",
+    ),
+    "greatest_nums": (
+        lambda: F.floor(
+            F.greatest(F.col("l_quantity"), F.col("l_extendedprice") / 1000.0)
+            * 100
+        ).cast("long"),
+        "CAST(floor(greatest(l_quantity, l_extendedprice / 1000.0) * 100)"
+        " AS BIGINT)",
+    ),
+    "case_qty": (
+        lambda: F.when(F.col("l_quantity") > 25, "big").otherwise("small"),
+        "CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END",
+    ),
+    "coalesce_null": (
+        lambda: F.coalesce(
+            F.when(F.col("l_tax") > 9.0, F.col("l_returnflag")), F.lit("none")
+        ),
+        "COALESCE(CASE WHEN l_tax > 9.0 THEN l_returnflag END, 'none')",
+    ),
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    names=st.lists(
+        st.sampled_from(sorted(_SCALARS)), min_size=1, max_size=4, unique=True
+    ),
+    pred=predicates(),
+)
+def test_random_scalar_exprs_match_duckdb(ctx, names, pred):
+    spark, con, li = ctx
+    build_pred, pred_sql = pred
+    cols = [
+        _SCALARS[n][0]().alias(f"c_{n}") for n in sorted(names)
+    ]
+    sqls = ", ".join(f"{_SCALARS[n][1]} AS c_{n}" for n in sorted(names))
+    df = li.where(build_pred()).select("l_orderkey", "l_linenumber", *cols)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {sqls} FROM lineitem "
+        f"WHERE {pred_sql}"
+    )
+    s_cols, s_rows = spark_result(df)
+    d_cols, d_rows = duckdb_result(con, sql)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalize_rows(s_cols, s_rows) == normalize_rows(d_cols, d_rows), sql
