@@ -87,6 +87,10 @@ HEADLINE = [
     "quality_nb_classifier",
     "text_bm25_search",
     "graph_pagerank_trade",
+    # --- r6 additions below are NOT in R5_COMPARABLE: the aggregate ratio
+    # moves when sub-second queries join the set (composition, not
+    # regression) — the "r5_subset" JSON block keeps a round-over-round
+    # comparable number on the frozen 34-query set ---
     # r6 additions: Bloom decontamination, perplexity filter, winnowing,
     # heavy hitters, weighted sampling, MOR upsert, constraint gate — all
     # with comparable real work on the oracle side (the invariant-style
@@ -109,6 +113,11 @@ HEADLINE = [
 #: at the ~0.5 s scheduler floor where ratios are meaningless.
 SLOW_RATIO = 10.0
 SLOW_MIN_SPARK_SEC = 1.0
+
+#: The frozen r5 headline set (first 34 entries): the aggregate ratio over
+#: exactly these queries is emitted as "r5_subset" so round-over-round
+#: comparisons are composition-independent.
+R5_COMPARABLE = 34
 
 
 def _median(xs: list[float]) -> float:
@@ -255,6 +264,15 @@ def main() -> None:
         out["duckdb_queries"] = {n: round(v, 4) for n, v in duck_per_query.items()}
         out["duckdb_total"] = round(duck_total, 3)
         out["ratio_vs_duckdb"] = round(total_ratio, 3)
+        shared = [n for n in HEADLINE[:R5_COMPARABLE] if n in duck_per_query]
+        sh_spark = sum(per_query[n] for n in shared)
+        sh_duck = sum(duck_per_query[n] for n in shared)
+        out["r5_subset"] = {
+            "queries": len(shared),
+            "spark_total": round(sh_spark, 3),
+            "duckdb_total": round(sh_duck, 3),
+            "ratio": round(sh_spark / sh_duck, 3) if sh_duck else None,
+        }
         out["query_ratios"] = {n: round(r, 2) for n, r in ratios.items()}
         out["slow_queries"] = slow
         # Per-flag evidence: base vs scaled medians, so each flag carries the

@@ -168,6 +168,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "upsert_orders_snapshot",
     "quality_constraint_checks",
     "graph_triangle_interactions",
+    "sim_pq_adc_topk",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -111,6 +111,12 @@ def kmeans_fit(
                 np.add.at(counts, a, 1)
                 np.add.at(sums, a, mat)
             live = np.nonzero(counts)[0]
+            if not len(live):
+                # empty partition: yield NOTHING — an empty frame's "s"
+                # column carries float64 dtype, which Arrow cannot convert
+                # to list<double> (crashed kmeans_fit whenever the input
+                # was narrower than the partition count)
+                return
             yield pd.DataFrame(
                 {"cluster": live.astype("int32"), "n": counts[live], "s": list(sums[live])}
             )

@@ -292,7 +292,16 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture unions an exact copy of every document under a shifted id, so
     each (doc, copy) pair must surface alongside any natural overlaps; the
     per-fingerprint sliding minimum is one doc-partitioned window, and the
-    pair join is the inverted-index shape shared with dedup_ngram_jaccard."""
+    pair join is the inverted-index shape shared with dedup_ngram_jaccard.
+
+    Scale note (why the 4x-scaled bench pass grows super-linearly here):
+    PAIR enumeration is quadratic in duplicate multiplicity BY DEFINITION —
+    replicating every doc r times turns each shared fingerprint's bucket
+    into r(r+1) members and so ~r^2 pairs. That is a property of the output
+    contract, not the plan; production dedup consumes the cluster
+    representation (dedup_clusters) whose output stays linear, and
+    ``max_fp_docs`` caps any corpus-wide-boilerplate bucket (disabled here
+    only for exact oracle parity on the fixture)."""
     from datapipelines_spark.operators.fingerprint import fingerprint_overlap_pairs
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -506,3 +506,122 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64, top_k: int = 5) -> str:
+    """DuckDB replay of the full PQ pipeline: per-subspace 1-iteration
+    k-means from the lowest-id init, argmin encoding, and ADC search for
+    the vec_id % 50 = 0 queries — mirroring operators/pq.py exactly
+    (same init, tie, and summation-order rules)."""
+    sub = dim // m
+    parts: list[str] = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        d0 = (
+            f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+            f"(s{j}.sv[i] - c0_{j}.c[i]) * (s{j}.sv[i] - c0_{j}.c[i])))"
+        )
+        d1 = (
+            f"list_sum(list_transform(range(1, {sub + 1}), i -> "
+            f"(s{j}.sv[i] - c1_{j}.c[i]) * (s{j}.sv[i] - c1_{j}.c[i])))"
+        )
+        parts.append(
+            f"s{j} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e)"
+        )
+        parts.append(
+            f"c0_{j} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, "
+            f"sv AS c FROM s{j} ORDER BY vec_id LIMIT {k})"
+        )
+        parts.append(
+            f"""a{j} AS (
+                SELECT vec_id, sv, cl FROM (
+                    SELECT s{j}.vec_id, s{j}.sv, c0_{j}.cl,
+                           row_number() OVER (PARTITION BY s{j}.vec_id
+                                              ORDER BY {d0} ASC, c0_{j}.cl ASC)
+                               AS rn
+                    FROM s{j} CROSS JOIN c0_{j}
+                ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""c1_{j} AS (
+                SELECT c0_{j}.cl, COALESCE(mu.c, c0_{j}.c) AS c
+                FROM c0_{j} LEFT JOIN (
+                    SELECT cl, array_agg(mval ORDER BY pos) AS c
+                    FROM (SELECT cl, i.range AS pos, AVG(sv[i.range]) AS mval
+                          FROM a{j}, range(1, {sub + 1}) i GROUP BY cl, i.range)
+                    GROUP BY cl
+                ) mu ON mu.cl = c0_{j}.cl
+            )"""
+        )
+        parts.append(
+            f"""code{j} AS (
+                SELECT vec_id, cl AS code FROM (
+                    SELECT s{j}.vec_id, c1_{j}.cl,
+                           row_number() OVER (PARTITION BY s{j}.vec_id
+                                              ORDER BY {d1} ASC, c1_{j}.cl ASC)
+                               AS rn
+                    FROM s{j} CROSS JOIN c1_{j}
+                ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""qt{j} AS (
+                SELECT s{j}.vec_id AS query_id, c1_{j}.cl, {d1} AS d
+                FROM s{j} CROSS JOIN c1_{j}
+                WHERE s{j}.vec_id % 50 = 0
+            )"""
+        )
+    code_joins = "\n        ".join(
+        f"JOIN code{j} ON code{j}.vec_id = cand.vec_id" for j in range(m)
+    )
+    qt_joins = "\n        ".join(
+        f"JOIN qt{j} ON qt{j}.query_id = q.query_id AND qt{j}.cl = code{j}.code"
+        for j in range(m)
+    )
+    # sequential left-to-right addition mirrors the engine's per-subspace
+    # accumulation order
+    adist = " + ".join(f"qt{j}.d" for j in range(m))
+    parts.append(
+        f"""scored AS (
+            SELECT q.query_id, cand.vec_id, {adist} AS adist
+            FROM (SELECT DISTINCT vec_id AS query_id FROM e
+                  WHERE vec_id % 50 = 0) q
+            CROSS JOIN (SELECT vec_id FROM e) cand
+            {code_joins}
+            {qt_joins}
+        )"""
+    )
+    cte = ",\n    ".join(parts)
+    return f"""
+    WITH {cte}
+    SELECT query_id, vec_id, adist, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {top_k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_pq_adc_topk", oracle=_pq_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (operators/pq.py): TRAIN 4
+    subspace codebooks (16 dims each, k=4, one deterministic Lloyd
+    iteration) -> ENCODE every vector to 4 argmin codes in one Arrow pass
+    -> SEARCH the vec_id % 50 = 0 queries by asymmetric distance (M table
+    lookups per candidate, no float vector touched at scan time), top-5
+    per query. The oracle replays training, encoding and ADC in SQL with
+    the same init/tie/summation-order rules."""
+    from datapipelines_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(e, "embedding", "vec_id", m=4, k=4, max_iter=1)
+    codes = pq_encode(e, "embedding", "vec_id", books)
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(
+        codes, books, queries, "embedding", "vec_id", top_k=5
+    ).orderBy("query_id", "rank")

@@ -66,3 +66,20 @@ def test_kmeans_requires_k_rows(spark):
     tiny = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, v array<double>")
     with pytest.raises(ValueError, match="need at least k"):
         kmeans_fit(tiny, "v", "vec_id", k=4)
+
+
+def test_kmeans_input_narrower_than_partition_count(spark):
+    """Regression: empty partitions in the partials stage used to emit an
+    empty frame whose float64 "s" column Arrow cannot convert to
+    list<double> — any input with fewer rows than partitions crashed."""
+    import numpy as np
+
+    from datapipelines_spark.operators.clustering import kmeans_fit
+
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, iters = kmeans_fit(
+        df.repartition(16), "embedding", "vec_id", k=2, max_iter=2, tol=0.0
+    )
+    assert cents.shape == (2, 4) and iters == 2
