@@ -3,7 +3,9 @@ toy scale.
 
 train (distributed Lloyd's k-means) -> index (assign vectors to learned IVF
 cells) -> search (probe the nearest cells, exact cosine within) -> compare
-against the exact BLAS top-k ground truth to report recall.
+against the exact BLAS top-k ground truth to report recall -> compress the
+index with product quantization and report the ADC recall at 32x smaller
+index bytes.
 
 Every stage is a composable operator from datapipelines_spark — the same
 ones the oracle-checked catalog queries (kmeans_centroids_2iter,
@@ -71,6 +73,34 @@ def main(sf_dir: str) -> None:
     print(
         f"probe-1 recall vs exact: {reachable}/{len(exact)} "
         f"({reachable / max(len(exact), 1):.1%}) — raise probes for more"
+    )
+
+    # 4) COMPRESS: product quantization — the index drops from 4*D bytes of
+    #    floats per vector to M single-byte codes; search never touches a
+    #    float vector (asymmetric-distance table lookups)
+    from datapipelines_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
+
+    # L2-normalize first so ADC's squared-euclidean ranking coincides with
+    # the cosine ground truth above (d^2 = 2 - 2*cos on unit vectors)
+    nrm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    en = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / nrm).alias("embedding"),
+    )
+    books = pq_fit(en, "embedding", "vec_id", m=16, k=16, max_iter=3)
+    codes = pq_encode(en, "embedding", "vec_id", books)
+    pq_top = pq_adc_topk(
+        codes, books, en.where(F.col("vec_id") % 100 == 0),
+        "embedding", "vec_id", top_k=5,
+    )
+    approx = {(r["query_id"], r["vec_id"]) for r in pq_top.collect()}
+    hit = len(exact & approx)
+    print(
+        f"PQ ADC recall@5 vs exact: {hit}/{len(exact)} "
+        f"({hit / max(len(exact), 1):.1%}) at m=16, k=16 "
+        f"(8 code bytes vs {64 * 4} float bytes = 32x index compression)"
     )
     spark.stop()
 
