@@ -169,6 +169,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "quality_constraint_checks",
     "graph_triangle_interactions",
     "sim_pq_adc_topk",
+    "dedup_clusters_longest_survivor",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -139,15 +139,51 @@ def connected_components(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    scores: DataFrame | None = None,
+    score_id_col: str = "node",
+    score_col: str = "score",
 ) -> DataFrame:
-    """(node, cluster_id, is_canonical): cluster_id = min member id;
-    canonical row survives dedup, the rest drop."""
+    """(node, cluster_id, is_canonical): cluster_id = min member id.
+
+    Default survivor policy: the min-id member is canonical. With
+    ``scores`` (a (node, score) table — length, quality, recency, ...),
+    the HIGHEST-scoring member survives instead (ties to the lowest id) —
+    the policy real pipelines want ("keep the longest/cleanest copy"), as
+    one extra max_by aggregate over the labeled nodes; cluster ids stay
+    min-member for stability either way. Nodes missing from ``scores``
+    rank below every scored member (null-last)."""
     comp = connected_components(pairs, src, dst)
-    return comp.select(
-        F.col("node"),
-        F.col("component").alias("cluster_id"),
-        (F.col("node") == F.col("component")).alias("is_canonical"),
+    labeled = comp.select(
+        F.col("node"), F.col("component").alias("cluster_id")
+    )
+    if scores is None:
+        return labeled.withColumn(
+            "is_canonical", F.col("node") == F.col("cluster_id")
+        )
+    sc = scores.select(
+        F.col(score_id_col).alias("node"), F.col(score_col).alias("__score")
+    )
+    joined = labeled.join(sc, "node", "left")
+    # survivor = max (score, -node): null scores sort below all real ones
+    best = joined.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("node"),
+            F.struct(
+                F.coalesce(F.col("__score"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("node")).alias("tie"),
+            ),
+        ).alias("__canon")
+    )
+    return (
+        joined.join(best, "cluster_id")
+        .select(
+            "node",
+            "cluster_id",
+            (F.col("node") == F.col("__canon")).alias("is_canonical"),
+        )
     )
 
 

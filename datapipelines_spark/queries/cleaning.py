@@ -641,3 +641,49 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ref = d.where(F.col("doc_id") % 7 == 0)
     return bigram_lm_score(d, ref, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "dedup_clusters_longest_survivor",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT c.node, e.v FROM closure c JOIN edges e ON c.r = e.u
+    ),
+    clusters AS (SELECT node, MIN(r) AS cluster_id FROM closure GROUP BY node),
+    scored AS (
+        SELECT c.node, c.cluster_id, len(d.text) AS n_chars
+        FROM clusters c JOIN documents d ON d.doc_id = c.node
+    ),
+    canon AS (
+        SELECT cluster_id, node AS canon FROM (
+            SELECT cluster_id, node,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, node ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT s.node, s.cluster_id, s.node = canon.canon AS is_canonical
+    FROM scored s JOIN canon USING (cluster_id)
+    ORDER BY node
+    """,
+)
+def dedup_clusters_longest_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with a SURVIVOR POLICY: the longest member of
+    each duplicate cluster is canonical (ties to the lowest id) instead of
+    the min-id default — the "keep the cleanest copy" rule production
+    dedup wants. One extra max_by aggregate over the labeled nodes
+    (operators/components.py:duplicate_clusters with scores=)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    scores = d.select(
+        F.col("doc_id").alias("node"),
+        F.length("text").cast("double").alias("score"),
+    )
+    return duplicate_clusters(pairs, scores=scores).orderBy("node")

@@ -124,3 +124,28 @@ def test_triangle_counts_matches_bruteforce_random(spark):
     df = spark.createDataFrame(noisy, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == expect
+
+
+def test_duplicate_clusters_survivor_policy(spark):
+    from datapipelines_spark.operators.components import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (11, 1.0)], "node long, score double"
+    )
+    got = {
+        r["node"]: (r["cluster_id"], r["is_canonical"])
+        for r in duplicate_clusters(pairs, scores=scores).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 9.0 -> lowest id 2 survives
+    assert got[1] == (1, False) and got[2] == (1, True) and got[3] == (1, False)
+    # cluster {10,11}: 10 has NO score -> ranks below 11's 1.0
+    assert got[10] == (10, False) and got[11] == (10, True)
+    # default policy unchanged
+    base = {
+        r["node"]: r["is_canonical"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert base == {1: True, 2: False, 3: False, 10: True, 11: False}
