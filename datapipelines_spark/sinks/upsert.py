@@ -68,7 +68,11 @@ def read_merged(spark: SparkSession, path: str, key_cols: list[str]) -> DataFram
     """Latest-version-wins snapshot of the upsert table, tombstones applied.
 
     One window over the key: rows are already colocated by the merge
-    shuffle, so dedup and tombstone filtering share a single exchange."""
+    shuffle, so dedup and tombstone filtering share a single exchange.
+    Rows are ordered BETWEEN versions only — a key written twice inside
+    the SAME delta has no defined winner (dedup within the batch before
+    writing, as streaming/dedup.py does); versions are the unit of
+    ordering, exactly like a table format's commit sequence."""
     raw = spark.read.option("basePath", path).parquet(path)
     w = Window.partitionBy(*key_cols).orderBy(F.desc("v"))
     return (
@@ -102,3 +106,32 @@ def compact(spark: SparkSession, path: str, key_cols: list[str]) -> int:
     )
     shutil.rmtree(staging, ignore_errors=True)
     return new_version
+
+
+def streaming_upsert_sink(path: str, *, delete_col: str | None = None):
+    """foreachBatch callback landing each micro-batch as upsert deltas —
+    keyed mutation FROM A STREAM (CDC apply, late metadata corrections)
+    with exactly-once semantics under micro-batch retries.
+
+    Idempotence: the delta directory is named by the EPOCH (``v=epoch``),
+    and a replayed epoch whose directory already exists is skipped
+    outright — same per-epoch discipline as streaming/dedup.py. Epoch ids
+    are monotonic, so latest-version-wins stays correct. ``delete_col``
+    (boolean) marks tombstone rows inside a batch; other rows upsert.
+
+    Use with streaming/sinks.py:foreach_batch_pipeline or directly as the
+    ``foreachBatch`` function."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        target = os.path.join(path, f"v={epoch}")
+        if os.path.isdir(target):
+            return  # replayed epoch: already fully committed
+        out = batch_df
+        if delete_col is not None:
+            out = out.withColumn(DELETED_COL, F.col(delete_col)).drop(delete_col)
+        else:
+            out = out.withColumn(DELETED_COL, F.lit(False))
+        out.write.mode("errorifexists").parquet(target)
+
+    return process
