@@ -170,6 +170,8 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "graph_triangle_interactions",
     "sim_pq_adc_topk",
     "dedup_clusters_longest_survivor",
+    "split_leakage_safe_eval",
+    "text_build_vocab",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -14,7 +14,10 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from datapipelines_spark.functions.hashing import portable_hash_seeded
+from datapipelines_spark.functions.hashing import (
+    deterministic_sample_pred,
+    portable_hash_seeded,
+)
 
 
 def deterministic_shuffle(df: DataFrame, seed: int | str = 42, key_cols: Sequence[str] | None = None) -> DataFrame:
@@ -183,4 +186,38 @@ def weighted_sample_topk(
         .withColumn("sample_key", key)
         .orderBy(F.desc("sample_key"), F.asc(key_col))
         .limit(k)
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int | str = 42,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Input rows plus (group_id, in_split): a deterministic ~``fraction``
+    split in which every NEAR-DUPLICATE CLUSTER lands wholly on one side.
+
+    A plain hash split leaks: a document in train and its near-duplicate
+    in eval is the same text on both sides. Splitting on the similarity
+    CLUSTER id instead (connected components over ``pairs``; singletons
+    are their own group) makes leakage structurally impossible for any
+    duplicate relation the pair graph captures. The split stays data-
+    derived (portable hash of the group id), so it is retry-stable and
+    reproducible across engines.
+    """
+    from datapipelines_spark.operators.components import connected_components
+
+    comp = connected_components(pairs, src, dst).withColumnRenamed(
+        "node", id_col
+    )
+    labeled = df.join(comp, id_col, "left")
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    return labeled.select(
+        *df.columns,
+        group.alias("group_id"),
+        deterministic_sample_pred(group, fraction, seed).alias("in_split"),
     )

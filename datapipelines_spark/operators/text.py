@@ -353,3 +353,42 @@ def compression_ratio_signal(
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
         F.round(ratio(F.col(text_col)), 6).alias("compressed_ratio"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 1,
+    max_size: int = 65536,
+) -> DataFrame:
+    """(token, n, token_id): the corpus vocabulary — top ``max_size`` tokens
+    by frequency above ``min_count``, with DETERMINISTIC dense ids ordered
+    by (count desc, token asc) starting at 0.
+
+    Scale shape: explode -> one count aggregate (map-side partial), then
+    the top-``max_size`` cut as orderBy().limit() (TakeOrderedAndProject:
+    per-partition heaps, never a full-vocabulary global sort) and id
+    assignment by a window over the already-bounded set. ``max_size`` is
+    mandatory by design — ids need a total order, and an unbounded global
+    rank would be a single-partition sort of the whole vocabulary.
+    """
+    from pyspark.sql import Window
+
+    if max_size < 1:
+        raise ValueError("max_size must be >= 1")
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    order = [F.desc("n"), F.asc("token")]
+    top = counts.orderBy(*order).limit(max_size)
+    w = Window.orderBy(*order)
+    return top.select(
+        "token",
+        "n",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+    )

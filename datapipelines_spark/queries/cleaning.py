@@ -687,3 +687,47 @@ def dedup_clusters_longest_survivor(spark: SparkSession, sf_dir: str) -> DataFra
         F.length("text").cast("double").alias("score"),
     )
     return duplicate_clusters(pairs, scores=scores).orderBy("node")
+
+
+@query(
+    "split_leakage_safe_eval",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT c.node, e.v FROM closure c JOIN edges e ON c.r = e.u
+    ),
+    clusters AS (SELECT node, MIN(r) AS component FROM closure GROUP BY node),
+    grouped AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    )
+    SELECT doc_id, group_id,
+           CAST('0x' || substr(md5('42-' || CAST(group_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 1000000 < 250000 AS in_split
+    FROM grouped
+    ORDER BY doc_id
+    """,
+)
+def split_leakage_safe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe eval split (operators/mixing.py:leakage_safe_split):
+    a ~25% holdout in which every jaccard>=0.5 near-dup cluster lands
+    wholly on one side — a plain per-doc hash split would put a document
+    in train and its near-duplicate in eval. The group id is the
+    connected-component label (singletons = own id) and the split is the
+    portable data-derived hash, so the oracle replays both exactly."""
+    from datapipelines_spark.operators.mixing import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return (
+        leakage_safe_split(d.select("doc_id"), pairs, "doc_id", 0.25, seed=42)
+        .select("doc_id", "group_id", "in_split")
+        .orderBy("doc_id")
+    )

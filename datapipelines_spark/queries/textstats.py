@@ -322,3 +322,34 @@ def text_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     return heavy_hitters(toks, "token", support=0.01).orderBy("item")
+
+
+@query(
+    "text_build_vocab",
+    oracle="""
+    WITH counts AS (
+        SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok HAVING COUNT(*) >= 5
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT)
+               AS token_id
+    FROM counts
+    ORDER BY n DESC, token ASC
+    LIMIT 40
+    """,
+)
+def text_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vocabulary construction (operators/text.py:
+    build_vocab): top-40 tokens with count >= 5, dense ids ordered by
+    (count desc, token asc). The top-N cut plans as TakeOrderedAndProject
+    — per-partition heaps, never a full-vocabulary global sort — and the
+    id window runs over the already-bounded set."""
+    from datapipelines_spark.operators.text import build_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return build_vocab(d, "text", "doc_id", min_count=5, max_size=40).orderBy(
+        "token_id"
+    )
