@@ -172,6 +172,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "dedup_clusters_longest_survivor",
     "split_leakage_safe_eval",
     "text_build_vocab",
+    "multimodal_adpcm_decode",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -5,8 +5,10 @@ audio members to codec libraries this container doesn't ship; WAV/PCM needs
 none — the RIFF container and PCM frames are simple enough to parse with
 numpy directly (public Microsoft/IBM RIFF spec). This upgrades the engine's
 ``decode_audio`` stage from the deterministic fake to a REAL decoder for the
-most common uncompressed interchange format; compressed audio (mp3/ogg/flac)
-remains gated on external codecs, stated plainly.
+most common uncompressed interchange format, plus IMA/DVI ADPCM (WAV
+format 0x11, the common 4:1 compressed speech interchange — public IMA
+spec); perceptual codecs (mp3/ogg/flac) remain gated on external
+decoders, stated plainly.
 
 ``encode_wav`` exists so tests and oracle queries can synthesize payloads
 in-process — same pattern as the JPEG codec (operators/jpegcodec.py).
@@ -48,6 +50,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     data = None
+    fact_samples = None
+    block_align = None
+    samples_per_block = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
@@ -56,8 +61,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             audio_format = int.from_bytes(body[0:2], "little")
             ch = int.from_bytes(body[2:4], "little")
             sr = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+            samples_per_block = (
+                int.from_bytes(body[18:20], "little") if len(body) >= 20 else None
+            )
             fmt = (audio_format, ch, sr, bits)
+        elif cid == b"fact":
+            fact_samples = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -81,11 +92,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         arr = _alaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
     elif audio_format == 7 and bits == 8:  # mu-law (G.711)
         arr = _mulaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+    elif audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        if not samples_per_block:
+            raise ValueError("IMA ADPCM fmt chunk missing samplesPerBlock")
+        return (
+            _ima_adpcm_decode(
+                data, ch, block_align, samples_per_block,
+                fact_samples,
+            ),
+            sr,
+        )
     else:
         raise ValueError(
-            f"unsupported WAV format {audio_format}/{bits}-bit; PCM, float32 "
-            "and G.711 A-law/mu-law are implemented (other compressed audio "
-            "needs external codecs)"
+            f"unsupported WAV format {audio_format}/{bits}-bit; PCM, float32, "
+            "G.711 A-law/mu-law and IMA ADPCM are implemented (perceptual "
+            "codecs need external decoders)"
         )
     n = len(arr) // ch
     return arr[: n * ch].reshape(n, ch), sr
@@ -230,3 +251,146 @@ def spectral_decode(payload: bytes) -> dict:
     multimodal decode stages the same way real_audio_decode does."""
     samples, sr = decode_wav(payload)
     return spectral_features(samples[:, 0], sr)
+
+
+# --- IMA/DVI ADPCM (WAV format 0x0011) ---------------------------------------
+# Public IMA Digital Audio Pack spec (also Microsoft WAV format 17): 4-bit
+# differential coding, 4:1 over PCM16 — the common compressed interchange
+# for speech corpora. Per-block per-channel header carries (predictor,
+# step index); nibbles then code clamped deltas against an adaptive step.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_nibble(nibble: int, predictor: int, index: int) -> tuple[int, int]:
+    """One decoder update (shared verbatim by the encoder's feedback loop)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return predictor, index
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 16000, samples_per_block: int = 505
+) -> bytes:
+    """Encode int16 samples — (n,) mono or (n, ch) — as an IMA ADPCM WAV.
+
+    Block layout per channel: 4-byte header (predictor int16 = the block's
+    first output sample, step index uint8, reserved), then nibble data
+    interleaved across channels in 4-byte words. The final short block is
+    zero-padded in the sample domain (decoders emit the declared total via
+    the fact chunk). Sequential by construction — used for fixtures and
+    round-trip tests, not the hot path."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + a multiple of 8")
+    block_align = 4 * ch + (samples_per_block - 1) // 2 * ch
+    out = bytearray()
+    index = [0] * ch
+    for start in range(0, n, samples_per_block):
+        blk = s[start : start + samples_per_block]
+        if len(blk) < samples_per_block:  # zero-pad the tail block
+            blk = np.vstack(
+                [blk, np.zeros((samples_per_block - len(blk), ch), dtype=np.int64)]
+            )
+        preds = []
+        for c in range(ch):
+            p = int(blk[0, c])
+            out += int(p & 0xFFFF).to_bytes(2, "little")
+            out += bytes([index[c], 0])
+            preds.append(p)
+        nibbles: list[list[int]] = [[] for _ in range(ch)]
+        for c in range(ch):
+            p, ix = preds[c], index[c]
+            for v in blk[1:, c]:
+                step = _IMA_STEPS[ix]
+                diff = int(v) - p
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                nibbles[c].append(nib)
+                p, ix = _ima_step_nibble(nib, p, ix)
+            index[c] = ix
+        # interleave: 4-byte (8-nibble) word per channel, round-robin
+        for w in range(0, len(nibbles[0]), 8):
+            for c in range(ch):
+                grp = nibbles[c][w : w + 8]
+                for k in range(0, 8, 2):
+                    out += bytes([grp[k] | (grp[k + 1] << 4)])
+    data = bytes(out)
+    byte_rate = (sample_rate * block_align + samples_per_block - 1) // samples_per_block
+    fmt = (
+        b"fmt " + (20).to_bytes(4, "little")
+        + (0x11).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")            # cbSize
+        + samples_per_block.to_bytes(2, "little")
+    )
+    fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    chunks = fmt + fact + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _ima_adpcm_decode(
+    data: bytes, ch: int, block_align: int, samples_per_block: int,
+    total_samples: int | None,
+) -> np.ndarray:
+    out: list[np.ndarray] = []
+    words_per_chan = (samples_per_block - 1) // 8
+    for bstart in range(0, len(data) - block_align + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            h = block[c * 4 : c * 4 + 4]
+            p = int.from_bytes(h[0:2], "little", signed=True)
+            ix = h[2]
+            if ix > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(p)
+            idxs.append(ix)
+        chan_samples = [[p] for p in preds]
+        body = block[4 * ch :]
+        for w in range(words_per_chan):
+            for c in range(ch):
+                word = body[(w * ch + c) * 4 : (w * ch + c) * 4 + 4]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        p, ix = _ima_step_nibble(nib, chan_samples[c][-1], idxs[c])
+                        chan_samples[c].append(p)
+                        idxs[c] = ix
+        out.append(np.stack([np.array(cs) for cs in chan_samples], axis=1))
+    arr = np.concatenate(out) if out else np.zeros((0, ch), dtype=np.int64)
+    if total_samples is not None:
+        arr = arr[:total_samples]
+    return arr.astype(np.float64) / 32768.0

@@ -945,3 +945,61 @@ def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bandwidth_hz") < 2.0).alias("bandwidth_small"),
         (F.col("flatness") < 1e-3).alias("flatness_small"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_adpcm_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           round((800 + (doc_id % 5) * 160) / 16000.0, 6) AS duration_s,
+           round((500 + (doc_id * 13) % 2000) / 32768.0, 6) AS rms_bin0
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode end-to-end: per-doc IMA/DVI ADPCM WAVs
+    (format 0x11, 4:1 over PCM16 — the common compressed speech
+    interchange) are encoded by the pure-Python encoder in an Arrow pandas
+    UDF, then decoded by the REAL ADPCM decoder inside the decode_audio
+    stage. Constant-amplitude signals round-trip ADPCM BIT-EXACTLY (every
+    nibble is 0 and step 7>>3 == 0 — tested), so rate/channels/duration
+    AND the loudness envelope are all formula-exact for the oracle, the
+    same contract as multimodal_wav_decode."""
+    import pandas as pd
+
+    from datapipelines_spark.operators.audio import real_audio_decode
+    from datapipelines_spark.operators.multimodal import decode_audio
+
+    @F.pandas_udf("binary")
+    def make_adpcm(doc_id):
+        import numpy as np
+
+        from datapipelines_spark.operators.audio import encode_wav_ima_adpcm
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            ch = 1 + i % 2
+            n = 800 + (i % 5) * 160
+            amp = 500 + (i * 13) % 2000
+            s = np.full((n, ch), amp, dtype=np.int16)
+            out.append(encode_wav_ima_adpcm(s, 16000))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select(
+        F.col("doc_id").cast("string").alias("__key__"),
+        make_adpcm("doc_id").alias("wav"),
+    )
+    decoded = decode_audio(
+        framed, payload_col="wav", decode_fn=real_audio_decode, on_error="fail"
+    )
+    return decoded.select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round(F.element_at("envelope", 1), 6).alias("rms_bin0"),
+    ).orderBy("doc_id")

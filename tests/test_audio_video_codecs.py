@@ -201,3 +201,80 @@ def test_g711_wav_decode_end_to_end():
     dec, sr = decode_wav(wav)
     assert sr == 8000 and dec.shape == (n, 1)
     assert np.all(dec == 0.0)
+
+
+# --- IMA/DVI ADPCM (WAV format 0x11) -----------------------------------------
+
+
+def test_ima_adpcm_roundtrip_snr():
+    import numpy as np
+
+    from datapipelines_spark.operators.audio import decode_wav, encode_wav_ima_adpcm
+
+    t = np.arange(3000)
+    sig = (
+        8000 * np.sin(2 * np.pi * 440 * t / 16000)
+        + 2000 * np.sin(2 * np.pi * 97 * t / 16000)
+    ).astype(np.int16)
+    for ch in (1, 2):
+        s = np.stack([sig, np.roll(sig, 7)], axis=1)[:, :ch]
+        dec, sr = decode_wav(encode_wav_ima_adpcm(s, 16000))
+        assert sr == 16000 and dec.shape == (3000, ch)
+        err = np.sqrt(np.mean((dec * 32768 - s) ** 2))
+        snr = 20 * np.log10(np.std(s) / err)
+        assert snr > 20  # 4:1 coding keeps >20 dB on band-limited signals
+
+
+def test_ima_adpcm_constant_signal_is_bit_exact():
+    # constant input: first sample is the block header predictor; every
+    # nibble is 0 and step 7>>3 == 0, so the signal round-trips EXACTLY —
+    # the property the oracle-checked catalog query relies on
+    import numpy as np
+
+    from datapipelines_spark.operators.audio import decode_wav, encode_wav_ima_adpcm
+
+    s = np.full((1313, 2), 1234, dtype=np.int16)
+    dec, _ = decode_wav(encode_wav_ima_adpcm(s, 8000))
+    assert dec.shape == (1313, 2)
+    assert np.array_equal((dec * 32768).astype(np.int64), s.astype(np.int64))
+
+
+def test_ima_adpcm_golden_nibble_sequence():
+    """Hand-stepped golden: predictor 0, index 0 (step 7), samples
+    [0, 10, 2]. diff=10 -> nib 5 (4:+7 rem 3, 1:+1) -> decode 0+7+1(+0?)
+    computed via the spec tables; verifies encoder/decoder agree with a
+    BY-HAND trace, not just with each other."""
+    import numpy as np
+
+    from datapipelines_spark.operators.audio import (
+        _ima_step_nibble,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    # by hand: step=7; sample 10 vs pred 0: diff=10 >= 7 -> bit4, rem 3;
+    # 3 >= 3 (7>>1) -> bit2, rem 0; 0 >= 1 (7>>2)? no -> nib=6;
+    # decode: d = 7>>3 + 7>>1 + 7 = 0+3+7 = 10 -> pred 10, index 0+6adj=+6
+    assert _ima_step_nibble(6, 0, 0) == (10, 6)
+    s = np.array([0, 10, 2], dtype=np.int16)
+    wav = encode_wav_ima_adpcm(s, 8000, samples_per_block=9)
+    dec, _ = decode_wav(wav)
+    got = (dec[:, 0] * 32768).astype(np.int64).tolist()
+    # sample 2: pred 10, index 6 (step 13): diff=-8 -> sign bit; 8 not >= 13,
+    # 8 >= 6 (13>>1) -> bit2 rem 2, 2 >= 3 (13>>2)? no -> nib = 8|2 = 10;
+    # decode: d = 13>>3 + 13>>1 = 1 + 6 = 7 -> pred 10-7 = 3, index 6+4=10
+    assert got == [0, 10, 3]
+
+
+def test_ima_adpcm_rejects_corrupt_index():
+    import numpy as np
+
+    from datapipelines_spark.operators.audio import decode_wav, encode_wav_ima_adpcm
+
+    wav = bytearray(encode_wav_ima_adpcm(np.zeros(9, dtype=np.int16), 8000))
+    i = wav.index(b"data") + 8
+    wav[i + 2] = 200  # step index byte out of [0, 88]
+    import pytest
+
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(wav))
