@@ -169,11 +169,26 @@ def pq_adc_topk(
             dists = np.zeros((nq, len(cand)), dtype=np.float64)
             for j in range(tabs.shape[1]):
                 dists += tabs[:, j, :][:, codes[:, j]]
+            # PARTIAL top-k per batch: only Q*k rows leave the stage (the
+            # global top-k of a union of per-batch top-ks is exact), so the
+            # shuffle carries O(Q * k * batches), never Q * corpus —
+            # same discipline as similarity.cosine_topk_vectorized.
+            # Tie-order parity: candidates within a batch are sorted by
+            # (adist, id) before the cut, matching the final window's order.
+            kk = min(top_k, len(cand))
+            cand2d = np.broadcast_to(cand, dists.shape)
+            order_in_batch = np.lexsort((cand2d, dists))  # dists primary
+            rows, out_q, out_id, out_d = len(cand), [], [], []
+            for qi in range(nq):
+                sel = order_in_batch[qi, :kk] if rows > kk else order_in_batch[qi]
+                out_q.append(np.full(len(sel), ids[qi]))
+                out_id.append(cand[sel])
+                out_d.append(dists[qi, sel])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids, len(cand)),
-                    "__id": np.tile(cand, nq),
-                    "adist": dists.reshape(-1),
+                    "query_id": np.concatenate(out_q),
+                    "__id": np.concatenate(out_id),
+                    "adist": np.concatenate(out_d),
                 }
             )
 
