@@ -173,6 +173,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "split_leakage_safe_eval",
     "text_build_vocab",
     "multimodal_adpcm_decode",
+    "multimodal_flac_decode",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -138,11 +138,23 @@ def _alaw_expand(a: np.ndarray) -> np.ndarray:
     return np.where(sign, magnitude, -magnitude).astype(np.float64)
 
 
+def decode_audio_payload(payload: bytes) -> tuple[np.ndarray, int]:
+    """Route audio bytes by magic: RIFF/WAV (PCM, float, G.711, IMA ADPCM)
+    or FLAC (operators/flaccodec.py) -> (float64 samples (n, ch), rate)."""
+    if payload[:4] == b"fLaC":
+        from datapipelines_spark.operators.flaccodec import decode_flac
+
+        arr, sr = decode_flac(payload)
+        return arr.astype(np.float64) / 32768.0, sr
+    return decode_wav(payload)
+
+
 def real_audio_decode(payload: bytes, envelope_bins: int = 8) -> dict:
-    """REAL feature extraction for ``decode_audio``: parse the WAV, return
-    rate/channels/duration plus a per-bin RMS loudness envelope — drop-in
-    replacement for ``fake_audio_decode`` with the same feature schema."""
-    samples, sr = decode_wav(payload)
+    """REAL feature extraction for ``decode_audio``: parse the WAV or FLAC
+    payload, return rate/channels/duration plus a per-bin RMS loudness
+    envelope — drop-in replacement for ``fake_audio_decode`` with the same
+    feature schema."""
+    samples, sr = decode_audio_payload(payload)
     n = samples.shape[0]
     mono = samples.mean(axis=1)
     bins = np.array_split(mono, envelope_bins) if n else []
@@ -247,9 +259,9 @@ def spectral_features(samples: np.ndarray, sample_rate: int) -> dict:
 
 
 def spectral_decode(payload: bytes) -> dict:
-    """WAV bytes -> spectral feature dict (first channel); composes with the
-    multimodal decode stages the same way real_audio_decode does."""
-    samples, sr = decode_wav(payload)
+    """WAV/FLAC bytes -> spectral feature dict (first channel); composes
+    with the multimodal decode stages the same way real_audio_decode does."""
+    samples, sr = decode_audio_payload(payload)
     return spectral_features(samples[:, 0], sr)
 
 

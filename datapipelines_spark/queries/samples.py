@@ -1003,3 +1003,60 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("duration_s", 6).alias("duration_s"),
         F.round(F.element_at("envelope", 1), 6).alias("rms_bin0"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_flac_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           round((960 + (doc_id % 4) * 320) / 16000.0, 6) AS duration_s,
+           round((700 + (doc_id * 31) % 3000) / 32768.0, 6) AS rms_bin0
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-compressed-audio decode end-to-end: per-doc FLAC
+    streams (FIXED-predictor frames, Rice residuals — the pure-Python
+    subset codec in operators/flaccodec.py, CRC-verified) are encoded in
+    an Arrow pandas UDF and decoded by the magic-byte audio router inside
+    decode_audio. FLAC is lossless, so constant-amplitude clips make
+    rate/channels/duration AND the loudness envelope formula-exact for
+    the oracle — the same contract as the WAV and ADPCM queries."""
+    import pandas as pd
+
+    from datapipelines_spark.operators.audio import real_audio_decode
+    from datapipelines_spark.operators.multimodal import decode_audio
+
+    @F.pandas_udf("binary")
+    def make_flac(doc_id):
+        import numpy as np
+
+        from datapipelines_spark.operators.flaccodec import encode_flac
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            ch = 1 + i % 2
+            n = 960 + (i % 4) * 320
+            amp = 700 + (i * 31) % 3000
+            s = np.full((n, ch), amp, dtype=np.int16)
+            out.append(encode_flac(s, 16000, block_size=512))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select(
+        F.col("doc_id").cast("string").alias("__key__"),
+        make_flac("doc_id").alias("wav"),
+    )
+    decoded = decode_audio(
+        framed, payload_col="wav", decode_fn=real_audio_decode, on_error="fail"
+    )
+    return decoded.select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round(F.element_at("envelope", 1), 6).alias("rms_bin0"),
+    ).orderBy("doc_id")
