@@ -174,6 +174,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "text_build_vocab",
     "multimodal_adpcm_decode",
     "multimodal_flac_decode",
+    "multimodal_avi_frames",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -78,3 +78,82 @@ def test_probe_as_spark_filter_stage(spark):
     keys = sorted(int(r["__key__"]) for r in kept.collect())
     expected = [i for i in range(12) if (1.0 + i) >= 4.0 and 160 * (1 + i % 3) >= 320]
     assert keys == expected
+
+
+# --- AVI (MJPEG) container ----------------------------------------------------
+
+
+def _avi(colors=(10, 100, 200), size=16, fps=5):
+    import numpy as np
+
+    from datapipelines_spark.operators.jpegcodec import encode_jpeg
+    from datapipelines_spark.operators.video import build_test_avi
+
+    frames = [
+        encode_jpeg(np.full((size, size, 3), c, dtype=np.uint8), quality=90)
+        for c in colors
+    ]
+    return build_test_avi(frames, size, size, fps=fps)
+
+
+def test_avi_probe_and_demux_decode():
+    import numpy as np
+
+    from datapipelines_spark.operators.jpegcodec import decode_jpeg
+    from datapipelines_spark.operators.video import avi_mjpeg_frames, probe_avi
+
+    avi = _avi()
+    info = probe_avi(avi)
+    assert info == {
+        "n_frames": 3, "width": 16, "height": 16, "fps": 5.0, "codec": "MJPG",
+    }
+    frames = avi_mjpeg_frames(avi)
+    assert len(frames) == 3
+    means = [float(np.abs(decode_jpeg(f).astype(float).mean() - c)) for f, c in zip(frames, (10, 100, 200))]
+    assert max(means) < 2.0  # lossy tolerance per solid-color block
+
+
+def test_avi_garbage_rejected():
+    import pytest
+
+    from datapipelines_spark.operators.video import avi_mjpeg_frames, probe_avi
+
+    for payload in (b"", b"RIFF\x00\x00\x00\x00WAVE", b"nope" * 10):
+        with pytest.raises(ValueError):
+            probe_avi(payload)
+        with pytest.raises(ValueError):
+            avi_mjpeg_frames(payload)
+
+
+# --- YUV4MPEG2 ----------------------------------------------------------------
+
+
+def test_y4m_roundtrip_and_header():
+    import numpy as np
+
+    from datapipelines_spark.operators.video import decode_y4m, encode_y4m
+
+    frames = [np.full((8, 12), v, dtype=np.uint8) for v in (0, 128, 255)]
+    dec, hdr = decode_y4m(encode_y4m(frames, fps=30))
+    assert hdr == {"width": 12, "height": 8, "fps": 30.0, "colourspace": "Cmono"}
+    for a, b in zip(dec, frames):
+        assert np.array_equal(a, b)
+
+
+def test_y4m_c420_chroma_skipped_and_truncation_detected():
+    import numpy as np
+    import pytest
+
+    from datapipelines_spark.operators.video import decode_y4m
+
+    w, h = 4, 2
+    luma = np.arange(w * h, dtype=np.uint8).tobytes()
+    chroma = bytes((w // 2) * (h // 2) * 2)
+    data = b"YUV4MPEG2 W4 H2 F25:1 C420\x0a" + b"FRAME\x0a" + luma + chroma
+    frames, hdr = decode_y4m(data)
+    assert hdr["colourspace"] == "C420" and len(frames) == 1
+    assert frames[0].tolist() == np.frombuffer(luma, dtype=np.uint8).reshape(2, 4).tolist()
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(data[:-1])
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"junk")
