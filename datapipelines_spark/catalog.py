@@ -175,6 +175,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "multimodal_adpcm_decode",
     "multimodal_flac_decode",
     "multimodal_avi_frames",
+    "profile_orders_table",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -95,3 +95,74 @@ def check_constraints(df: DataFrame, constraints: Sequence[dict]) -> DataFrame:
     return row.select(F.explode(results).alias("r")).select(
         "r.constraint", "r.column", "r.observed", "r.passed"
     )
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    string_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(column, metric, value) — a corpus-report profile computed in ONE
+    aggregate pass (same compile-to-expressions discipline as
+    check_constraints).
+
+    Numeric columns: n_null, n_distinct, min, max, mean (exact decimal
+    sum / count, so the value is order-independent), median (exact
+    continuous-interpolation percentile). String columns: n_null,
+    n_distinct, min_len, max_len, avg_len. Every metric is emitted as
+    double in long format, so the profile of any table is one narrow
+    relation a report job can union across tables."""
+    if not numeric_cols and not string_cols:
+        raise ValueError("no columns given")
+    aggs: list[Column] = []
+    rows: list[tuple[str, str, str]] = []  # (column, metric, agg alias)
+
+    def add(col: str, metric: str, expr: Column) -> None:
+        alias = f"__m{len(aggs)}"
+        aggs.append(expr.cast("double").alias(alias))
+        rows.append((col, metric, alias))
+
+    n = F.count(F.lit(1))
+    for c in numeric_cols:
+        col = F.col(c)
+        add(c, "n_null", n - F.count(col))
+        add(c, "n_distinct", F.count_distinct(col))
+        add(c, "min", F.min(col))
+        add(c, "max", F.max(col))
+        add(
+            c,
+            "mean",
+            F.round(
+                F.sum(col.cast("decimal(28,6)")).cast("double") / F.count(col), 6
+            ),
+        )
+        add(c, "median", F.round(F.percentile(col, F.lit(0.5)), 6))
+    for c in string_cols:
+        col = F.col(c)
+        add(c, "n_null", n - F.count(col))
+        add(c, "n_distinct", F.count_distinct(col))
+        add(c, "min_len", F.min(F.length(col)))
+        add(c, "max_len", F.max(F.length(col)))
+        add(
+            c,
+            "avg_len",
+            F.round(
+                F.sum(F.length(col).cast("decimal(28,6)")).cast("double")
+                / F.count(col),
+                6,
+            ),
+        )
+    one = df.agg(*aggs)
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(m).alias("metric"),
+                F.col(a).alias("value"),
+            )
+            for c, m, a in rows
+        ]
+    )
+    return one.select(F.explode(out).alias("r")).select(
+        "r.column", "r.metric", "r.value"
+    )

@@ -417,3 +417,52 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             accepted_values("o_orderstatus", ["O", "F", "P"]),
         ],
     ).orderBy("constraint")
+
+
+@query(
+    "profile_orders_table",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE) AS p_null,
+               CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS p_distinct,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS p_min,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS p_max,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(o_totalprice), 6) AS p_mean,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS p_median,
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS DOUBLE) AS s_null,
+               CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS s_distinct,
+               CAST(MIN(len(o_orderstatus)) AS DOUBLE) AS s_minlen,
+               CAST(MAX(len(o_orderstatus)) AS DOUBLE) AS s_maxlen,
+               round(CAST(SUM(CAST(len(o_orderstatus) AS DECIMAL(28,6)))
+                          AS DOUBLE) / COUNT(o_orderstatus), 6) AS s_avglen
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'o_totalprice' AS "column", 'n_null' AS metric, p_null AS value FROM t
+        UNION ALL SELECT 'o_totalprice', 'n_distinct', p_distinct FROM t
+        UNION ALL SELECT 'o_totalprice', 'min', p_min FROM t
+        UNION ALL SELECT 'o_totalprice', 'max', p_max FROM t
+        UNION ALL SELECT 'o_totalprice', 'mean', p_mean FROM t
+        UNION ALL SELECT 'o_totalprice', 'median', p_median FROM t
+        UNION ALL SELECT 'o_orderstatus', 'n_null', s_null FROM t
+        UNION ALL SELECT 'o_orderstatus', 'n_distinct', s_distinct FROM t
+        UNION ALL SELECT 'o_orderstatus', 'min_len', s_minlen FROM t
+        UNION ALL SELECT 'o_orderstatus', 'max_len', s_maxlen FROM t
+        UNION ALL SELECT 'o_orderstatus', 'avg_len', s_avglen FROM t
+    ) ORDER BY "column", metric
+    """,
+)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (operators/checks.py:profile_table): the
+    corpus-report stats — null/distinct counts, min/max, decimal-exact
+    mean, exact interpolated median, string length stats — compiled into
+    a SINGLE aggregate over orders and emitted in long (column, metric,
+    value) form, matching the hand-written SQL measures."""
+    from datapipelines_spark.operators.checks import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, numeric_cols=["o_totalprice"], string_cols=["o_orderstatus"]
+    ).orderBy("column", "metric")

@@ -64,7 +64,12 @@ def upsert_write(df: DataFrame, path: str, *, delete: bool = False) -> int:
     return version
 
 
-def read_merged(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
+def read_merged(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    as_of_version: int | None = None,
+) -> DataFrame:
     """Latest-version-wins snapshot of the upsert table, tombstones applied.
 
     One window over the key: rows are already colocated by the merge
@@ -72,8 +77,14 @@ def read_merged(spark: SparkSession, path: str, key_cols: list[str]) -> DataFram
     Rows are ordered BETWEEN versions only — a key written twice inside
     the SAME delta has no defined winner (dedup within the batch before
     writing, as streaming/dedup.py does); versions are the unit of
-    ordering, exactly like a table format's commit sequence."""
+    ordering, exactly like a table format's commit sequence.
+
+    ``as_of_version`` is TIME TRAVEL: the snapshot as of that commit —
+    later deltas are pruned at the partition level (the version is a
+    partition column, so Spark never opens their files)."""
     raw = spark.read.option("basePath", path).parquet(path)
+    if as_of_version is not None:
+        raw = raw.where(F.col("v") <= as_of_version)
     w = Window.partitionBy(*key_cols).orderBy(F.desc("v"))
     return (
         raw.withColumn(VERSION_COL, F.row_number().over(w))

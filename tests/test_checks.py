@@ -73,3 +73,42 @@ def test_single_scan_plan(spark):
 def test_empty_constraints_rejected(spark):
     with pytest.raises(ValueError):
         check_constraints(spark.range(1), [])
+
+
+def test_profile_table_metrics(spark):
+    from datapipelines_spark.operators.checks import profile_table
+
+    df = spark.createDataFrame(
+        [(1.0, "aa"), (3.0, "b"), (None, "cccc"), (2.0, None)],
+        "x double, s string",
+    )
+    got = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(df, ["x"], ["s"]).collect()
+    }
+    assert got[("x", "n_null")] == 1.0
+    assert got[("x", "n_distinct")] == 3.0
+    assert got[("x", "min")] == 1.0 and got[("x", "max")] == 3.0
+    assert got[("x", "mean")] == 2.0
+    assert got[("x", "median")] == 2.0
+    assert got[("s", "n_null")] == 1.0
+    assert got[("s", "min_len")] == 1.0 and got[("s", "max_len")] == 4.0
+    assert got[("s", "avg_len")] == pytest.approx(7 / 3, abs=1e-6)
+
+
+def test_profile_table_single_scan(spark):
+    from datapipelines_spark.operators.checks import profile_table
+
+    df = spark.range(50).selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id AS STRING) AS s")
+    plan = (
+        profile_table(df, ["x"], ["s"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Range (0, 50") == 1
+
+
+def test_profile_table_rejects_empty_spec(spark):
+    from datapipelines_spark.operators.checks import profile_table
+
+    with pytest.raises(ValueError):
+        profile_table(spark.range(1))

@@ -127,3 +127,27 @@ def test_streaming_upsert_end_to_end(spark, tmp_path):
         merged = read_merged(spark, path, ["k"]).collect()
         ks = [r["k"] for r in merged]
         assert len(ks) == len(set(ks))  # exactly one surviving row per key
+
+
+def test_time_travel_reads_historical_snapshots(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    upsert_write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string"), path)
+    upsert_write(spark.createDataFrame([(2, "B2")], "k long, val string"), path)
+    upsert_write(
+        spark.createDataFrame([(1, None)], "k long, val string"), path, delete=True
+    )
+    def snap(v):
+        return {
+            r["k"]: r["val"]
+            for r in read_merged(spark, path, ["k"], as_of_version=v).collect()
+        }
+    assert snap(0) == {1: "a", 2: "b"}
+    assert snap(1) == {1: "a", 2: "B2"}
+    assert snap(2) == {2: "B2"}
+    # version pruning happens at the partition level: the as-of-0 plan
+    # reads only the v=0 directory
+    plan = (
+        read_merged(spark, path, ["k"], as_of_version=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "v=1" not in plan and "v=2" not in plan
