@@ -1148,3 +1148,66 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     framed = d.select("doc_id", make_avi("doc_id").alias("avi"))
     return framed.mapInPandas(demux, schema).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_y4m_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS frame_idx,
+           CAST(24 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST((doc_id * 19 + 32 * j) % 256 AS BIGINT) AS mean_luma
+    FROM documents CROSS JOIN range(0, 3) t(j)
+    WHERE j < 1 + doc_id % 3
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-video decode end-to-end: per-doc YUV4MPEG2 streams (1-3
+    constant-luma Cmono frames) are encoded and parsed by
+    operators/video.py:{encode,decode}_y4m inside one Arrow stage — one
+    row per frame. Y4M is uncompressed, so the per-frame mean luma is
+    EXACT for the oracle."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("mean_luma", T.LongType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from datapipelines_spark.operators.video import decode_y4m, encode_y4m
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 1 + did % 3
+                frames = [
+                    np.full((16, 24), (did * 19 + 32 * j) % 256, dtype=np.uint8)
+                    for j in range(n)
+                ]
+                dec, hdr = decode_y4m(encode_y4m(frames, fps=25))
+                for j, f in enumerate(dec):
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame_idx": j,
+                            "width": hdr["width"],
+                            "height": hdr["height"],
+                            "mean_luma": int(f.mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(roundtrip, schema).orderBy("doc_id", "frame_idx")
