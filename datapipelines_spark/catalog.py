@@ -177,6 +177,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "multimodal_avi_frames",
     "profile_orders_table",
     "multimodal_y4m_frames",
+    "mix_temperature_sources",
 )
 
 # r7 rotation plan (build the next PRIORITY_50 from this, in order):

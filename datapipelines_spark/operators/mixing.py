@@ -221,3 +221,71 @@ def leakage_safe_split(
         group.alias("group_id"),
         deterministic_sample_pred(group, fraction, seed).alias("in_split"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_rows: int = 100_000,
+    seed: int | str = 42,
+) -> DataFrame:
+    """Temperature-balanced source sampling — the multilingual/source
+    rebalancing recipe (sample source s with probability proportional to
+    p_s^alpha; alpha < 1 upweights low-resource sources): keep a
+    deterministic hash-Bernoulli subset of each source sized toward
+    ``target_rows`` total with quota q_s = w_s / sum(w), w_s = p_s^alpha.
+
+    Cross-engine exactness discipline: per-source weights round to 9
+    decimals into DECIMAL before the normalizing sum (order-independent),
+    and the keep threshold is floor(f_s * 1e6) compared against the
+    portable row hash — for alpha = 0.5 the whole computation is
+    correctly-rounded IEEE ops (sqrt/div), so a SQL oracle reproduces the
+    exact row set. Per-source keep fractions cap at 1 (a small source is
+    taken whole; the realized total then undershoots ``target_rows`` —
+    the standard behavior, not silently re-normalized).
+
+    One count aggregate over sources + a broadcast join of ~|sources|
+    rows; the corpus itself never shuffles.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # the per-source table is tiny (already aggregated): totals come from
+    # unpartitioned windows over it — one partition of |sources| rows, no
+    # self-join of the aggregate against itself
+    wall = Window.partitionBy()
+    weights = counts.select(
+        source_col,
+        "__n",
+        # w_s on the RATIO p_s = n_s/N keeps the 9-decimal rounding scale
+        # uniform across sources
+        F.round(
+            F.pow(
+                F.col("__n").cast("double") / F.sum("__n").over(wall),
+                F.lit(float(alpha)),
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("__w"),
+    )
+    frac = weights.select(
+        source_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * (
+                    F.col("__w").cast("double")
+                    / F.sum("__w").over(wall).cast("decimal(28,9)").cast("double")
+                )
+                / F.col("__n"),
+            )
+            * 1_000_000
+        ).alias("__thresh"),
+    )
+    keyed = df.join(F.broadcast(frac), source_col)
+    keep = (
+        portable_hash_seeded(F.col(id_col), seed) % 1_000_000 < F.col("__thresh")
+    )
+    return keyed.where(keep).drop("__thresh")

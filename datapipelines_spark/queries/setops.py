@@ -275,3 +275,46 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(d, "n_chars", "doc_id", k=50, seed=42).select(
         "doc_id", "n_chars", "sample_key"
     )
+
+
+@query(
+    "mix_temperature_sources",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (
+        SELECT source, n,
+               CAST(round(pow(CAST(n AS DOUBLE) / SUM(n) OVER (), 0.5), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM c
+    ),
+    f AS (
+        SELECT source,
+               CAST(floor(least(
+                   CAST(1.0 AS DOUBLE),
+                   150.0 * (CAST(w AS DOUBLE)
+                            / CAST(CAST(SUM(w) OVER () AS DECIMAL(28,9))
+                                   AS DOUBLE))
+                   / n
+               ) * 1000000) AS BIGINT) AS thresh
+        FROM w
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f USING (source)
+    WHERE CAST('0x' || substr(md5('42-' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 1000000 < thresh
+    ORDER BY doc_id
+    """,
+)
+def mix_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source sampling (operators/mixing.py:
+    temperature_mix, the multilingual alpha-mixing recipe): a ~150-doc
+    subset drawn with per-source quotas proportional to p_s^0.5 —
+    low-resource sources upweighted relative to their share. Weight
+    rounding into DECIMAL before the normalizing sum plus the data-derived
+    keep hash make the exact row set SQL-reproducible."""
+    from datapipelines_spark.operators.mixing import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(
+        d, "source", "doc_id", alpha=0.5, target_rows=150, seed=42
+    ).orderBy("doc_id")

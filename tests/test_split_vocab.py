@@ -80,3 +80,42 @@ def test_build_vocab_rejects_bad_max_size(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         build_vocab(df, "text", "doc_id", max_size=0)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from datapipelines_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: r["count"]
+        for r in temperature_mix(df, "source", "doc_id", 0.5, 200)
+        .groupBy("source").count().collect()
+    }
+    # alpha=0.5 quotas: sqrt(.9)/(sqrt(.9)+sqrt(.1)) ~ 0.75 of 200 for big,
+    # ~0.25 for small — small gets ~2.5x its proportional share
+    assert 120 < got["big"] < 180
+    assert 35 < got["small"] < 70
+
+
+def test_temperature_mix_small_source_capped_at_whole(spark):
+    from datapipelines_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "big" if i < 995 else "tiny") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", 0.25, 800)
+    tiny = out.where("source = 'tiny'").count()
+    assert tiny == 5  # quota exceeds the source: take it whole, never more
+
+
+def test_temperature_mix_deterministic(spark):
+    from datapipelines_spark.operators.mixing import temperature_mix
+
+    rows = [(i, f"s{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in temperature_mix(df, "source", "doc_id", 0.5, 100).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix(df.repartition(11), "source", "doc_id", 0.5, 100).collect()
+    )
+    assert a == b
