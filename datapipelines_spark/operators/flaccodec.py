@@ -342,8 +342,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 def _rice_cost(resid: list[int], param: int) -> int:
     cost = 0
     for r in resid:
-        z = (r << 1) ^ (r >> 63) if r < 0 else r << 1
-        z = (abs(r) << 1) - (1 if r < 0 else 0)
+        z = (abs(r) << 1) - (1 if r < 0 else 0)  # FLAC zigzag
         cost += (z >> param) + 1 + param
     return cost
 
