@@ -80,87 +80,25 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate hashes exactly the FIRST 50 entries of
 # all_queries() in iteration order. The window ROTATES each round so
 # cumulative driver-green coverage grows instead of re-verifying the same 50
-# (VERDICT r2 #6). Round-6 window, following the r5 rotation plan
-# (catalog.py r5:169-176) and VERDICT r5 items 1+2+6:
-#   (a) CORRECTNESS_r05 was 50/50 green -- no reds to pin;
-#   (b) the 7 queries pending a first verdict lead the window (with these,
-#       every pre-r6 catalog query has at least one driver verdict);
-#   (c) the 5 queries ADDED in r6 (driver-gating the four previously
-#       pytest-only operators -- CDC chunking, Bloom decontamination,
-#       compression-ratio signal, spectral features -- plus the TIFF codec
-#       stretch) pin their first verdicts; multimodal_gif_decode in (b) also
-#       re-pins the r6 GIF disposal/GCE fixes, text_bm25_search the top-k
-#       rewrite, graph_pagerank_trade the broadcast size gate;
-#   (d) 38 of the 40 r3-only verdicts not re-confirmed in r5 fill the rest
-#       (CORRECTNESS_r03 minus r04 minus r05 minus the 4 re-confirmed in
-#       r5); the final 2 (window_first_last_value,
-#       window_running_customer_spend) defer to r7 -- see the r7 plan.
+# (VERDICT r2 #6). Round-7 window, following the r6 rotation plan
+# (catalog.py r6:183-190) and VERDICT r6 items 1+3:
+#   (a) CORRECTNESS_r06 was 50/50 green -- no reds to pin;
+#   (b) the 18 queries added in r6 after that window was pinned lead -- all
+#       first driver verdicts; graph_triangle_interactions among them also
+#       pins the r7 localCheckpoint fix (VERDICT r6 #1), upsert/profile the
+#       r7 commit-ordering hardening;
+#   (c) the 2 r3-only verdicts deferred from the r6 window
+#       (window_first_last_value, window_running_customer_spend) -- after
+#       these, no verdict in the catalog is older than r4;
+#   (d) the 30 oldest r4-only verdicts (CORRECTNESS_r04 minus r05 minus
+#       r06, in r4 order) fill the rest; the remaining 19 r4-only queries
+#       go first in the r8 staleness pool.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
 PRIORITY_50: tuple[str, ...] = (
-    # --- first driver verdicts (pending from r5) ---
-    "csv_roundtrip",
-    "orc_roundtrip",
-    "xml_roundtrip",
-    "quality_nb_classifier",
-    "text_bm25_search",
-    "multimodal_gif_decode",
-    "graph_pagerank_trade",
-    # --- new in r6: driver gates for the r5 pytest-only operators + TIFF ---
-    "decontaminate_bloom",
-    "chunk_cdc_dedup",
-    "quality_compression_signal",
-    "multimodal_spectral_features",
-    "multimodal_tiff_decode",
-    # --- r3-only verdicts, re-confirmed under current code (38 of 40) ---
-    "calendar_fill_monthly_orders",
-    "corr_discount_quantity",
-    "events_funnel_conversion",
-    "events_interpolate_hourly",
-    "events_latest_per_user",
-    "events_session_windows",
-    "events_user_lifetime_stats",
-    "multimodal_ppm_decode",
-    "q10_returned_item_revenue",
-    "q11_important_part_value",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_high_volume_part_suppliers",
-    "q22_inactive_rich_customers",
-    "q4_order_priority_waiting",
-    "q5_local_supplier_volume",
-    "q7_nation_trade_volume",
-    "rollup_grouping_id",
-    "scalar_string_funcs_extended",
-    "sim_ivf_kmeans_topk",
-    "skew_salted_quantity_by_flag",
-    "sql_q6_forecast_revenue",
-    "sql_revenue_by_month",
-    "sql_top_customers",
-    "stratified_sample_by_lang",
-    "stream_session_6h_replay",
-    "stream_sliding_1h30m_replay",
-    "stream_stateful_user_stats_replay",
-    "stream_stream_join_replay",
-    "string_agg_nation_names",
-    "text_regex_token_classes",
-    "union_by_name_missing_columns",
-    "vector_label_centroids",
-    "vector_position_stats",
-)
-
-
-#: Queries added AFTER the current PRIORITY_50 was pinned: they have no
-#: driver verdict yet and MUST lead the next round's window. Keep in sync
-#: when adding catalog queries mid-round (test_catalog_order enforces that
-#: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "quality_lm_perplexity",  # added r6 after the window was pinned
+    # --- first driver verdicts (added r6 after the r6 window was pinned) ---
+    "quality_lm_perplexity",
     "dedup_winnow_fingerprints",
     "text_heavy_hitter_tokens",
     "stream_minhash_bands_replay",
@@ -178,13 +116,61 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "profile_orders_table",
     "multimodal_y4m_frames",
     "mix_temperature_sources",
+    # --- the 2 r3-only verdicts deferred from the r6 window ---
+    "window_first_last_value",
+    "window_running_customer_spend",
+    # --- 30 oldest r4-only verdicts, re-confirmed under current code ---
+    "null_semantics",
+    "map_type_status_counts",
+    "mapper_einops_reduce_groups",
+    "kmeans_centroids_2iter",
+    "sim_topk_bruteforce",
+    "sim_ivf_cell_assign",
+    "fuzzy_join_supplier_names",
+    "sample_n_per_lang",
+    "scalar_from_json_typed",
+    "scalar_map_hof_funcs",
+    "agg_approx_percentile_contract",
+    "sql_recursive_region_chain",
+    "sql_exists_correlated",
+    "mapper_square_crop",
+    "pii_redact_documents",
+    "text_repetition_signals",
+    "multimodal_wav_decode",
+    "multimodal_mjpeg_frames",
+    "tar_roundtrip_shards",
+    "partition_pruned_scan",
+    "bucketed_join_revenue_by_status",
+    "stream_static_join_replay",
+    "config_pipeline_quality_filter",
+    "multimodal_quarantine_decode",
+    "multimodal_png_decode",
+    "agg_distinct_suppliers_per_flag",
+    "cube_lineitem_flags",
+    "dedup_exact_normalized",
+    "events_sliding_1h_30m",
+    "events_tumbling_1h",
 )
 
-# r7 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r06 (fix first, then pin);
+
+#: Queries added AFTER the current PRIORITY_50 was pinned: they have no
+#: driver verdict yet and MUST lead the next round's window. Keep in sync
+#: when adding catalog queries mid-round (test_catalog_order enforces that
+#: every query is either driver-verified, in the window, or listed here).
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+
+# r8 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r07 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r7;
-#   4. the 2 r3-only verdicts deferred from the r6 window:
-#      window_first_last_value, window_running_customer_spend;
-#   5. oldest r4 verdicts (CORRECTNESS_r04 minus r05 minus r06), then
-#      oldest r5 verdicts, with remaining slots.
+#   3. queries whose plans/outputs change in r8;
+#   4. the 19 r4-only verdicts left out of the r7 window
+#      (CORRECTNESS_r04 minus r05/r06 minus the 30 pinned above):
+#      scalar_conditional_funcs, scalar_date_funcs, scalar_fuzzy_string,
+#      scalar_math_funcs, setop_except_nations, setop_intersect_nations,
+#      sim_lsh_bucket_histogram, text_fingerprint, text_language_id,
+#      text_length_histogram, text_quality_score, text_token_stats,
+#      window_moving_avg_events, window_order_gaps,
+#      window_price_rank_in_brand, q1_pricing_summary, dedup_minhash_lsh,
+#      dedup_clusters, corpus_clean_pipeline;
+#   5. oldest r5 verdicts (CORRECTNESS_r05 minus r06 minus r07), with
+#      remaining slots.

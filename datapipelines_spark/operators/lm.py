@@ -85,6 +85,14 @@ def bigram_lm_score(
     from datapipelines_spark.operators.similarity import _bounded_count
 
     big, hist, vocab = bigram_lm_train(ref, text_col, id_col)
+    # The broadcast-size probe is an ACTION on the full bigram aggregate;
+    # without a cache the same reference scan + aggregation would rerun for
+    # the scoring joins (twice: big and hist). Persist both around the
+    # probe-and-score lifetime — the caches are model-table-sized (bounded
+    # by the reference slice, not the corpus) and live for the session,
+    # the same accepted pattern as connected_components. ADVICE r6 #4.
+    big = big.persist()
+    hist = hist.persist()
     probe = BROADCAST_MAX_MODEL_ROWS
     small = _bounded_count(big.select("v"), probe + 1) <= probe
     maybe_broadcast = F.broadcast if small else (lambda d: d)

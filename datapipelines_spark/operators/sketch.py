@@ -42,13 +42,14 @@ def heavy_hitters(
     ).collect()[0]
     candidates = [c for c in row[0] if c is not None]
     if not candidates:
-        return (
-            df.sparkSession.createDataFrame([], "item string")
-            .select(
-                F.col("item"),
-                F.lit(0).cast("bigint").alias("n"),
-                F.lit(0.0).alias("share"),
-            )
+        # Derive the empty frame from the INPUT so `item` keeps the input
+        # column's type — a hardcoded "item string" would diverge from the
+        # non-empty branch for non-string columns and break schema-sensitive
+        # consumers (unions, writes). ADVICE r6 #2.
+        return df.select(F.col(col).alias("item")).limit(0).select(
+            "item",
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("share"),
         )
     total = df.count()
     counts = (

@@ -32,51 +32,55 @@ def test_priority_window_leads_registry_order():
 
 
 def test_priority_window_pins_first_verdicts_and_changed_queries_first():
-    # Round-6 rotation policy (VERDICT r5 #1): the seven queries that were
-    # pending a first verdict after r5 lead the window, then the five
-    # queries added in r6 (driver gates for the previously pytest-only
-    # operators + the TIFF codec).
-    assert list(PRIORITY_50[:7]) == [
-        "csv_roundtrip",
-        "orc_roundtrip",
-        "xml_roundtrip",
-        "quality_nb_classifier",
-        "text_bm25_search",
-        "multimodal_gif_decode",
-        "graph_pagerank_trade",
+    # Round-7 rotation policy (VERDICT r6 #1): the 18 queries added in r6
+    # after that window was pinned lead (all first driver verdicts), then
+    # the two r3-only verdicts deferred from the r6 window.
+    assert list(PRIORITY_50[:18]) == [
+        "quality_lm_perplexity",
+        "dedup_winnow_fingerprints",
+        "text_heavy_hitter_tokens",
+        "stream_minhash_bands_replay",
+        "sample_weighted_topk",
+        "upsert_orders_snapshot",
+        "quality_constraint_checks",
+        "graph_triangle_interactions",
+        "sim_pq_adc_topk",
+        "dedup_clusters_longest_survivor",
+        "split_leakage_safe_eval",
+        "text_build_vocab",
+        "multimodal_adpcm_decode",
+        "multimodal_flac_decode",
+        "multimodal_avi_frames",
+        "profile_orders_table",
+        "multimodal_y4m_frames",
+        "mix_temperature_sources",
     ]
-    assert list(PRIORITY_50[7:12]) == [
-        "decontaminate_bloom",
-        "chunk_cdc_dedup",
-        "quality_compression_signal",
-        "multimodal_spectral_features",
-        "multimodal_tiff_decode",
+    assert list(PRIORITY_50[18:20]) == [
+        "window_first_last_value",
+        "window_running_customer_spend",
     ]
 
 
-#: r3-only verdicts knowingly deferred to the r7 window (the r6 window had
-#: 38 slots for 40 of them); the r7 rotation plan in catalog.py names them.
-DEFERRED_TO_NEXT_ROUND = {
-    "window_first_last_value",
-    "window_running_customer_spend",
-}
-
-
-def test_priority_window_refreshes_all_stale_r3_verdicts():
-    """Staleness invariant (VERDICT r5 #6): every r3-only verdict (not
-    re-confirmed in r4/r5) must be in the r6 window, except the two
-    documented deferrals."""
+def test_priority_window_refreshes_oldest_stale_verdicts():
+    """Staleness invariant (VERDICT r6 #3): after r7 no verdict may be
+    older than r4, and the r4-only staleness pool drains oldest-first —
+    every window slot not taken by a first verdict or deferral holds an
+    r4-only query."""
     r3 = _verdicts("CORRECTNESS_r03.json")
-    if not r3:  # fresh checkout without round artifacts
+    r4 = _verdicts("CORRECTNESS_r04.json")
+    if not r4:  # fresh checkout without round artifacts
         return
-    later = _verdicts("CORRECTNESS_r04.json", "CORRECTNESS_r05.json")
-    stale = sorted(r3 - later - DEFERRED_TO_NEXT_ROUND)
-    missing = [n for n in stale if n not in PRIORITY_50]
-    assert not missing, f"stale r3-only verdicts not in the r6 window: {missing}"
+    later = _verdicts("CORRECTNESS_r05.json", "CORRECTNESS_r06.json")
+    # the 2 deferred r3-only verdicts are pinned (slots 18-19 above);
+    # everything else in slots 20+ must come from the r4-only pool
+    r4_only = r4 - later
+    not_stale = [n for n in PRIORITY_50[20:] if n not in r4_only]
+    assert not not_stale, f"non-r4-stale queries occupying staleness slots: {not_stale}"
+    assert not (r3 - r4 - later - set(PRIORITY_50))  # no r3-only left behind
 
 
 def test_priority_window_completes_cumulative_driver_coverage():
-    """Rounds 1-5 verdicts + the r6 window must cover the ENTIRE catalog
+    """Rounds 1-6 verdicts + the r7 window must cover the ENTIRE catalog
     except queries explicitly declared PENDING_FIRST_VERDICT."""
     seen = _verdicts(
         "CORRECTNESS_r01.json",
@@ -84,6 +88,7 @@ def test_priority_window_completes_cumulative_driver_coverage():
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
     )
     if not seen:  # fresh checkout without round artifacts
         return

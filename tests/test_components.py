@@ -149,3 +149,25 @@ def test_duplicate_clusters_survivor_policy(spark):
         for r in duplicate_clusters(pairs).collect()
     }
     assert base == {1: True, 2: False, 3: False, 10: True, 11: False}
+
+
+def test_triangle_counts_materializes_oriented_edges_once(spark):
+    """VERDICT r6 #1: the oriented edge list feeds three consumers (both
+    wedge sides and the closing-edge set); it must be checkpointed so the
+    degree-join subtree runs once. The returned plan therefore scans the
+    checkpointed RDD and contains NO degree aggregation or degree joins."""
+    from datapipelines_spark.operators.components import triangle_counts
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    result = triangle_counts(df)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    # the oriented subtree (degree groupBy + two joins on u/v) is gone:
+    # its output is a materialized checkpoint, scanned as an existing RDD
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan ExistingRDD") == 3  # three consumers, one source
+    assert "deg" not in plan
+    assert {r["node"]: r["n_triangles"] for r in result.collect()} == {
+        1: 1, 2: 1, 3: 1
+    }

@@ -50,3 +50,17 @@ def test_nulls_ignored_as_candidates(spark):
     )
     got = {r["item"]: r["n"] for r in heavy_hitters(df, "token", 0.2).collect()}
     assert got == {"a": 50}
+
+
+def test_empty_branch_schema_matches_nonempty(spark):
+    """ADVICE r6 #2: the empty-candidate branch must carry the INPUT
+    column's type for `item`, so both branches union/write cleanly."""
+    longs = spark.range(3000).select(F.col("id").alias("user"))  # all unique
+    empty = heavy_hitters(longs, "user", support=0.01)
+    assert empty.count() == 0
+    hot = spark.createDataFrame([(7,)] * 90 + [(i,) for i in range(10)], "user long")
+    nonempty = heavy_hitters(hot, "user", support=0.5)
+    assert [f.dataType for f in empty.schema.fields] == [
+        f.dataType for f in nonempty.schema.fields
+    ]
+    assert empty.unionByName(nonempty).count() == nonempty.count()

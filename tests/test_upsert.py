@@ -98,6 +98,47 @@ def test_streaming_upsert_sink(spark, tmp_path):
     assert _versions(path) == [0, 1, 2]
 
 
+def test_streaming_sink_fresh_checkpoint_restart_not_dropped(spark, tmp_path):
+    """A restart with a FRESH checkpoint restarts epochs at 0; the new
+    run's batches must land (ADVICE r6 #3 — the old epoch-named scheme
+    silently dropped them as 'replays' of the previous run)."""
+    from datapipelines_spark.sinks.upsert import streaming_upsert_sink
+
+    path = str(tmp_path / "tbl")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, val string")
+
+    first_run = streaming_upsert_sink(path)
+    first_run(batch([(1, "a")]), 0)
+    first_run(batch([(2, "b")]), 1)
+    # new sink instance == restarted query with a new checkpoint dir
+    second_run = streaming_upsert_sink(path)
+    second_run(batch([(1, "A-new-run")]), 0)
+    got = {r["k"]: r["val"] for r in read_merged(spark, path, ["k"]).collect()}
+    assert got == {1: "A-new-run", 2: "b"}
+    assert _versions(path) == [0, 1, 2]
+
+
+def test_streaming_sink_cross_run_duplicate_is_row_idempotent(spark, tmp_path):
+    """A new run replaying its predecessor's final epoch (marker missing)
+    re-lands the same content as a NEW version; latest-wins merging
+    absorbs the duplicate, so the snapshot stays exactly-once."""
+    from datapipelines_spark.sinks.upsert import streaming_upsert_sink
+
+    path = str(tmp_path / "tbl")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, val string")
+
+    streaming_upsert_sink(path)(batch([(1, "a"), (2, "b")]), 7)
+    # crash-and-restart: same epoch, same content, different sink instance
+    streaming_upsert_sink(path)(batch([(1, "a"), (2, "b")]), 7)
+    got = {r["k"]: r["val"] for r in read_merged(spark, path, ["k"]).collect()}
+    assert got == {1: "a", 2: "b"}
+    assert _versions(path) == [0, 1]  # duplicate landed, snapshot unchanged
+
+
 def test_streaming_upsert_end_to_end(spark, tmp_path):
     """Drive the sink through a real bounded stream (rate source -> keyed
     updates): the merged table holds exactly one latest row per key."""
