@@ -124,6 +124,32 @@ def _median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
 
 
+def _growth_class(base: float, scaled: float, factor: int) -> str:
+    """Adjudicate a scaled re-measurement (VERDICT r6 #5): classify how wall
+    time responded to a ``factor``× bigger input, so the driver can gate on
+    growth class instead of eyeballing pairs of seconds.
+
+    - ``floor_bound``: grew by less than half the factor — the time is
+      dominated by Spark's fixed ~0.5 s/job scheduler floor, so base-sf
+      ratios against a sub-100 ms oracle are meaningless (the three
+      standing flags are this class);
+    - ``sublinear``: grew by less than ~0.7× the factor — partial
+      aggregation, pruning, or broadcast reuse is absorbing the scale-up;
+    - ``linear``: within ±30% of the factor — the expected profile for
+      scan-bound / explode-heavy shapes;
+    - ``superlinear``: grew faster than the input — the one class that
+      names a real scale concern (shuffle explosion, quadratic join).
+    """
+    g = scaled / max(base, 1e-9)
+    if g < factor * 0.5:
+        return "floor_bound"
+    if g < factor * 0.7:
+        return "sublinear"
+    if g <= factor * 1.3:
+        return "linear"
+    return "superlinear"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from datapipelines_spark.catalog import all_queries
@@ -244,6 +270,17 @@ def main() -> None:
             "build_sec": round(build_sec, 3),
             "queries": {n: round(v, 3) for n, v in scaled_queries.items()},
             "total": round(sum(scaled_queries.values()), 3),
+            # per-query growth adjudication — the driver's gate is
+            # growth_class, not a pair of raw seconds
+            "growth": {
+                n: {
+                    "base_sec": round(per_query[n], 3),
+                    "scaled_sec": round(v, 3),
+                    "growth_x": round(v / max(per_query[n], 1e-9), 2),
+                    "growth_class": _growth_class(per_query[n], v, scale_factor),
+                }
+                for n, v in scaled_queries.items()
+            },
         }
 
     duck_total = sum(duck_per_query.values())
@@ -286,6 +323,16 @@ def main() -> None:
                     scaled_out["queries"].get(n) if scaled_out else None
                 ),
                 "scale_factor": scale_factor if scaled_out else None,
+                # the flag's adjudication: "floor_bound"/"sublinear" means
+                # the >10x ratio is a fixed-cost artifact of the small
+                # fixture, not a plan defect (VERDICT r6 #6); only
+                # "superlinear" (or missing scaled evidence) marks a flag
+                # as a genuine scale concern
+                "growth_class": (
+                    scaled_out["growth"][n]["growth_class"]
+                    if scaled_out and n in scaled_out["growth"]
+                    else None
+                ),
             }
             for n in slow
         }

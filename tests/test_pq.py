@@ -99,3 +99,37 @@ def test_pq_guards(spark):
     codes = pq_encode(df, "embedding", "vec_id", books)
     with pytest.raises(ValueError, match="max_queries"):
         pq_adc_topk(codes, books, df, "embedding", "vec_id", max_queries=3)
+
+
+def test_adc_shortlist_recall_contract(spark, sf_dir):
+    """Quality contract (VERDICT r6 stretch #8), IVF-prefilter precedent:
+    PQ's production role is the SHORTLIST stage — ADC proposes candidates,
+    an exact pass re-ranks them. On the embeddings fixture (500 x 64-dim,
+    labeled clusters), m=16/k=16 codebooks with a 100-deep ADC shortlist
+    must recover >= 0.9 of the exact squared-L2 top-10, averaged over 20
+    queries (measured: 0.94; fully deterministic — lowest-id init, stable
+    argsort, fixed fixture)."""
+    from datapipelines_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, "embedding", "vec_id", m=16, k=16, max_iter=2)
+    codes_df = pq_encode(emb, "embedding", "vec_id", books)
+    queries = emb.where("vec_id % 25 = 0")
+    shortlist = pq_adc_topk(
+        codes_df, books, queries, "embedding", "vec_id", top_k=100
+    )
+    cand = {}
+    for r in shortlist.collect():
+        cand.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    recalls = []
+    for qid, short in cand.items():
+        exact = ((mat - mat[pos[qid]]) ** 2).sum(axis=1)
+        top10 = {int(ids[i]) for i in np.argsort(exact, kind="stable")[:10]}
+        recalls.append(len(top10 & short) / 10)
+    assert len(recalls) == 20
+    assert float(np.mean(recalls)) >= 0.9
