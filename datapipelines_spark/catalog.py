@@ -157,7 +157,12 @@ PRIORITY_50: tuple[str, ...] = (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+PENDING_FIRST_VERDICT: tuple[str, ...] = (
+    "chunk_fixed_overlap",  # added r7 after the window was pinned
+    "diff_orders_versions",
+    "layout_zorder_orders",
+    "incremental_revenue_by_month",
+)
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):
 #   1. any query red or errored in CORRECTNESS_r07 (fix first, then pin);

@@ -147,3 +147,56 @@ def chunk_dedup_stats(
             F.sum(F.col("is_dup").cast("int")) / F.count(F.lit(1)), 6
         ).alias("dup_chunk_ratio"),
     )
+
+
+def fixed_overlap_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_idx, n_chunk_tokens, chunk): fixed-size token windows with
+    ``overlap`` shared tokens between neighbours — the retrieval-chunking
+    shape (embedding windows for RAG indexes, long-document sharding for
+    bounded-context models).
+
+    Semantics: tokens are the raw space-split array; chunk i starts at
+    token ``1 + i*(size-overlap)``; a start is kept while the PREVIOUS
+    chunk did not already reach the document end (the final chunk may be
+    short, and a short document yields exactly one chunk). Deterministic
+    and purely positional, so the whole operator is JVM-side array math —
+    ``sequence`` for the starts, a ``filter`` lambda for the stop rule, one
+    ``explode``, and a ``slice``/``array_join`` per row; per-row cost is
+    O(n_tokens), there is NO shuffle at all, and at 100 TB the operator is
+    a single narrow map stage that pipelines into whatever aggregation
+    follows (unlike the CDC chunker above it never leaves the JVM).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    toks = F.split(F.col(text_col), " ")
+    proj = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    # keep start s iff s == 1 (every doc has a first chunk) or the previous
+    # chunk (ending at s - step + size - 1) stopped short of the last token
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("__n"), F.lit(step)),
+        lambda s: (s == F.lit(1)) | ((s + F.lit(size - step)) <= F.col("__n")),
+    )
+    return (
+        proj.select(F.col(id_col), "__toks", "__n", F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            ((F.col("__start") - 1) / F.lit(step)).cast("int").alias("chunk_idx"),
+            F.least(F.lit(size), F.col("__n") - F.col("__start") + 1)
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start"), F.lit(size)), " "
+            ).alias("chunk"),
+        )
+    )

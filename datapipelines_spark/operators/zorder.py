@@ -1,0 +1,92 @@
+"""Z-order (Morton) clustering — multi-dimensional data skipping layout.
+
+A table range-partitioned and sorted by ONE column prunes scans on that
+column only; filters on a second dimension read every file. Interleaving
+the bits of two quantized dimensions into one Morton code (the public
+Z-order curve used by Delta/Iceberg OPTIMIZE ZORDER and databases since
+Orenstein/Merrett 1984) gives a single sort key under which files are
+rectangles in (a, b) space — per-file min/max footer stats then prune
+selective filters on EITHER dimension.
+
+Spark shape: quantization needs one global min/max aggregate per dimension
+(a single 1-row collect); the code itself is pure JVM bit arithmetic
+(shiftright/and/shiftleft chains inside whole-stage codegen — no UDF); the
+layout is ``repartitionByRange`` on the code (one range shuffle, the same
+cost as any sorted write) + ``sortWithinPartitions``. At 100 TB this is
+exactly the lakehouse OPTIMIZE job: one pass, one shuffle, and every
+subsequent scan with a filter on either dimension prunes at the file level
+before a byte is read.
+
+Determinism: integer quantization — ``(v - min) * 2^bits // (max - min + 1)``
+— stays within the double mantissa for any realistic range (see _quantize),
+so the code (and its DuckDB oracle replay) is bit-identical across engines;
+doubles must be converted to a fixed-point integer by the caller (e.g.
+cents) before quantizing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """floor(((v - lo) * 2^bits) / (hi - lo + 1)) — integer quantization to
+    [0, 2^bits). Exact (and therefore oracle-reproducible) while
+    ``(hi - lo) * 2^bits < 2^53``: the numerator is an integer-valued
+    double inside the mantissa range, so the division+floor equals integer
+    division. bits=8 leaves 45 bits of input range — far beyond any
+    quantization a layout job needs; pre-bucket wider domains first."""
+    v = col.cast("bigint") - lo.cast("bigint")
+    width = hi.cast("bigint") - lo.cast("bigint") + F.lit(1)
+    return F.floor((v * F.lit(1 << bits)) / width).cast("bigint")
+
+
+def _spread(col: Column, bits: int, offset: int) -> Column:
+    """Move bit i of ``col`` to bit 2*i + offset (bit interleaving)."""
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), 2 * i + offset)
+        )
+    return out
+
+
+def morton_code(qa: Column, qb: Column, bits: int = 8) -> Column:
+    """Interleave two ``bits``-bit quantized columns into a 2*bits-bit
+    Morton code (qa on even bits, qb on odd) — pure codegen bit math."""
+    return _spread(qa, bits, 0).bitwiseOR(_spread(qb, bits, 1))
+
+
+def zorder_codes(
+    df: DataFrame, a_col: str, b_col: str, bits: int = 8
+) -> DataFrame:
+    """Input plus ``zorder`` (the Morton code of the min/max-quantized
+    integer columns ``a_col``/``b_col``). One 1-row stats collect + one
+    narrow codegen stage; doubles must be fixed-pointed by the caller."""
+    stats = df.agg(
+        F.min(a_col).cast("bigint").alias("amin"),
+        F.max(a_col).cast("bigint").alias("amax"),
+        F.min(b_col).cast("bigint").alias("bmin"),
+        F.max(b_col).cast("bigint").alias("bmax"),
+    ).collect()[0]
+    qa = _quantize(F.col(a_col), F.lit(stats["amin"]), F.lit(stats["amax"]), bits)
+    qb = _quantize(F.col(b_col), F.lit(stats["bmin"]), F.lit(stats["bmax"]), bits)
+    return df.withColumn("zorder", morton_code(qa, qb, bits))
+
+
+def zorder_layout(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    num_files: int,
+    bits: int = 8,
+) -> DataFrame:
+    """Range-partition and sort by the Morton code — write the result and
+    every file's footer min/max covers a RECTANGLE of (a, b) space, so
+    filters on either column prune files. Drop ``zorder`` after writing if
+    the storage schema must stay unchanged."""
+    coded = zorder_codes(df, a_col, b_col, bits)
+    return coded.repartitionByRange(num_files, "zorder").sortWithinPartitions(
+        "zorder"
+    )

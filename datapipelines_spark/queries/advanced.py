@@ -381,3 +381,64 @@ def graph_triangle_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges).orderBy("node")
+
+
+@query(
+    "incremental_revenue_by_month",
+    oracle="""
+    SELECT month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_totalprice
+        FROM orders
+        WHERE NOT (o_orderdate < DATE '1997-01-01' AND o_orderkey % 13 = 0)
+    )
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def incremental_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/incremental.py): the monthly revenue rollup is built as a
+    partial-aggregate STATE over the pre-1997 slice, then brought current
+    by merging ONE delta that both inserts the 1997+ orders and RETRACTS
+    the %13 pre-1997 orders (an upstream correction) — the base slice is
+    never rescanned. The oracle recomputes the final view directly, so the
+    state+delta merge must equal the full recompute exactly (decimal
+    accumulators make the merge order-independent). Scale shape: the merge
+    shuffle carries O(#months) state rows + the delta's groups."""
+    from datapipelines_spark.operators.incremental import (
+        aggregate_state,
+        merge_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate"), "month").alias("month"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+    )
+    base = orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    state = aggregate_state(base, ["month"], ["price"])
+    delta = (
+        orders.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .withColumn("__retract", F.lit(False))
+        .unionByName(
+            base.where(F.col("o_orderkey") % 13 == 0).withColumn(
+                "__retract", F.lit(True)
+            )
+        )
+    )
+    delta_state = aggregate_state(delta, ["month"], ["price"], retract_col="__retract")
+    return (
+        merge_states(state, delta_state, ["month"])
+        .select(
+            "month",
+            F.col("__cnt").alias("n_orders"),
+            F.col("sum_price").cast("double").alias("revenue"),
+        )
+        .orderBy("month")
+    )

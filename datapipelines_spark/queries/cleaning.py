@@ -731,3 +731,48 @@ def split_leakage_safe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "group_id", "in_split")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "chunk_fixed_overlap",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+    s AS (
+        SELECT doc_id, toks, n, unnest(generate_series(1, n, 12)) AS start
+        FROM n
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 12 AS INT) AS chunk_idx,
+           CAST(LEAST(16, n - start + 1) AS BIGINT) AS n_chunk_tokens,
+           sha256(array_to_string(list_slice(toks, start, start + 15), ' '))
+               AS chunk_sha
+    FROM s
+    WHERE start = 1 OR start + 4 <= n
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking
+    (operators/chunking.py:fixed_overlap_chunks) — the RAG/embedding-window
+    counterpart of the content-defined chunker: 16-token windows sliding by
+    12 (4 tokens of overlap), final chunk short, short docs one chunk. The
+    oracle replays the start grid, the stop rule, and the chunk bytes
+    (sha256) exactly, so boundary arithmetic is value-checked end to end.
+    Plan shape: one narrow JVM map stage — no shuffle, no Python."""
+    from datapipelines_spark.operators.chunking import fixed_overlap_chunks
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        fixed_overlap_chunks(d, "text", "doc_id", size=16, overlap=4)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_chunk_tokens",
+            F.sha2(F.col("chunk"), 256).alias("chunk_sha"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

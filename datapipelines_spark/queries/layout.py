@@ -466,3 +466,100 @@ def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         orders, numeric_cols=["o_totalprice"], string_cols=["o_orderstatus"]
     ).orderBy("column", "metric")
+
+
+@query(
+    "diff_orders_versions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 17 = 0 THEN 'removed'
+                WHEN o_orderkey % 10 = 0 THEN 'changed' END AS change,
+           round(o_totalprice, 2) AS price_before,
+           CASE WHEN o_orderkey % 17 <> 0 AND o_orderkey % 10 = 0
+                THEN round(o_totalprice + 1000.0, 2) END AS price_after
+    FROM orders
+    WHERE o_orderkey % 17 = 0 OR o_orderkey % 10 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def diff_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff on the MOR upsert table (sinks/upsert.py:table_diff) —
+    the audit face of time travel: what did commits v1..v2 do to the
+    snapshot, as data. Reuses the upsert_orders_snapshot scratch table
+    (base prices at v0, %10 restated at v1, %17 tombstoned at v2); the
+    v0→v2 change set must be exactly the restatements minus the deletions
+    (a key both restated and deleted reports 'removed' — the tombstone is
+    the later commit). Both snapshots key-partition on o_orderkey, so the
+    full-outer diff join adds no exchange beyond the merge windows'."""
+    from datapipelines_spark.queries.layout import upsert_orders_snapshot
+    from datapipelines_spark.sinks.upsert import table_diff
+
+    # builds (or reuses) the three-version scratch table
+    upsert_orders_snapshot(spark, sf_dir)
+    out = _scratch(sf_dir, "orders_upsert")
+    return (
+        table_diff(spark, out, ["o_orderkey"], v_from=0, v_to=2)
+        .select(
+            "o_orderkey",
+            "change",
+            F.col("before.price").alias("price_before"),
+            F.col("after.price").alias("price_after"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _morton_sql(qa: str, qb: str, bits: int) -> str:
+    """DuckDB bit-interleave expression: qa on even bits, qb on odd."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qa} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qb} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_orders",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        SELECT MIN(o_custkey) AS amin, MAX(o_custkey) AS amax,
+               MIN(cents) AS bmin, MAX(cents) AS bmax
+        FROM c
+    ),
+    q AS (
+        SELECT o_orderkey,
+               ((o_custkey - amin) * 256) // (amax - amin + 1) AS qa,
+               ((cents - bmin) * 256) // (bmax - bmin + 1) AS qb
+        FROM c, s
+    )
+    SELECT o_orderkey, CAST({_morton_sql("qa", "qb", 8)} AS BIGINT) AS zorder
+    FROM q
+    ORDER BY o_orderkey
+    """,
+)
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering codes (operators/zorder.py): orders quantized to
+    8 bits per dimension over (o_custkey, total price in cents) and
+    bit-interleaved into a 16-bit Morton code — the sort key under which a
+    written layout prunes selective filters on EITHER column from per-file
+    min/max stats (the lakehouse OPTIMIZE ZORDER job). The oracle replays
+    quantization and interleaving bit-exactly; the layout effect itself
+    (per-file rectangles) is asserted in tests/test_zorder.py. Plan: one
+    1-row stats collect + one codegen map stage, no Python, no shuffle."""
+    from datapipelines_spark.operators.zorder import zorder_codes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return (
+        zorder_codes(orders, "o_custkey", "cents", bits=8)
+        .select("o_orderkey", "zorder")
+        .orderBy("o_orderkey")
+    )

@@ -67,3 +67,45 @@ def test_divisor_must_be_power_of_two(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="power of two"):
         content_defined_chunks(df, "text", "doc_id", divisor=100)
+
+
+# --- fixed-size overlapping chunking ----------------------------------------
+
+
+def test_fixed_overlap_boundaries(spark):
+    from datapipelines_spark.operators.chunking import fixed_overlap_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(str(i) for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),                  # shorter than size
+            (3, " ".join(str(i) for i in range(13))),  # one token past a chunk end
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in fixed_overlap_chunks(df, "text", "doc_id", size=8, overlap=4).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"], r["chunk"])
+        )
+    # n=10, size=8, step=4: starts 1,5 (9 dropped: chunk 5..10 reached the end)
+    assert [(i, n) for i, n, _ in sorted(got[1])] == [(0, 8), (1, 6)]
+    assert got[1][0][2].split(" ") == [str(i) for i in range(8)]
+    assert got[1][1][2].split(" ") == [str(i) for i in range(4, 10)]
+    # short doc: exactly one (short) chunk
+    assert [(i, n, c) for i, n, c in got[2]] == [(0, 3, "only three tokens")]
+    # n=13: starts 1,5,9,13 — 9 kept (chunk 5..12 stopped short of token
+    # 13), 13 dropped (chunk 9..13 reached the end)
+    assert [(i, n) for i, n, _ in sorted(got[3])] == [(0, 8), (1, 8), (2, 5)]
+
+
+def test_fixed_overlap_rejects_bad_params(spark):
+    import pytest
+
+    from datapipelines_spark.operators.chunking import fixed_overlap_chunks
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        fixed_overlap_chunks(df, "text", "doc_id", size=8, overlap=8)
+    with pytest.raises(ValueError):
+        fixed_overlap_chunks(df, "text", "doc_id", size=8, overlap=-1)

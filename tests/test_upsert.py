@@ -192,3 +192,27 @@ def test_time_travel_reads_historical_snapshots(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "v=1" not in plan and "v=2" not in plan
+
+
+def test_table_diff_classifies_changes(spark, tmp_path):
+    from datapipelines_spark.sinks.upsert import table_diff
+
+    path = str(tmp_path / "tbl")
+    upsert_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, val string"
+        ),
+        path,
+    )
+    upsert_write(spark.createDataFrame([(2, "B2"), (4, "d")], "k long, val string"), path)
+    upsert_write(
+        spark.createDataFrame([(3, None)], "k long, val string"), path, delete=True
+    )
+    got = {
+        r["k"]: (r["change"], r["before"], r["after"])
+        for r in table_diff(spark, path, ["k"], 0, 2).collect()
+    }
+    assert set(got) == {2, 3, 4}  # key 1 unchanged -> absent
+    assert got[2][0] == "changed" and got[2][1]["val"] == "b" and got[2][2]["val"] == "B2"
+    assert got[3][0] == "removed" and got[3][2] is None
+    assert got[4][0] == "added" and got[4][1] is None and got[4][2]["val"] == "d"
