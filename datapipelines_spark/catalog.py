@@ -162,6 +162,8 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "diff_orders_versions",
     "layout_zorder_orders",
     "incremental_revenue_by_month",
+    "sim_pq_rerank_topk",
+    "decontaminate_minhash_cross",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

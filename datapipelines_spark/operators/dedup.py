@@ -845,3 +845,60 @@ def _embedding_cosine_pairs_ivf(
         .applyInPandas(cell_gemm, "vec_a long, vec_b long, cosine double")
         .distinct()
     )
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    config: MinHashConfig = MinHashConfig(),
+    threshold: float = 0.5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Cross-corpus near-dup join: (doc_a from ``left``, doc_b from
+    ``right``, jaccard) for pairs above ``threshold``, candidates from LSH
+    band buckets — near-dup DECONTAMINATION at scale. Exact n-gram overlap
+    (queries/cleaning.py) misses paraphrased or reflowed eval contamination;
+    banded minhash catches anything above the similarity threshold with one
+    equi-join between the two sides' band keys.
+
+    Scale shape (train corpus vs eval suite asymmetry): the right side's
+    band keys and shingle arrays BROADCAST — eval suites are small next to
+    the corpus — so the corpus pays one signature scan and one broadcast
+    join; it never self-joins and never shuffles. Candidates are then
+    verified by exact Jaccard, with the candidate list broadcast back
+    against the corpus (candidates ≪ corpus after banding)."""
+    ldocs = managed_persist(
+        _docs_with_signatures(left, text_col, id_col, config, impl)
+    )
+    rdocs = managed_persist(
+        _docs_with_signatures(right, text_col, id_col, config, impl)
+    )
+    lb = lsh_band_keys(ldocs, id_col, config).withColumnRenamed(id_col, "doc_a")
+    rb = lsh_band_keys(rdocs, id_col, config).withColumnRenamed(id_col, "doc_b")
+    cand = (
+        lb.join(F.broadcast(rb), ["band_id", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = ldocs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = F.broadcast(
+        rdocs.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    j = n_common / (F.col("n_a") + F.col("n_b") - n_common)
+    return (
+        a.join(F.broadcast(cand), "doc_a")
+        .join(b, "doc_b")
+        .where(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )

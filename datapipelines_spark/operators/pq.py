@@ -200,3 +200,57 @@ def pq_adc_topk(
         .where(F.col("rank") <= top_k)
         .select("query_id", id_col, "adist", "rank")
     )
+
+
+def pq_adc_rerank_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    queries_df: DataFrame,
+    vectors_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    shortlist: int = 50,
+    top_k: int = 5,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """(query_id, vec_id, dist, rank): ADC shortlist + EXACT re-rank — the
+    production PQ search shape (Jegou'11 §V: quantization error makes raw
+    ADC ranks approximate; re-scoring a C-deep shortlist against the true
+    vectors restores near-exact top-k at C/N of the exact cost). The
+    measured contract on the embeddings fixture: recall@10 >= 0.9 with a
+    100-deep shortlist (tests/test_pq.py).
+
+    Scale shape: the compressed scan proposes ``shortlist`` candidates per
+    query (never touching a float vector); only the Q x C shortlist — tiny
+    by construction — is broadcast against the vector table, so exact
+    scoring reads the true vectors for candidates ONLY, as a broadcast
+    semi-join with no shuffle of the corpus; the final window ranks Q x C
+    rows."""
+    short = pq_adc_topk(
+        codes_df, codebooks, queries_df, vec_col, id_col,
+        top_k=shortlist, max_queries=max_queries,
+    )
+    vecs = vectors_df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    qv = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # exact squared L2, summed dim-ascending (left fold) — the same
+    # accumulation order as the oracle's list_sum(list_transform(...))
+    sq = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc(id_col))
+    return (
+        F.broadcast(short.select("query_id", id_col))
+        .join(vecs, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dist", sq)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", id_col, "dist", "rank")
+    )

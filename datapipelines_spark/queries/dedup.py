@@ -348,3 +348,75 @@ def minhash_bands_oracle() -> str:
     SELECT DISTINCT CAST(band_id AS INT) AS band_id, band_key
     FROM bands ORDER BY band_id, band_key
     """
+
+
+def _minhash_cross_oracle() -> str:
+    """DuckDB replay of the cross-corpus LSH join: identical signatures and
+    band keys, candidates restricted to (even doc, odd doc) pairs, exact
+    jaccard verification."""
+    h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    mins = ",\n            ".join(
+        f"MIN(({a} * {h} + {b}) % {ops.MERSENNE_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH.coefficients())
+    )
+    band_rows = _MINHASH.num_hashes // _MINHASH.bands
+    band_exprs = []
+    for b in range(_MINHASH.bands):
+        cols = " || '-' || ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(b * band_rows, (b + 1) * band_rows)
+        )
+        band_exprs.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
+    bands = "\n        UNION ALL\n        ".join(band_exprs)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+            {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2
+    )
+    SELECT v.doc_a, v.doc_b,
+           round(v.n_common * 1.0 / (sa.n + sb.n - v.n_common), 6) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON v.doc_a = sa.doc_id
+    JOIN sizes sb ON v.doc_b = sb.doc_id
+    WHERE v.n_common * 1.0 / (sa.n + sb.n - v.n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("decontaminate_minhash_cross", oracle=_minhash_cross_oracle())
+def decontaminate_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus NEAR-DUP decontamination
+    (operators/dedup.py:minhash_lsh_join): even-id docs play the training
+    corpus, odd-id docs the eval suite; banded MinHash proposes cross-side
+    candidates and exact Jaccard >= 0.5 confirms them — catching the
+    paraphrased/reflowed contamination that exact n-gram overlap
+    (corpus_clean_pipeline) misses. Eval-side bands and shingles
+    broadcast; the corpus never self-joins and never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return ops.minhash_lsh_join(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        text_col="text",
+        id_col="doc_id",
+        config=_MINHASH,
+        threshold=0.5,
+    ).orderBy("doc_a", "doc_b")

@@ -625,3 +625,55 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         codes, books, queries, "embedding", "vec_id", top_k=5
     ).orderBy("query_id", "rank")
+
+
+def _pq_rerank_oracle(
+    m: int = 4, k: int = 4, dim: int = 64, shortlist: int = 20, final_k: int = 5
+) -> str:
+    """Shortlist CTE = the full ADC oracle at top_k=shortlist; re-rank =
+    exact squared L2 against the true vectors, dim-ascending sum."""
+    base = _pq_oracle(m, k, dim, shortlist)
+    return f"""
+    WITH short AS ({base}),
+    ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rescored AS (
+        SELECT short.query_id, short.vec_id,
+               list_sum(list_transform(range(1, {dim + 1}), i ->
+                   (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS dist
+        FROM short
+        JOIN ev c ON c.vec_id = short.vec_id
+        JOIN ev q ON q.vec_id = short.query_id
+    )
+    SELECT query_id, vec_id, dist, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, vec_id, dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, vec_id ASC) AS rank
+        FROM rescored
+    ) WHERE rank <= {final_k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_pq_rerank_topk", oracle=_pq_rerank_oracle())
+def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with exact re-ranking (operators/pq.py:pq_adc_rerank_topk):
+    the ADC stage proposes a 20-deep shortlist per query from the
+    compressed codes alone; the true vectors are read ONLY for shortlist
+    members (broadcast semi-join, no corpus shuffle) and re-scored with
+    exact squared L2 for the final top-5. The oracle replays both stages —
+    the full ADC pipeline at shortlist depth, then the exact re-rank —
+    with identical init/tie/summation-order rules."""
+    from datapipelines_spark.operators.pq import (
+        pq_adc_rerank_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(e, "embedding", "vec_id", m=4, k=4, max_iter=1)
+    codes = pq_encode(e, "embedding", "vec_id", books)
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    return pq_adc_rerank_topk(
+        codes, books, queries, e, "embedding", "vec_id",
+        shortlist=20, top_k=5,
+    ).orderBy("query_id", "rank")
