@@ -164,6 +164,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "incremental_revenue_by_month",
     "sim_pq_rerank_topk",
     "decontaminate_minhash_cross",
+    "text_bpe_tokenize",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

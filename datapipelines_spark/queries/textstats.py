@@ -353,3 +353,68 @@ def text_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(d, "text", "doc_id", min_count=5, max_size=40).orderBy(
         "token_id"
     )
+
+
+@query(
+    "text_bpe_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS BIGINT) AS n_words,
+           TRUE AS reassembles,
+           TRUE AS merges_monotonic
+    FROM documents
+    WHERE text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword tokenizer trained and applied in-engine
+    (operators/bpe.py): 40 merges learned from the corpus word-frequency
+    aggregate (the merge loop is pure model training over a capped word
+    table; the corpus streams once), then every document encoded in one
+    Arrow stage. BPE merges are not SQL-expressible, so the oracle pins
+    row identity via the word count and requires the operator's defining
+    invariants — computed Spark-side as booleans — to hold for EVERY doc:
+
+    - ``reassembles``: concatenating the subword tokens and resolving the
+      end-of-word markers rebuilds the document's words exactly (subwords
+      never cross word boundaries, nothing is lost or invented);
+    - ``merges_monotonic``: encoding with all 40 merges yields at most as
+      many tokens as encoding with the first 20 (each merge can only
+      shorten token sequences). Exact merge/tie semantics are golden-tested
+      in tests/test_bpe.py."""
+    from datapipelines_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_encode,
+        bpe_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    merges = bpe_train(d, "text", num_merges=40, max_words=20_000)
+    full = bpe_encode(d, "text", "doc_id", merges)
+    half = bpe_encode(d, "text", "doc_id", merges[:20]).select(
+        "doc_id", F.col("tokens").alias("tokens_half")
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return (
+        d.select("doc_id", words.alias("__w"))
+        .join(full, "doc_id")
+        .join(half, "doc_id")
+        .select(
+            "doc_id",
+            F.size("__w").cast("bigint").alias("n_words"),
+            (
+                F.rtrim(
+                    F.replace(
+                        F.array_join("tokens", ""),
+                        F.lit(END_OF_WORD),
+                        F.lit(" "),
+                    )
+                )
+                == F.array_join("__w", " ")
+            ).alias("reassembles"),
+            (F.size("tokens") <= F.size("tokens_half")).alias("merges_monotonic"),
+        )
+        .orderBy("doc_id")
+    )
