@@ -102,6 +102,16 @@ HEADLINE = [
     "sample_weighted_topk",
     "upsert_orders_snapshot",
     "quality_constraint_checks",
+    # r7 additions (same rule: real work on the oracle side; the
+    # invariant-boolean text_bpe_tokenize stays out): RAG chunking,
+    # Z-order codes, incremental view maintenance, MOR version diff,
+    # cross-corpus minhash decontamination, PQ shortlist+rerank
+    "chunk_fixed_overlap",
+    "layout_zorder_orders",
+    "incremental_revenue_by_month",
+    "diff_orders_versions",
+    "decontaminate_minhash_cross",
+    "sim_pq_rerank_topk",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

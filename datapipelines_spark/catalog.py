@@ -165,6 +165,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "sim_pq_rerank_topk",
     "decontaminate_minhash_cross",
     "text_bpe_tokenize",
+    "stream_incremental_view_replay",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

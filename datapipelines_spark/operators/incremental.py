@@ -63,3 +63,41 @@ def merge_states(state: DataFrame, delta_state: DataFrame, keys: list[str]) -> D
         .agg(*[F.sum(c).alias(c) for c in acc_cols])
     )
     return merged.where(F.col(CNT_COL) != 0)
+
+
+def incremental_state_sink(
+    state_dir: str,
+    keys: list[str],
+    sum_cols: list[str],
+    retract_col: str | None = None,
+):
+    """foreachBatch callback maintaining a MATERIALIZED VIEW state table on
+    disk — streaming incremental view maintenance: each micro-batch
+    collapses to its partial aggregate (delta) and merges with the current
+    state; the view is always the aggregate of everything streamed so far,
+    and per-batch cost is O(|state| + |batch|), independent of stream
+    history. Swap protocol mirrors sinks/upsert.py:compact — write the
+    merged state to a dot-staging dir (materializing the read of the old
+    state BEFORE it is replaced), then swap — so a reader sees either the
+    old or the new state, never a torn one.
+
+    Use with ``.trigger(availableNow=True)`` + a fresh checkpoint for
+    deterministic replays; for production exactly-once under retries pair
+    with the epoch-marker discipline of streaming_upsert_sink."""
+    import os
+    import shutil
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = aggregate_state(batch_df, keys, sum_cols, retract_col)
+        if os.path.isdir(state_dir):
+            merged = merge_states(spark.read.parquet(state_dir), delta, keys)
+        else:
+            merged = delta
+        staging = state_dir.rstrip("/") + f".staging-{int(epoch_id)}"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)  # materializes read
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(staging, state_dir)
+
+    return process

@@ -398,3 +398,75 @@ def stream_minhash_bands_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands, _sink_name("stream_minhash_bands"), output_mode="append"
     )
     return out.orderBy("band_id", "band_key")
+
+
+@query(
+    "stream_incremental_view_replay",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_incremental_view_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance
+    (operators/incremental.py:incremental_state_sink): the events fixture
+    is staged as 8 parquet files and replayed one file per micro-batch
+    (``maxFilesPerTrigger=1``), each batch folding its partial aggregate
+    into the on-disk state table — per-batch cost O(|state| + |batch|),
+    never the stream's history. After the bounded replay the state must
+    equal the batch aggregate of the whole fixture (the oracle), which is
+    exactly the IVM correctness statement; decimal accumulators make the
+    8-way merge order-independent. State and checkpoint reset per build,
+    so repeated runs are deterministic."""
+    import os
+    import shutil
+
+    from datapipelines_spark.operators.incremental import (
+        CNT_COL,
+        incremental_state_sink,
+    )
+    from datapipelines_spark.sources.parquet import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join("/tmp", f"spark_graft_ivm_{tag}")
+    src = os.path.join(base, "src")
+    if not os.path.isdir(src):
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_type", "value")
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_state_sink(state, ["event_type"], ["value"])
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state)
+        .select(
+            "event_type",
+            F.col(CNT_COL).alias("n_events"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

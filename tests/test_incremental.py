@@ -54,3 +54,25 @@ def test_fully_retracted_group_vanishes(spark):
     )
     assert _view(merged) == {"b": (1, 1.0)}
     assert merged.where(F.col("k") == "a").count() == 0
+
+
+def test_incremental_state_sink_multi_batch_with_retraction(spark, tmp_path):
+    """Drive the foreachBatch callback directly: three batches (the third
+    carrying a retraction) must leave the state equal to the net
+    aggregate, and a fully retracted group must vanish from the view."""
+    from datapipelines_spark.operators.incremental import incremental_state_sink
+
+    state = str(tmp_path / "state")
+    sink = incremental_state_sink(state, ["k"], ["x"], retract_col="r")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, x double, r boolean")
+
+    sink(batch([("a", 1.0, False), ("b", 2.0, False)]), 0)
+    sink(batch([("a", 3.0, False), ("c", 5.0, False)]), 1)
+    sink(batch([("b", 2.0, True)]), 2)  # retract b entirely
+    got = {
+        r["k"]: (r["__cnt"], float(r["sum_x"]))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {"a": (2, 4.0), "c": (1, 5.0)}
