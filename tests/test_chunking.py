@@ -109,3 +109,43 @@ def test_fixed_overlap_rejects_bad_params(spark):
         fixed_overlap_chunks(df, "text", "doc_id", size=8, overlap=8)
     with pytest.raises(ValueError):
         fixed_overlap_chunks(df, "text", "doc_id", size=8, overlap=-1)
+
+
+def test_fixed_overlap_matches_python_reference_fuzz(spark):
+    """Property fuzz of the boundary arithmetic: random (n, size, overlap)
+    grids vs a direct Python reference of the start/stop rule."""
+    import itertools
+
+    from datapipelines_spark.operators.chunking import fixed_overlap_chunks
+
+    cases = [
+        (n, size, ov)
+        for n, size, ov in itertools.product(
+            [1, 2, 5, 8, 12, 13, 17, 40], [4, 8, 16], [0, 1, 3]
+        )
+        if ov < size
+    ]
+    rows = []
+    for i, (n, _, _) in enumerate(cases):
+        rows.append((i, " ".join(f"t{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for size in [4, 8, 16]:
+        for ov in [0, 1, 3]:
+            got = {}
+            out = fixed_overlap_chunks(df, "text", "doc_id", size=size, overlap=ov)
+            for r in out.collect():
+                got.setdefault(r["doc_id"], []).append(
+                    (r["chunk_idx"], r["chunk"].split(" "))
+                )
+            step = size - ov
+            for i, (n, _, _) in enumerate(cases):
+                toks = [f"t{j}" for j in range(n)]
+                expect, idx = [], 0
+                for s in range(0, n, step):
+                    # skip when the previous chunk already reached the end
+                    # (s - step + size >= n in 0-based terms)
+                    if s != 0 and s + size - step >= n:
+                        continue
+                    expect.append((idx, toks[s : s + size]))
+                    idx += 1
+                assert sorted(got.get(i, [])) == expect, (i, n, size, ov)

@@ -89,3 +89,20 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # and the skipped fraction is substantial on at least one dimension
     # (sampled range boundaries leave ragged squares: measured 9-10/16)
     assert min(z_hit_a, z_hit_b) <= len(z_ranges) * 5 // 8
+
+
+def test_zorder_codes_plan_is_one_codegen_stage(spark, sf_dir):
+    """No exchange, no Python: the Morton code must compile to a single
+    whole-stage-codegen Project over the scan (plus the 1-row stats job)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    plan = (
+        zorder_codes(orders, "o_custkey", "cents")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "shiftleft" in plan  # the interleave really is JVM expression math
