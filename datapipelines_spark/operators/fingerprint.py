@@ -16,36 +16,21 @@ exactly — a hashed order would need the same hash on both engines). A
 skewed-vocabulary corpus selects slightly less uniformly than a hashed
 order would; the match guarantee is unaffected.
 
-Spark shape: shingles are window-free array ops per document; the sliding
-minimum is ONE window function partitioned by document and ordered by
-position (rows frame, no cross-document shuffle beyond the doc-id hash
-partition); the cross-document overlap join is the same inverted-index
-self-join as dedup_ngram_jaccard — fingerprints being ~1/window of the
-shingles, the join is proportionally cheaper.
+Spark shape: selection is ENTIRELY row-local — shingles AND the sliding
+minimum are array expressions inside one codegen stage (the window minimum
+is an array_min over slices of the per-document shingle array, deduplicated
+with array_distinct before the explode), so selection moves no data at all
+(r7; previously a window function shuffled and SORTED every shingle row by
+doc id — the bench's one linear-growth flag). Narrow sources get a
+round-robin parallelism floor (parallelize_small, the minhash discipline);
+the first data-keyed exchange in the pipeline is the overlap join's
+aggregation, carrying ~1/window of the shingle volume.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
-
-
-def _shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, pos, s): word k-gram starting at each position (1-based)."""
-    arr = F.split(F.col(text_col), " ")
-    n = F.size(arr)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(" ", F.slice(arr, i, k)).alias("s"),
-        ),
-    )
-    return (
-        df.where(n >= k)
-        .select(F.col(id_col), F.explode(grams).alias("g"))
-        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.s").alias("s"))
-    )
+from pyspark.sql import DataFrame
 
 
 def winnow_fingerprints(
@@ -59,27 +44,37 @@ def winnow_fingerprints(
 
     Documents with fewer than ``window + k - 1`` tokens have no complete
     window and drop out (consistent with the guarantee's minimum match
-    length)."""
-    sh = _shingles(df, text_col, id_col, k)
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(0, window - 1)
+    length).
+
+    Row-local: the per-document shingle array is materialized once, the
+    sliding minimum is ``array_min`` over its ``window``-wide slices, and
+    per-document dedup is ``array_distinct`` — all inside one codegen
+    stage, O(n_shingles * window) string compares per row; no window
+    function, no sort, no per-doc hash shuffle (plan-asserted in
+    tests/test_lm_fingerprint.py). Narrow sources are widened round-robin
+    for parallelism only."""
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    arr = F.split(F.col(text_col), " ")
+    n = F.size(arr)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(arr, i, k)),
     )
-    n_pos = Window.partitionBy(id_col)
-    return (
-        sh.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.min("s").over(w).alias("fp"),
-            F.max("pos").over(n_pos).alias("max_pos"),
+    # the CPU-heavy stage is row-local, so its parallelism is the SCAN's
+    # split count — widen a narrow source (the fixture is 1-2 files) before
+    # it, exactly the minhash-signature discipline; a wide production scan
+    # passes through untouched
+    base = parallelize_small(df.where(n >= k + window - 1)).select(
+        F.col(id_col), grams.alias("__g")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__g") - (window - 1)),
+            lambda i: F.array_min(F.slice(F.col("__g"), i, window)),
         )
-        # only COMPLETE windows select fingerprints: the last window starts
-        # at max_pos - (window - 1)
-        .where(F.col("pos") <= F.col("max_pos") - (window - 1))
-        .select(id_col, "fp")
-        .distinct()
     )
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def fingerprint_overlap_pairs(

@@ -94,3 +94,22 @@ def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark, seed, run_
         df, "text", "doc_id", k=7, window=4, min_shared=1
     ).collect()
     assert len(pairs) == 1 and pairs[0]["n_shared"] >= 1
+
+
+def test_winnow_fingerprints_plan_is_row_local(spark):
+    """r7 rewrite contract: fingerprint SELECTION is row-local array math —
+    no window function, no sort, no per-doc hash shuffle, no Python. (A
+    ROUND-ROBIN widening exchange may appear on narrow sources via
+    parallelize_small; that is a parallelism floor, not data movement
+    keyed by the computation.)"""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    plan = (
+        winnow_fingerprints(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "Sort" not in plan
+    assert "hashpartitioning" not in plan
+    assert "EvalPython" not in plan
