@@ -203,7 +203,13 @@ def table_diff(
     table, as data. Scale shape: both snapshot reads shuffle by the same
     key for their merge windows, and the full-outer join keys on the same
     columns — one co-partitioned join over two key-partitioned inputs, no
-    extra exchange beyond what the snapshots already pay."""
+    extra exchange beyond what the snapshots already pay.
+
+    Keys must be non-null (the primary-key contract every upsert path here
+    assumes): a null join key never matches itself, so a null-keyed row
+    would report as added+removed instead of changed. VALUE columns may be
+    null — comparison is per-field null-safe (null→x and x→null are
+    'changed', null→null is unchanged)."""
     import functools
     import operator
 

@@ -216,3 +216,27 @@ def test_table_diff_classifies_changes(spark, tmp_path):
     assert got[2][0] == "changed" and got[2][1]["val"] == "b" and got[2][2]["val"] == "B2"
     assert got[3][0] == "removed" and got[3][2] is None
     assert got[4][0] == "added" and got[4][1] is None and got[4][2]["val"] == "d"
+
+
+def test_table_diff_null_value_semantics(spark, tmp_path):
+    """Value columns compare null-safely: null->x and x->null are
+    'changed'; null->null is unchanged and drops out."""
+    from datapipelines_spark.sinks.upsert import table_diff
+
+    path = str(tmp_path / "tbl")
+    upsert_write(
+        spark.createDataFrame(
+            [(1, None), (2, "b"), (3, None)], "k long, val string"
+        ),
+        path,
+    )
+    upsert_write(
+        spark.createDataFrame(
+            [(1, "now-set"), (2, None), (3, None)], "k long, val string"
+        ),
+        path,
+    )
+    got = {
+        r["k"]: r["change"] for r in table_diff(spark, path, ["k"], 0, 1).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}  # 3: null->null, unchanged
