@@ -112,6 +112,7 @@ HEADLINE = [
     "diff_orders_versions",
     "decontaminate_minhash_cross",
     "sim_pq_rerank_topk",
+    "dedup_repeated_ngram_spans",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

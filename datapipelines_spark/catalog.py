@@ -166,6 +166,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "decontaminate_minhash_cross",
     "text_bpe_tokenize",
     "stream_incremental_view_replay",
+    "dedup_repeated_ngram_spans",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

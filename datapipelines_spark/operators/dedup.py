@@ -902,3 +902,81 @@ def minhash_lsh_join(
         .where(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
+
+
+def repeated_ngram_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-span statistics at n-gram granularity.
+
+    Flags every n-token window whose exact text occurs at least
+    ``min_count`` times across the WHOLE corpus (all occurrences count,
+    including repeats inside one document), then reports per document how
+    much of it those spans cover — the fixed-granularity, shuffle-friendly
+    variant of exact substring deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022, uses suffix
+    arrays; at n-gram granularity the same signal is two hash-partitioned
+    aggregates and one equi-join, no suffix structures, no global sort).
+
+    Returns one row per input document, short docs included:
+    ``(id, n_tokens, n_dup_starts, n_covered_tokens, dup_permille)`` where
+    ``n_dup_starts`` counts flagged window starts, ``n_covered_tokens``
+    counts distinct token positions under at least one flagged window, and
+    ``dup_permille = floor(1000 * covered / tokens)``.
+
+    Scale shape: the corpus-wide count shuffles 8-byte ``xxhash64`` gram
+    keys with map-side partial aggregation (never the gram text); the
+    frequent-gram set is duplicate-density-sized, not corpus-sized, and
+    joins back by hash key (AQE broadcasts it when it fits). Coverage is a
+    per-document count-distinct over at most ``n * n_dup_starts``
+    positions. A 64-bit key collision needs ~2^32 distinct grams in one
+    corpus to become likely; below that the hash-keyed counts equal
+    string-keyed counts (the DuckDB oracle counts by string).
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.size(words).cast("bigint").alias("n_tokens"))
+    pos = (
+        doc_shingles(df, text_col, id_col, n)
+        .select(F.col(id_col), F.posexplode("shingles").alias("pos", "gram"))
+        .select(id_col, "pos", F.xxhash64("gram").alias("gh"))
+    )
+    freq = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    flagged = pos.join(freq, "gh").select(id_col, "pos")
+    starts = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_starts"))
+    covered = (
+        flagged.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cp"),
+        )
+        .groupBy(id_col)
+        .agg(F.countDistinct("cp").alias("n_covered_tokens"))
+    )
+    return (
+        base.join(starts, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_starts", F.lit(0)).cast("bigint").alias("n_dup_starts"),
+            F.coalesce("n_covered_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_covered_tokens"),
+        )
+        .withColumn(
+            "dup_permille",
+            F.floor(
+                F.lit(1000.0)
+                * F.col("n_covered_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).cast("bigint"),
+        )
+    )

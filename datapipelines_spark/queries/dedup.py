@@ -420,3 +420,51 @@ def decontaminate_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         config=_MINHASH,
         threshold=0.5,
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_repeated_ngram_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    base AS (SELECT doc_id, len(w) AS n_tokens FROM toks),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS g
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 4)) AS x(i)
+        WHERE len(w) >= 5
+    ),
+    freq AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    flagged AS (SELECT doc_id, pos FROM grams JOIN freq USING (g)),
+    starts AS (
+        SELECT doc_id, COUNT(*) AS n_dup_starts FROM flagged GROUP BY doc_id
+    ),
+    covered AS (
+        SELECT doc_id, COUNT(DISTINCT cp) AS n_covered
+        FROM flagged, LATERAL unnest(generate_series(pos, pos + 4)) AS y(cp)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(s.n_dup_starts, 0) AS n_dup_starts,
+           COALESCE(c.n_covered, 0) AS n_covered_tokens,
+           CAST(FLOOR(1000.0 * COALESCE(c.n_covered, 0)
+                      / GREATEST(b.n_tokens, 1)) AS BIGINT) AS dup_permille
+    FROM base b
+    LEFT JOIN starts s USING (doc_id)
+    LEFT JOIN covered c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection at 5-gram granularity
+    (operators/dedup.py:repeated_ngram_span_stats): every 5-token window
+    whose exact text occurs >= 2 times corpus-wide is flagged, and each
+    document reports how many token positions those windows cover — the
+    shuffle-friendly fixed-granularity form of exact substring dedup
+    (Lee et al. ACL 2022). The engine counts grams by 8-byte xxhash64 key
+    (the text never shuffles); the oracle counts the gram strings
+    themselves — equality IS the no-collision check."""
+    d = load_table(spark, sf_dir, "documents")
+    return ops.repeated_ngram_span_stats(
+        d, text_col="text", id_col="doc_id", n=5, min_count=2
+    ).orderBy("doc_id")
