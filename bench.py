@@ -113,6 +113,7 @@ HEADLINE = [
     "decontaminate_minhash_cross",
     "sim_pq_rerank_topk",
     "dedup_repeated_ngram_spans",
+    "quality_token_budget_sample",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

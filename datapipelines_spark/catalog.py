@@ -167,6 +167,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "text_bpe_tokenize",
     "stream_incremental_view_replay",
     "dedup_repeated_ngram_spans",
+    "quality_token_budget_sample",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

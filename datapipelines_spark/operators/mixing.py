@@ -289,3 +289,62 @@ def temperature_mix(
         portable_hash_seeded(F.col(id_col), seed) % 1_000_000 < F.col("__thresh")
     )
     return keyed.where(keep).drop("__thresh")
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+    bucket_scale: int = 1000,
+) -> DataFrame:
+    """Quality-first corpus selection under a token budget: keep exactly
+    the prefix of the ``(score DESC, id ASC)`` ordering whose running token
+    sum stays <= ``budget`` — the standard "take the best data until the
+    budget is spent" recipe — WITHOUT a global sort of the corpus.
+
+    Scale shape: a single aggregate over ``floor(score * bucket_scale)``
+    buckets (for scores in [0, 1] that is at most ``bucket_scale + 1``
+    groups) is collected to the driver; every bucket strictly above the
+    boundary bucket is kept by a shuffle-free filter, and only the
+    BOUNDARY bucket — expected corpus/bucket_scale of the rows — pays an
+    ordered running-sum window. The split is exact, not approximate:
+    floor() is monotonic, so the bucket order refines the score order;
+    rows above the boundary have running sums <= the pre-boundary
+    cumulative <= budget, and rows below it start past a cumulative that
+    already exceeds the budget. Rows with NULL score are excluded (they
+    have no place in the ordering).
+
+    Returns the kept rows with input columns unchanged.
+    """
+    bucket = F.floor(F.col(score_col) * F.lit(bucket_scale)).cast("long")
+    d = df.where(F.col(score_col).isNotNull())
+    hist = (
+        d.groupBy(bucket.alias("__b"))
+        .agg(F.sum(F.col(tokens_col).cast("bigint")).alias("__t"))
+        .collect()
+    )
+    cum = 0
+    boundary = None
+    remaining = 0
+    for row in sorted(hist, key=lambda r: -r["__b"]):
+        if cum + row["__t"] <= budget:
+            cum += row["__t"]
+        else:
+            boundary, remaining = row["__b"], budget - cum
+            break
+    if boundary is None:
+        return d  # everything fits
+    kept_full = d.where(bucket > boundary)
+    w = (
+        Window.orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary_kept = (
+        d.where(bucket == boundary)
+        .withColumn("__cum", F.sum(F.col(tokens_col).cast("bigint")).over(w))
+        .where(F.col("__cum") <= remaining)
+        .drop("__cum")
+    )
+    return kept_full.unionByName(boundary_kept)

@@ -776,3 +776,60 @@ def chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "quality_token_budget_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS score
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, score,
+               SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(score * 1000) AS BIGINT) AS score_milli
+    FROM r
+    WHERE cum <= 8000
+    ORDER BY doc_id
+    """,
+)
+def quality_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection
+    (operators/mixing.py:token_budget_select): keep the highest-scoring
+    documents (score = distinct-token ratio, the quality proxy the
+    corpus_clean_pipeline gate uses) until an 8000-token budget is spent —
+    the exact (score DESC, doc_id ASC) running-sum prefix. The engine
+    finds the boundary through a driver-collected score-bucket histogram
+    (<= 1001 groups) and windows ONLY the boundary bucket; the oracle
+    replays the selection as one global running-sum window. Same rows out
+    proves the histogram split exact."""
+    from datapipelines_spark.operators.mixing import token_budget_select
+
+    words = F.split(F.col("text"), " ")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(words).cast("bigint").alias("n_tokens"),
+            (F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)).alias(
+                "score"
+            ),
+        )
+    )
+    kept = token_budget_select(
+        d, score_col="score", tokens_col="n_tokens", id_col="doc_id", budget=8000
+    )
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("score") * 1000).cast("bigint").alias("score_milli"),
+    ).orderBy("doc_id")
