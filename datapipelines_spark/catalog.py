@@ -168,6 +168,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "stream_incremental_view_replay",
     "dedup_repeated_ngram_spans",
     "quality_token_budget_sample",
+    "dedup_semantic_clusters",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

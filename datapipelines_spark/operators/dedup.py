@@ -980,3 +980,86 @@ def repeated_ngram_span_stats(
             ).cast("bigint"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    threshold: float = 0.45,
+    kmeans_iters: int = 1,
+    block_size: int = 2048,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): hard-partition the embedding
+    space with k-means, then WITHIN each cluster drop every vector that has
+    an earlier-id semantic near-duplicate (cosine >= ``threshold``). The
+    within-cluster restriction IS the algorithm's scale lever — candidate
+    work is Σ|cell|² instead of n², and the deliberate recall trade
+    (cross-cluster near-dups survive) is what makes it run at web scale.
+
+    Deterministic end to end: k-means init is the k lowest-id vectors
+    (operators/clustering.py), assignment ties take the first minimal
+    centroid, and the survivor rule is "smallest id in the similar set
+    stays" — no RNG, retry-stable, SQL-replayable.
+
+    Returns one row per vector: ``(id, cell, is_kept)``.
+
+    Plan shape: one broadcast-centroid Arrow pass to assign cells, ONE hash
+    shuffle keyed on cell, then a chunked numpy GEMM per cell (score matrix
+    bounded at ``block_size x |cell|``) that emits only the DROPPED ids —
+    output volume tracks duplicate density, never pairs.
+    """
+    import pyspark.sql.types as T
+
+    from datapipelines_spark.functions.partitioning import parallelize_small
+    from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    e = managed_persist(
+        parallelize_small(
+            df.select(
+                F.col(id_col).cast("long").alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+    )
+    cents, _ = kmeans_fit(e, "v", "__id", k=k, max_iter=kmeans_iters, tol=0.0)
+    cells = kmeans_assign(e, "v", "__id", cents)
+    withv = e.join(cells, "__id")
+    thr = float(threshold)
+    bs = int(block_size)
+
+    def cell_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"__id": []}).astype({"__id": "int64"})
+        V = np.stack(pdf["v"].to_numpy())
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        colmask = np.zeros(n, dtype=bool)
+        for c0 in range(0, n, bs):
+            C = V[c0:c0 + bs] @ V.T
+            hit = C >= thr  # NaN (zero-norm) compares False, like the pair paths
+            rows = np.arange(c0, min(c0 + bs, n))
+            hit &= rows[:, None] < np.arange(n)[None, :]
+            colmask |= hit.any(axis=0)
+        return pd.DataFrame({"__id": ids[colmask]})
+
+    dropped = (
+        withv.groupBy("cluster")
+        .applyInPandas(
+            lambda key, pdf: cell_dropped(pdf),
+            T.StructType([T.StructField("__id", T.LongType())]),
+        )
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cluster").cast("bigint").alias("cell"),
+            F.col("__dropped").isNull().alias("is_kept"),
+        )
+    )

@@ -677,3 +677,87 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes, books, queries, e, "embedding", "vec_id",
         shortlist=20, top_k=5,
     ).orderBy("query_id", "rank")
+
+
+# k-means training + assignment replay shared with sim_ivf_kmeans_topk's
+# oracle (kept as literal text in both — oracle strings are frozen against
+# refactors on purpose): c0 = k lowest-id vectors, one Lloyd iteration to
+# c1, single-probe assignment with first-minimal tie order.
+_KMEANS4_CELLS_SQL = """
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+        FROM e ORDER BY vec_id LIMIT 4
+    ),
+    a1 AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT vec_id, v, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM (
+                SELECT e.vec_id, e.v, c0.cluster,
+                       list_sum(list_transform(range(1, 65), i ->
+                           (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) AS dist
+                FROM e CROSS JOIN c0
+            )
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT cluster, array_agg(mval ORDER BY pos) AS c
+        FROM (SELECT cluster, i.range AS pos, AVG(v[i.range]) AS mval
+              FROM a1, range(1, 65) i GROUP BY cluster, i.range)
+        GROUP BY cluster
+    ),
+    cells AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM (
+                SELECT e.vec_id, c1.cluster,
+                       list_sum(list_transform(range(1, 65), i ->
+                           (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) AS dist
+                FROM e CROSS JOIN c1
+            )
+        ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH {_KMEANS4_CELLS_SQL},
+    dropped AS (
+        SELECT DISTINCT cb.vec_id AS b
+        FROM cells ca
+        JOIN cells cb ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id
+        JOIN e ea ON ea.vec_id = ca.vec_id
+        JOIN e eb ON eb.vec_id = cb.vec_id
+        WHERE list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
+              / (ea.nrm * eb.nrm) >= 0.45
+    )
+    SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cell,
+           d.b IS NULL AS is_kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.b
+    ORDER BY c.vec_id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py:semantic_dedup): k-means-partition the
+    embedding space (k=4, the deterministic one-iteration fit the IVF
+    queries train), then within each cell drop every vector with an
+    earlier-id neighbor at cosine >= 0.45 — semantic near-dup removal whose
+    candidate work is bounded by Σ|cell|², the web-scale recipe. The
+    oracle replays training, assignment, the within-cell pair sweep, and
+    the smallest-id survivor rule in SQL."""
+    from datapipelines_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, vec_col="embedding", id_col="vec_id", k=4, threshold=0.45
+    ).orderBy("vec_id")
