@@ -169,6 +169,8 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "dedup_repeated_ngram_spans",
     "quality_token_budget_sample",
     "dedup_semantic_clusters",
+    "quality_winsorize_outliers",
+    "stream_topk_types_replay",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

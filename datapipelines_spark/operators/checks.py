@@ -166,3 +166,66 @@ def profile_table(
     return one.select(F.explode(out).alias("r")).select(
         "r.column", "r.metric", "r.value"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    lo_permille: int = 50,
+    hi_permille: int = 950,
+) -> DataFrame:
+    """Per-group discrete-percentile clipping: every row gains the group's
+    lower/upper percentile value, the clipped value, and an outlier flag —
+    the standard numeric-cleaning step before length/score features feed a
+    quality model.
+
+    Percentiles are DISCRETE (the ceil(p*n)-th smallest group value) with
+    the rank computed in INTEGER arithmetic — ``(p_permille*n + 999) div
+    1000`` — so the result is an exact element of the input, not an
+    interpolated double. That is deliberate cross-engine discipline:
+    interpolated quantiles (Spark ``percentile`` vs DuckDB
+    ``quantile_cont``) associate their lerp differently and can disagree by
+    1 ulp exactly at clip boundaries; element selection cannot.
+
+    Plan shape: one window rank per group partition + one group count —
+    both hash-partitioned on ``group_col``, no global sort, no collect. At
+    scales where even a per-group sort is unwelcome, ``approx_percentile``
+    bounds are the documented relaxation (the flag then becomes
+    approximate; this exact form is the oracle-checkable contract).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    lo_rank = F.expr(f"({lo_permille} * __n + 999) div 1000")
+    hi_rank = F.expr(f"({hi_permille} * __n + 999) div 1000")
+    bounds_df = (
+        ranked.select(
+            group_col,
+            F.when(F.col("__rn") == lo_rank, F.col("__v")).alias("__lo"),
+            F.when(F.col("__rn") == hi_rank, F.col("__v")).alias("__hi"),
+        )
+        .groupBy(group_col)
+        .agg(F.max("__lo").alias("p_lo"), F.max("__hi").alias("p_hi"))
+    )
+    out = ranked.join(F.broadcast(bounds_df), group_col)
+    clipped = F.least(F.greatest(F.col("__v"), F.col("p_lo")), F.col("p_hi"))
+    return out.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("__v").alias(value_col),
+        F.col("p_lo"),
+        F.col("p_hi"),
+        clipped.alias("clipped"),
+        ((F.col("__v") < F.col("p_lo")) | (F.col("__v") > F.col("p_hi"))).alias(
+            "is_outlier"
+        ),
+    )

@@ -833,3 +833,43 @@ def quality_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(F.col("score") * 1000).cast("bigint").alias("score_milli"),
     ).orderBy("doc_id")
+
+
+@query(
+    "quality_winsorize_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    b AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = (50 * n + 999) // 1000
+                        THEN n_chars END) AS p_lo,
+               MAX(CASE WHEN rn = (950 * n + 999) // 1000
+                        THEN n_chars END) AS p_hi
+        FROM ranked GROUP BY lang
+    )
+    SELECT r.doc_id, r.lang, r.n_chars, b.p_lo, b.p_hi,
+           LEAST(GREATEST(r.n_chars, b.p_lo), b.p_hi) AS clipped,
+           (r.n_chars < b.p_lo OR r.n_chars > b.p_hi) AS is_outlier
+    FROM ranked r JOIN b USING (lang)
+    ORDER BY r.doc_id
+    """,
+)
+def quality_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document lengths
+    (operators/checks.py:winsorize): each doc gains its language's 5th/95th
+    discrete-percentile length bounds, the clipped length, and an outlier
+    flag. Ranks are integer arithmetic — ``(p*n + 999) div 1000`` — so the
+    bounds are exact input elements in both engines; no interpolated-double
+    boundary to disagree on."""
+    from datapipelines_spark.operators.checks import winsorize
+
+    d = load_table(spark, sf_dir, "documents")
+    return winsorize(
+        d, value_col="n_chars", group_col="lang", id_col="doc_id"
+    ).orderBy("doc_id")

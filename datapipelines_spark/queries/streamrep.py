@@ -470,3 +470,61 @@ def stream_incremental_view_replay(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_topk_types_replay",
+    oracle="""
+    WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+    m AS (SELECT MAX(us) AS max_us FROM e),
+    w AS (
+        SELECT (us - us % 21600000000) AS window_start_us,
+               event_type, COUNT(*) AS n_events
+        FROM e, m
+        WHERE (us - us % 21600000000) + 21600000000 <= max_us
+        GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n_events, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY window_start_us
+                                     ORDER BY n_events DESC,
+                                              event_type ASC) AS rank
+        FROM w
+    )
+    WHERE rank <= 3
+    ORDER BY window_start_us, rank
+    """,
+)
+def stream_topk_types_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 3 busiest event types per tumbling 6-hour
+    window. Append mode cannot rank AFTER a streaming aggregate (the rank
+    of an open window is unknowable), so the operator splits the standard
+    way: the STREAM maintains the windowed counts and emits each window
+    once its watermark closes it; the bounded per-window top-k is a batch
+    window over the flushed sink — per-window work is |event types|, not
+    stream volume. The oracle replays both halves plus the emission rule
+    (only windows with end <= max event time flush)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    flushed = run_bounded_to_memory(
+        agg, _sink_name("stream_topk_types"), output_mode="append"
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("window_start_us").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        flushed.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .orderBy("window_start_us", "rank")
+    )
