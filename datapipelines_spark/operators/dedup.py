@@ -939,9 +939,17 @@ def repeated_ngram_span_stats(
     """
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), F.size(words).cast("bigint").alias("n_tokens"))
+    # positional MULTISET of grams — deliberately NOT doc_shingles, whose
+    # arrays are first-occurrence-distinct (set semantics for Jaccard);
+    # here a gram repeated inside one document must count every time, and
+    # the array index must be the true token position
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
     pos = (
-        doc_shingles(df, text_col, id_col, n)
-        .select(F.col(id_col), F.posexplode("shingles").alias("pos", "gram"))
+        df.where(F.size(words) >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
         .select(id_col, "pos", F.xxhash64("gram").alias("gh"))
     )
     freq = (

@@ -1,0 +1,194 @@
+"""Boundary and brute-force-parity tests for the second r7 operator batch:
+token-budget selection, winsorization, repeated-n-gram spans, SemDeDup."""
+
+import random
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from datapipelines_spark.operators.checks import winsorize
+from datapipelines_spark.operators.dedup import (
+    repeated_ngram_span_stats,
+    semantic_dedup,
+)
+from datapipelines_spark.operators.mixing import token_budget_select
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select — the histogram split must equal the global prefix
+
+
+def _budget_reference(rows, budget):
+    """The definitional algorithm: global (score DESC, id ASC) prefix with
+    running token sum <= budget."""
+    kept, cum = set(), 0
+    for rid, score, tokens in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + tokens <= budget:
+            cum += tokens
+            kept.add(rid)
+        else:
+            break
+    return kept
+
+
+def _run_budget(spark, rows, budget, bucket_scale=1000):
+    df = spark.createDataFrame(rows, "id long, score double, tokens long")
+    out = token_budget_select(
+        df, score_col="score", tokens_col="tokens", id_col="id",
+        budget=budget, bucket_scale=bucket_scale,
+    )
+    return {r["id"] for r in out.collect()}
+
+
+def test_token_budget_matches_reference_random(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.random(), 4), rng.randint(1, 50)) for i in range(200)
+    ]
+    total = sum(t for _, _, t in rows)
+    for budget in (0, 17, total // 10, total // 2, total, total + 5):
+        assert _run_budget(spark, rows, budget) == _budget_reference(rows, budget), budget
+
+
+def test_token_budget_ties_break_by_id(spark):
+    # every row identical score: the prefix is pure id order
+    rows = [(i, 0.5, 10) for i in range(10)]
+    assert _run_budget(spark, rows, 35) == {0, 1, 2}
+
+
+def test_token_budget_exact_fill_keeps_boundary_row(spark):
+    rows = [(1, 0.9, 10), (2, 0.8, 10), (3, 0.7, 10)]
+    assert _run_budget(spark, rows, 20) == {1, 2}
+    assert _run_budget(spark, rows, 30) == {1, 2, 3}
+
+
+def test_token_budget_first_row_exceeding_blocks_rest(spark):
+    # greedy-prefix semantics: once the running sum would exceed, STOP —
+    # later smaller docs do not back-fill (unlike knapsack)
+    rows = [(1, 0.9, 100), (2, 0.8, 1)]
+    assert _run_budget(spark, rows, 50) == set()
+
+
+def test_token_budget_null_scores_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5, 10), (2, None, 10)], "id long, score double, tokens long"
+    )
+    out = token_budget_select(df, "score", "tokens", "id", budget=100)
+    assert {r["id"] for r in out.collect()} == {1}
+
+
+def test_token_budget_coarse_buckets_still_exact(spark):
+    # bucket_scale=1 puts EVERYTHING in one boundary bucket — the window
+    # path alone must reproduce the reference
+    rng = random.Random(11)
+    rows = [(i, rng.random(), rng.randint(1, 20)) for i in range(50)]
+    ref = _budget_reference(rows, 100)
+    assert _run_budget(spark, rows, 100, bucket_scale=1) == ref
+
+
+# ---------------------------------------------------------------------------
+# winsorize — discrete percentile bounds are exact input elements
+
+
+def _winsor_reference(vals, lo_pm, hi_pm):
+    s = sorted(vals)
+    n = len(s)
+    lo = s[(lo_pm * n + 999) // 1000 - 1]
+    hi = s[(hi_pm * n + 999) // 1000 - 1]
+    return lo, hi
+
+
+def test_winsorize_bounds_match_reference(spark):
+    rng = random.Random(3)
+    rows = [(i, "g%d" % (i % 3), rng.randint(0, 1000)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = winsorize(df, value_col="v", group_col="g", id_col="id").collect()
+    by_group = {}
+    for _, g, v in rows:
+        by_group.setdefault(g, []).append(v)
+    for r in out:
+        lo, hi = _winsor_reference(by_group[r["g"]], 50, 950)
+        assert (r["p_lo"], r["p_hi"]) == (lo, hi)
+        assert r["clipped"] == min(max(r["v"], lo), hi)
+        assert r["is_outlier"] == (r["v"] < lo or r["v"] > hi)
+
+
+def test_winsorize_single_row_group(spark):
+    df = spark.createDataFrame([(1, "a", 42)], "id long, g string, v long")
+    r = winsorize(df, "v", "g", "id").collect()[0]
+    assert (r["p_lo"], r["p_hi"], r["clipped"], r["is_outlier"]) == (42, 42, 42, False)
+
+
+# ---------------------------------------------------------------------------
+# repeated_ngram_span_stats — golden coverage arithmetic
+
+
+def test_repeated_spans_golden(spark):
+    shared = "a b c d e"
+    docs = [
+        (1, shared + " x y z"),        # flagged start at 0, covers 5 of 8
+        (2, "p q r " + shared),        # flagged start at 3, covers 5 of 8
+        (3, "u v w x y"),              # unique 5-gram, nothing flagged
+        (4, "a b c"),                  # shorter than n: no grams at all
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repeated_ngram_span_stats(
+        df, "text", "doc_id", n=5, min_count=2).collect()}
+    assert len(out) == 4  # short docs still get a row
+    assert (out[1]["n_dup_starts"], out[1]["n_covered_tokens"]) == (1, 5)
+    assert (out[2]["n_dup_starts"], out[2]["n_covered_tokens"]) == (1, 5)
+    assert (out[3]["n_dup_starts"], out[3]["n_covered_tokens"]) == (0, 0)
+    assert (out[4]["n_dup_starts"], out[4]["n_covered_tokens"]) == (0, 0)
+    assert out[1]["dup_permille"] == 1000 * 5 // 8
+
+
+def test_repeated_spans_within_doc_repetition_counts(spark):
+    # the SAME doc repeating a 5-gram reaches min_count alone
+    df = spark.createDataFrame(
+        [(1, "a b c d e z a b c d e")], "doc_id long, text string"
+    )
+    r = repeated_ngram_span_stats(df, "text", "doc_id", n=5, min_count=2).collect()[0]
+    assert r["n_dup_starts"] == 2
+    # starts 0 and 6, each covering 5 positions, disjoint -> 10 of 11
+    assert r["n_covered_tokens"] == 10
+
+
+def test_repeated_spans_overlapping_coverage_dedupes_positions(spark):
+    # 'a b c d e f' twice: within one doc the two docs share grams at
+    # starts 0 and 1 -> coverage is the UNION 0..5, not 10
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repeated_ngram_span_stats(
+        df, "text", "doc_id", n=5, min_count=2).collect()}
+    assert out[1]["n_dup_starts"] == 2
+    assert out[1]["n_covered_tokens"] == 6
+    assert out[1]["dup_permille"] == 1000
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — survivor rule verified brute-force per cell
+
+
+def test_semantic_dedup_survivor_rule_brute_force(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    for i in range(60):
+        v = base[i % 6] + rng.normal(scale=0.05 if i % 3 else 0.8, size=8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "embedding", "vec_id", k=3, threshold=0.9).collect()
+    assert len(out) == 60
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    kept = {r["vec_id"]: r["is_kept"] for r in out}
+    vecs = {i: np.asarray(v) for i, v in rows}
+
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+
+    for b in vecs:
+        has_earlier_similar = any(
+            a < b and cells[a] == cells[b] and cos(a, b) >= 0.9 for a in vecs
+        )
+        assert kept[b] == (not has_earlier_similar), b
