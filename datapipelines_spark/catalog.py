@@ -171,6 +171,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "dedup_semantic_clusters",
     "quality_winsorize_outliers",
     "stream_topk_types_replay",
+    "quality_gopher_rules",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -392,3 +392,86 @@ def build_vocab(
         "n",
         (F.row_number().over(w) - 1).cast("long").alias("token_id"),
     )
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_mean_len: int = 2,
+    max_mean_len: int = 12,
+    stopwords: tuple[str, ...] = ("the", "a", "of", "to", "in", "and"),
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1 — the word-count,
+    mean-word-length, repetition, and stop-word heuristics; thresholds are
+    parameters, defaults sized to the fixture corpus).
+
+    Every rule is evaluated in INTEGER arithmetic — e.g. "max single-word
+    share <= 1/5" is ``5 * max_run <= n_words``, "distinct ratio >= 1/5"
+    is ``5 * n_distinct >= n_words`` — so rule booleans cannot diverge
+    cross-engine at a float boundary.
+
+    Plan shape: one narrow JVM map stage — word stats are array
+    expressions, and the most-frequent-word count comes from a sort_array
+    + run-length ``aggregate`` fold instead of an explode/groupBy, so the
+    corpus never shuffles and output is one row per document:
+    ``(id, n_words, n_distinct, sum_word_chars, max_word_run,
+    n_stopwords, ok_word_count, ok_mean_len, ok_repetition,
+    ok_distinct_ratio, ok_stopwords, passes_all)``.
+    """
+    words = F.split(F.col(text_col), " ")
+    sw = F.sort_array(words)
+    zero = F.lit(0).cast("bigint")
+    run_after = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+        F.lit(1).cast("bigint")
+    )
+    max_run = F.aggregate(
+        sw,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_after(acc, x).alias("run"),
+            F.greatest(acc["best"], run_after(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_words = F.size(words).cast("bigint")
+    n_distinct = F.size(F.array_distinct(words)).cast("bigint")
+    sum_chars = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast(
+        "bigint"
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(s) for s in stopwords])
+        )
+    ).cast("bigint")
+    d = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        sum_chars.alias("sum_word_chars"),
+        max_run.alias("max_word_run"),
+        n_stop.alias("n_stopwords"),
+    )
+    ok_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ok_ml = (F.col("sum_word_chars") >= min_mean_len * F.col("n_words")) & (
+        F.col("sum_word_chars") <= max_mean_len * F.col("n_words")
+    )
+    ok_rep = 5 * F.col("max_word_run") <= F.col("n_words")
+    ok_dr = 5 * F.col("n_distinct") >= F.col("n_words")
+    ok_st = F.col("n_stopwords") >= min_stopwords
+    return d.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_rep.alias("ok_repetition"),
+        ok_dr.alias("ok_distinct_ratio"),
+        ok_st.alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_rep & ok_dr & ok_st).alias("passes_all"),
+    )

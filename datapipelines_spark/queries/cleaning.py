@@ -873,3 +873,59 @@ def quality_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(
         d, value_col="n_chars", group_col="lang", id_col="doc_id"
     ).orderBy("doc_id")
+
+
+@query(
+    "quality_gopher_rules",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+    ),
+    runs AS (
+        SELECT doc_id, MAX(c) AS max_word_run FROM (
+            SELECT doc_id, x, COUNT(*) AS c
+            FROM toks, LATERAL unnest(w) AS t(x)
+            GROUP BY doc_id, x
+        ) GROUP BY doc_id
+    ),
+    s AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               len(list_distinct(w)) AS n_distinct,
+               len(replace(text, ' ', '')) AS sum_word_chars,
+               len(list_intersect(list_distinct(w),
+                   ['the', 'a', 'of', 'to', 'in', 'and'])) AS n_stopwords
+        FROM toks
+    )
+    SELECT s.doc_id, s.n_words, s.n_distinct, s.sum_word_chars,
+           r.max_word_run, s.n_stopwords,
+           (s.n_words >= 10 AND s.n_words <= 1000) AS ok_word_count,
+           (s.sum_word_chars >= 2 * s.n_words
+            AND s.sum_word_chars <= 12 * s.n_words) AS ok_mean_len,
+           (5 * r.max_word_run <= s.n_words) AS ok_repetition,
+           (5 * s.n_distinct >= s.n_words) AS ok_distinct_ratio,
+           (s.n_stopwords >= 2) AS ok_stopwords,
+           ((s.n_words >= 10 AND s.n_words <= 1000)
+            AND (s.sum_word_chars >= 2 * s.n_words
+                 AND s.sum_word_chars <= 12 * s.n_words)
+            AND (5 * r.max_word_run <= s.n_words)
+            AND (5 * s.n_distinct >= s.n_words)
+            AND (s.n_stopwords >= 2)) AS passes_all
+    FROM s JOIN runs r USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule bundle
+    (operators/text.py:gopher_quality_rules): word count, mean word
+    length, most-frequent-word share, distinct-token ratio, and stop-word
+    presence — each rule an INTEGER comparison, each exposed as its own
+    boolean plus the conjunction. The engine finds the most frequent word
+    with a shuffle-free sort_array run-length fold; the oracle recounts it
+    with unnest + GROUP BY."""
+    from datapipelines_spark.operators.text import gopher_quality_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(d, text_col="text", id_col="doc_id").orderBy(
+        "doc_id"
+    )
