@@ -1,12 +1,15 @@
 """End-to-end training-corpus preparation: the 100 TB workflow at toy scale.
 
-quality filter (heuristic + compression-ratio + learned NB gate
-+ bigram-LM perplexity gate)
+quality filter (heuristic + Gopher rule bundle + compression-ratio
++ learned NB gate + bigram-LM perplexity gate + per-language length
+winsorization report)
 -> exact dedup -> near-dup dedup (MinHash+LSH clusters)
+-> repeated-span report (corpus-frequent 5-grams)
 -> winnowing local-match audit -> embedding near-dup (IVF-prefiltered GEMM)
+-> SemDeDup (k-means cells + within-cell cosine)
 -> benchmark decontamination (Bloom bitmap, the beyond-broadcast path)
 -> heavy-hitter token report -> length-weighted budget subsample
--> sequence packing -> summary.
+-> token-budget best-first selection -> sequence packing -> summary.
 
 Every stage is a composable DataFrame operator from datapipelines_spark
 (the same ones the oracle-checked catalog queries use), so this script is
@@ -55,6 +58,24 @@ def main() -> None:
     )
     n1 = docs.count()
 
+    # 1a'. Gopher rule bundle: word count, mean word length, repetition,
+    #      distinct ratio, stop-word presence — each an integer-exact rule
+    from datapipelines_spark.operators.text import gopher_quality_rules
+
+    gopher = gopher_quality_rules(docs, text_col="text", id_col="doc_id")
+    docs = docs.join(gopher.where(F.col("passes_all")).select("doc_id"), "doc_id")
+    n1a = docs.count()
+
+    # 1a''. per-language length winsorization: report (not drop) length
+    #       outliers — the numeric-cleaning view of the same corpus
+    from datapipelines_spark.operators.checks import winsorize
+
+    n_len_outliers = (
+        winsorize(docs, value_col="n_chars", group_col="lang", id_col="doc_id")
+        .where("is_outlier")
+        .count()
+    )
+
     # 1b. compression-ratio gate: templated spam compresses to almost
     #     nothing, binary noise barely compresses — keep the middle band
     ratio = compression_ratio_signal(docs, text_col="text", id_col="doc_id")
@@ -97,6 +118,18 @@ def main() -> None:
     docs = docs.join(drop, "doc_id", "left_anti")
     n3 = docs.count()
 
+    # 3a. repeated-span sweep: drop documents more than half covered by
+    #     corpus-frequent 5-grams (fixed-granularity exact-substring dedup)
+    from datapipelines_spark.operators.dedup import repeated_ngram_span_stats
+
+    spans = repeated_ngram_span_stats(docs, "text", "doc_id", n=5, min_count=2)
+    docs = docs.join(
+        spans.where(F.col("dup_permille") > 500).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    n3a = docs.count()
+
     # 3a'. local-match audit: winnowing fingerprints witness shared runs of
     #      >= 10 consecutive tokens (sub-document boilerplate the doc-level
     #      passes above cannot see; heavy sharers feed the CDC chunk dedup)
@@ -116,6 +149,16 @@ def main() -> None:
         n_cells=16, probes=4,
     )
     n_emb_pairs = emb_pairs.count()
+
+    # 3c. SemDeDup: k-means cells + within-cell cosine, smallest-id
+    #     survivor — the candidate work is sum |cell|^2, never n^2
+    from datapipelines_spark.operators.dedup import semantic_dedup
+
+    n_sem_dropped = (
+        semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.45)
+        .where("NOT is_kept")
+        .count()
+    )
 
     # 4. decontamination vs a held-out eval slice (here: doc_id % 97 == 0),
     #    via the Bloom bitmap — the path that works when the eval n-gram set
@@ -147,6 +190,26 @@ def main() -> None:
     docs = subset.drop("sample_key", "n_chars") if n4 > 4 else docs
     n4b = docs.count()
 
+    # 4d. token-budget best-first selection: spend a fixed token budget on
+    #     the highest-quality docs (exact running-sum prefix, no global
+    #     sort — the boundary score bucket alone pays a window)
+    from datapipelines_spark.operators.mixing import token_budget_select
+
+    words = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "*",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)).alias(
+            "__score"
+        ),
+    )
+    budget = max(256, n4b * 20)
+    docs = token_budget_select(
+        scored, score_col="__score", tokens_col="n_tokens", id_col="doc_id",
+        budget=budget,
+    ).drop("__score", "n_tokens")
+    n4d = docs.count()
+
     # 5. sequence packing: 2048-token packs per source
     packed = pack_sequences(
         docs.select(
@@ -164,15 +227,18 @@ def main() -> None:
 
     print(f"documents:        {n0}")
     print(f"after quality:    {n1}")
+    print(f"after gopher:     {n1a} (length outliers flagged: {n_len_outliers})")
     print(f"after ratio+NB:   {n1b} (NB-scored: {scores.count()})")
     print(f"after perplexity: {n1c}")
     print(f"embedding pairs:  {n_emb_pairs} (IVF-prefiltered)")
     print(f"local-match pairs:{n_local_pairs} (winnowing)")
     print(f"after exact dedup:{n2}")
     print(f"after near-dup:   {n3}")
+    print(f"after span sweep: {n3a} (SemDeDup would drop {n_sem_dropped} vecs)")
     print(f"after decontam:   {n4}")
     print(f"heavy tokens >1%: {n_heavy}")
     print(f"after subsample:  {n4b} (length-weighted)")
+    print(f"after budget cut: {n4d} (best-first, {budget} tokens)")
     print(f"packs (2048 tok): {n_packs}")
     summary.orderBy("source", "pack_id").show(10, truncate=False)
 
