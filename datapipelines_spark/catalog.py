@@ -172,6 +172,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "quality_winsorize_outliers",
     "stream_topk_types_replay",
     "quality_gopher_rules",
+    "multimodal_dhash_neardup",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -207,3 +207,75 @@ class ImageTransforms:
             on_error=self.on_error,
             passthrough=True,
         )
+
+
+def dhash_images(
+    df,
+    payload_col: str = "ppm",
+    key_col: str = "__key__",
+    on_error: str = "fail",
+):
+    """Perceptual difference-hash (dHash) per image: decode (magic-byte
+    routed codecs), integer grayscale ``(299R + 587G + 114B) div 1000``,
+    nearest-neighbor resample to an 8x9 grid, then 64 row-major gradient
+    bits ``gray[y][x] > gray[y][x+1]`` packed into a signed BIGINT — the
+    standard cheap image near-dup signature (the public dHash recipe of
+    Krawetz's "Kind of Like That"; resized/re-encoded copies keep small
+    Hamming distance, exact copies hash equal).
+
+    Every step is INTEGER arithmetic (grayscale div, ``(i*src) div out``
+    resample indices, strict > bits), so the hash is bit-exact replayable
+    in SQL — no float resize to diverge on.
+
+    One Arrow mapInPandas stage; output ``(key, width, height, dhash)``.
+    ``on_error='skip'`` drops undecodable rows, ``'fail'`` raises.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from datapipelines_spark.operators.multimodal import decode_array
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            keys, ws, hs, hashes = [], [], [], []
+            for k, payload in zip(pdf[key_col], pdf[payload_col]):
+                try:
+                    arr = decode_array(bytes(payload))
+                    if arr.ndim == 2:
+                        arr = np.stack([arr, arr, arr], axis=-1)
+                    a = arr.astype(np.int64)
+                    gray = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+                    grid = resize_nearest(gray, 8, 9)
+                    bits = (grid[:, :-1] > grid[:, 1:]).flatten()  # y*8 + x
+                    v = 0
+                    for i in np.nonzero(bits)[0]:
+                        v |= 1 << int(i)
+                    if v >= 1 << 63:
+                        v -= 1 << 64  # two's-complement into signed int64
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue
+                keys.append(k)
+                ws.append(arr.shape[1])
+                hs.append(arr.shape[0])
+                hashes.append(v)
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series(keys, dtype="object"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(batches, schema)

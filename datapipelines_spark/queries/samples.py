@@ -1211,3 +1211,112 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(roundtrip, schema).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "multimodal_dhash_neardup",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               4 + length(source) % 5 AS w,
+               3 + length(lang) % 4 AS h,
+               substr(repeat(md5(lang || ':' || source), 5), 1,
+                      CAST((4 + length(source) % 5)
+                           * (3 + length(lang) % 4) * 3 AS INT)) AS px
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, w, h, y2.range AS y, x2.range AS x,
+               (LEAST((y2.range * h) // 8, h - 1) * w
+                + LEAST((x2.range * w) // 9, w - 1)) * 3 AS base, px
+        FROM b, range(0, 8) AS y2, range(0, 9) AS x2
+    ),
+    gg AS (
+        SELECT doc_id, w, h, y, x,
+               (299 * ascii(substr(px, base + 1, 1))
+                + 587 * ascii(substr(px, base + 2, 1))
+                + 114 * ascii(substr(px, base + 3, 1))) // 1000 AS gray
+        FROM g
+    ),
+    bits AS (
+        SELECT a.doc_id, a.w, a.h, a.y, a.x,
+               CASE WHEN a.gray > c.gray THEN 1 ELSE 0 END AS bit
+        FROM gg a
+        JOIN gg c ON a.doc_id = c.doc_id AND a.y = c.y AND c.x = a.x + 1
+        WHERE a.x < 8
+    ),
+    hb AS (
+        SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+               SUM(CASE WHEN bit = 1 THEN (1::HUGEINT << (y * 8 + x))
+                        ELSE 0::HUGEINT END) AS s
+        FROM bits GROUP BY doc_id
+    ),
+    hh AS (
+        SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT
+                         ELSE s END AS BIGINT) AS dhash
+        FROM hb
+    ),
+    grp AS (
+        SELECT dhash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+        FROM hh GROUP BY dhash
+    )
+    SELECT hh.doc_id, hh.width, hh.height, hh.dhash,
+           grp.n_copies, grp.canonical_doc_id
+    FROM hh JOIN grp USING (dhash)
+    ORDER BY hh.doc_id
+    """,
+)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (operators/imageops.py:dhash_images): each
+    document's P6 PPM frame (the multimodal_ppm_decode fixture) is decoded
+    by the real codec, dHashed — integer grayscale, 8x9 nearest-neighbor
+    grid, 64 gradient bits — and grouped by hash into duplicate-image
+    clusters with a min-id canonical. Every arithmetic step is integer, so
+    the oracle replays the hash bit-for-bit from the raster formula; docs
+    with identical text produce identical images and MUST land in one
+    cluster."""
+    from datapipelines_spark.operators.imageops import dhash_images
+
+    d = load_table(spark, sf_dir, "documents")
+    # one synthetic image per (lang, source) slice: the fixture contrivance
+    # that yields REAL duplicate multiplicities for the hash-grouping to
+    # find (the corpus has no exact-duplicate texts at sf0.01); production
+    # images arrive as opaque binary columns and hash per row
+    img_key = F.concat_ws(":", F.col("lang"), F.col("source"))
+    w = (F.lit(4) + F.length("source") % 5).cast("int")
+    h = (F.lit(3) + F.length("lang") % 4).cast("int")
+    n_px = (w * h * 3).cast("int")
+    raster = F.substring(
+        F.repeat(F.md5(F.encode(img_key, "utf-8")), 5), 1, 160
+    )
+    header = F.concat_ws(
+        "", F.lit("P6\n"), w.cast("string"), F.lit(" "),
+        h.cast("string"), F.lit("\n255\n"),
+    )
+    payload = F.concat(
+        F.encode(header, "utf-8"),
+        F.encode(F.expr("substring(raster, 1, n_px)"), "utf-8"),
+    )
+    framed = (
+        d.withColumn("raster", raster)
+        .withColumn("n_px", n_px)
+        .withColumn("__key__", F.col("doc_id").cast("string"))
+        .withColumn("ppm", payload)
+    )
+    hd = dhash_images(framed, payload_col="ppm", key_col="__key__").select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "dhash",
+    )
+    grp = hd.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+    return (
+        hd.join(grp, "dhash")
+        .select("doc_id", "width", "height", "dhash", "n_copies", "canonical_doc_id")
+        .orderBy("doc_id")
+    )
