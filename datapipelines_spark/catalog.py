@@ -173,6 +173,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "stream_topk_types_replay",
     "quality_gopher_rules",
     "multimodal_dhash_neardup",
+    "events_cohort_retention",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -294,3 +294,67 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("interpolated"),
     )
     return real.unionByName(gaps).orderBy("user_id", "hr")
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    firsts AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, d FROM e),
+    j AS (
+        SELECT f.cohort_day, (a.d - f.cohort_day) AS day_offset, a.user_id
+        FROM act a JOIN firsts f USING (user_id)
+    ),
+    r AS (
+        SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_active
+        FROM j WHERE day_offset <= 7 GROUP BY 1, 2
+    ),
+    s AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY 1)
+    SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(r.day_offset AS BIGINT) AS day_offset,
+           r.n_active,
+           s.cohort_size,
+           CAST(FLOOR(1000.0 * r.n_active / s.cohort_size) AS BIGINT)
+               AS retention_permille
+    FROM r JOIN s USING (cohort_day)
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic product-analytics shape: users are
+    cohorted by FIRST active day, and each (cohort, day-offset 0..7) cell
+    reports how many cohort members were active again that day. Two
+    hash aggregates (first-day per user, distinct user-days) and one join
+    on user_id; cohort sizes join broadcast-small. events.ts is NTZ —
+    bucketing uses to_date, never epoch arithmetic (TESTDATA discipline).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    act = e.distinct()
+    j = act.join(firsts, "user_id").select(
+        "cohort_day",
+        F.datediff("d", "cohort_day").cast("bigint").alias("day_offset"),
+        "user_id",
+    )
+    r = (
+        j.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    s = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        r.join(F.broadcast(s), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.floor(F.lit(1000.0) * F.col("n_active") / F.col("cohort_size"))
+            .cast("bigint")
+            .alias("retention_permille"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

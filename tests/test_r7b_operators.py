@@ -192,3 +192,51 @@ def test_semantic_dedup_survivor_rule_brute_force(spark):
             a < b and cells[a] == cells[b] and cos(a, b) >= 0.9 for a in vecs
         )
         assert kept[b] == (not has_earlier_similar), b
+
+
+# ---------------------------------------------------------------------------
+# plan shapes — the scale properties the new operators claim
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    """The rule bundle claims ONE narrow JVM map stage: the sort_array
+    run-length fold replaces the explode/groupBy a naive most-frequent-word
+    would shuffle on."""
+    from datapipelines_spark.operators.text import gopher_quality_rules
+
+    df = spark.createDataFrame(
+        [(1, "the a b"), (2, "x y z")], "doc_id long, text string"
+    )
+    plan = _plan(gopher_quality_rules(df, "text", "doc_id"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_full_buckets_are_filter_only(spark):
+    """Kept-whole buckets must not pay a sort or a window — only a filter
+    over the scan (the boundary bucket's window runs on its own branch)."""
+    rows = [(i, i / 100.0, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, score double, tokens long")
+    out = token_budget_select(df, "score", "tokens", "id", budget=300)
+    # union of (filtered full buckets) + (windowed boundary bucket):
+    # exactly ONE Window operator total, and no global Sort outside it
+    plan = _plan(out)
+    assert plan.count("Window") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_dhash_plan_is_single_arrow_stage(spark):
+    from datapipelines_spark.operators.imageops import dhash_images, encode_ppm
+    import numpy as np
+
+    img = encode_ppm(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    df = spark.createDataFrame([("k1", bytearray(img))], "k string, ppm binary")
+    hd = dhash_images(df, payload_col="ppm", key_col="k")
+    plan = _plan(hd)
+    assert "Exchange" not in plan  # hash is computed where the bytes live
+    assert plan.count("MapInPandas") == 1
+    assert len(hd.collect()) == 1
