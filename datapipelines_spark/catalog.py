@@ -174,6 +174,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "quality_gopher_rules",
     "multimodal_dhash_neardup",
     "events_cohort_retention",
+    "interval_open_orders_sweep",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -201,3 +201,58 @@ def window_range_frame_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderkey
         """
     )
+
+
+@query(
+    "interval_open_orders_sweep",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS s,
+               CAST(l.l_shipdate AS DATE) AS e
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+        SELECT s AS d, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e + 1, -1 FROM iv
+    ),
+    agg AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(net AS BIGINT) AS net,
+           CAST(SUM(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_open
+    FROM agg ORDER BY day
+    """,
+)
+def interval_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by SWEEP LINE: how many lineitems are
+    'in flight' (order placed, not yet shipped) on each boundary day. Each
+    [o_orderdate, l_shipdate] interval contributes +1 at its start and -1
+    the day after its end; a pre-aggregated running sum over the ~2.5k
+    distinct boundary dates yields the concurrency profile. That is the
+    O(n) scale shape — the naive explode(sequence(start, end)) multiplies
+    every interval by its length in days and shuffles interval x days
+    rows; the sweep shuffles 2 rows per interval and windows over the
+    AGGREGATED date axis (bounded by the calendar, not the data)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("e")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("s"),
+    )
+    iv = li.join(o, "l_orderkey")
+    deltas = iv.select(F.col("s").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("e", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    agg = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        agg.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "net",
+            F.sum("net").over(w).cast("bigint").alias("n_open"),
+        )
+        .orderBy("day")
+    )
