@@ -175,6 +175,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "multimodal_dhash_neardup",
     "events_cohort_retention",
     "interval_open_orders_sweep",
+    "scd2_orders_history",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

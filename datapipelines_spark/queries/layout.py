@@ -563,3 +563,45 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "zorder")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scd2_orders_history",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price,
+               'base' AS price_source, 0 AS valid_from,
+               CASE WHEN o_orderkey % 10 = 0 THEN 0
+                    WHEN o_orderkey % 17 = 0 THEN 1 END AS valid_to
+        FROM orders
+    ),
+    restated AS (
+        SELECT o_orderkey, round(o_totalprice + 1000.0, 2) AS price,
+               'restated' AS price_source, 1 AS valid_from,
+               CASE WHEN o_orderkey % 17 = 0 THEN 1 END AS valid_to
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, price, price_source,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM restated)
+    ORDER BY o_orderkey, valid_from
+    """,
+)
+def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD view of the MOR commit history
+    (sinks/upsert.py:scd2_history) on the shared three-version scratch
+    table: every order carries its price spans — base price valid from v0
+    until restated (v1) or tombstoned (v2), restated price valid from v1,
+    spans still current marked with NULL valid_to, deleted keys left with
+    no open span. The oracle derives every span from the %10/%17 commit
+    rules from first principles. One key-window over the version
+    partitions — no snapshot join, no per-version rescan."""
+    from datapipelines_spark.queries.layout import upsert_orders_snapshot
+    from datapipelines_spark.sinks.upsert import scd2_history
+
+    upsert_orders_snapshot(spark, sf_dir)  # builds/reuses the scratch table
+    out = _scratch(sf_dir, "orders_upsert")
+    return scd2_history(spark, out, ["o_orderkey"]).orderBy(
+        "o_orderkey", "valid_from"
+    )

@@ -237,3 +237,34 @@ def table_diff(
         .where(F.col("change").isNotNull())
         .select(*key_cols, "change", "before", "after")
     )
+
+
+def scd2_history(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
+    """Type-2 slowly-changing-dimension view of the commit history: one row
+    per (key, validity span) — the standard dimension-table answer to
+    "what was this row's value AT commit N, and when did it change?".
+
+    A delta row's span opens at its own commit (``valid_from = v``) and
+    closes the commit before the key's NEXT change (``valid_to = next_v -
+    1``; NULL while still current). A tombstone closes the prior span the
+    same way and contributes no span of its own, so deleted keys end with
+    no open row — consistent with ``read_merged``, whose snapshot equals
+    "spans where valid_to IS NULL".
+
+    One window over the same key partitioning every other merge path uses;
+    no join against the snapshot, no per-version scan.
+    """
+    raw = spark.read.option("basePath", path).parquet(path)
+    w = Window.partitionBy(*key_cols).orderBy("v")
+    nxt = F.lead("v").over(w)
+    value_cols = [c for c in raw.columns if c not in (*key_cols, "v", DELETED_COL)]
+    return (
+        raw.withColumn("valid_to", (nxt - 1).cast("bigint"))
+        .where(~F.col(DELETED_COL))
+        .select(
+            *key_cols,
+            *value_cols,
+            F.col("v").cast("bigint").alias("valid_from"),
+            "valid_to",
+        )
+    )
