@@ -176,6 +176,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "events_cohort_retention",
     "interval_open_orders_sweep",
     "scd2_orders_history",
+    "histogram_equidepth_price",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

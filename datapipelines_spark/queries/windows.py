@@ -256,3 +256,50 @@ def interval_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "histogram_equidepth_price",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderstatus, o_totalprice,
+               ntile(8) OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT o_orderstatus, CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           round(MIN(o_totalprice), 2) AS price_min,
+           round(MAX(o_totalprice), 2) AS price_max
+    FROM t GROUP BY 1, 2
+    ORDER BY o_orderstatus, bucket
+    """,
+)
+def histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the optimizer-statistics shape): 8 equal-count
+    price buckets per order status via a partitioned ntile, then bucket
+    boundaries as (count, min, max) — the complement of the equal-WIDTH
+    text_length_histogram. The window partitions on o_orderstatus (never a
+    global sort); tie order pinned by (o_totalprice, o_orderkey) so bucket
+    assignment is deterministic cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(8)
+        .over(
+            Window.partitionBy("o_orderstatus").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("bucket"),
+    )
+    return (
+        t.groupBy("o_orderstatus", F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("price_min"),
+            F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        )
+        .orderBy("o_orderstatus", "bucket")
+    )
