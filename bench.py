@@ -114,6 +114,11 @@ HEADLINE = [
     "sim_pq_rerank_topk",
     "dedup_repeated_ngram_spans",
     "quality_token_budget_sample",
+    "dedup_semantic_clusters",
+    "quality_gopher_rules",
+    "multimodal_dhash_neardup",
+    "interval_open_orders_sweep",
+    "scd2_orders_history",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

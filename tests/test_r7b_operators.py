@@ -240,3 +240,23 @@ def test_dhash_plan_is_single_arrow_stage(spark):
     assert "Exchange" not in plan  # hash is computed where the bytes live
     assert plan.count("MapInPandas") == 1
     assert len(hd.collect()) == 1
+
+
+def test_winsorize_tiny_group_sizes(spark):
+    # ranks must stay in range for every group size, including n < 20
+    # where (50*n+999)//1000 == 1 and (950*n+999)//1000 == n
+    rows = []
+    rid = 0
+    for n in range(1, 7):
+        for v in range(n):
+            rows.append((rid, f"g{n}", (v * 37) % 11))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = winsorize(df, "v", "g", "id").collect()
+    assert len(out) == len(rows)
+    by_group = {}
+    for _, g, v in rows:
+        by_group.setdefault(g, []).append(v)
+    for r in out:
+        lo, hi = _winsor_reference(by_group[r["g"]], 50, 950)
+        assert (r["p_lo"], r["p_hi"]) == (lo, hi), r["g"]
