@@ -177,6 +177,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "interval_open_orders_sweep",
     "scd2_orders_history",
     "histogram_equidepth_price",
+    "sim_hard_negatives",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -318,3 +318,73 @@ def cosine_topk_chunked(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    query_pred: Column,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query vector, the k most cosine-similar vectors with a DIFFERENT label
+    — the "looks the same, isn't" examples that give a contrastive loss
+    its gradient (the standard in-batch/corpus negative-mining recipe).
+
+    Plan shape: the query set broadcasts (it is the small side by
+    construction — a sampled probe set), candidates stream once through a
+    label-mismatch broadcast join, and the per-query top-k is a window
+    over query_id. Scoring work is corpus x |queries| exactly like the
+    brute-force ground truth; for large probe sets, route through the IVF
+    cells first (the sim_ivf machinery) and mine within probed cells.
+
+    Emits ``(query_id, query_label, neighbor_id, neighbor_label, cosine
+    [rounded 6dp], rank)``.
+    """
+    from datapipelines_spark.operators.dedup import _dot, _norm
+
+    e = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(label_col).alias("lab"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = e.where(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("lab").alias("query_label"),
+    )
+    c = e.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("lab").alias("neighbor_label"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

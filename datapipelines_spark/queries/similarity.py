@@ -144,3 +144,51 @@ def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               {_DOT_SQL.format(dim=_DIM, a='q.v', b='c.v')} / (q.nrm * c.nrm)
+                   AS cos_raw
+        FROM e q JOIN e c ON q.label != c.label
+        WHERE q.vec_id % 100 = 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           round(cos_raw, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives): for
+    every 100th vector, the 3 most cosine-similar vectors with a DIFFERENT
+    label — the contrastive-training counterpart of the brute-force top-k
+    ground truth. The probe set broadcasts; candidates stream once; the
+    oracle replays the label-mismatch join and tie order exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        ops.hard_negatives(
+            e,
+            vec_col="embedding",
+            id_col="vec_id",
+            label_col="label",
+            query_pred=F.col("vec_id") % 100 == 0,
+            k=3,
+        )
+        .withColumn("rank", F.col("rank").cast("bigint"))
+        .orderBy("query_id", "rank")
+    )
