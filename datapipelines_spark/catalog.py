@@ -178,6 +178,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "scd2_orders_history",
     "histogram_equidepth_price",
     "sim_hard_negatives",
+    "text_pmi_collocations",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -418,3 +418,96 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bi AS (
+        SELECT w[i] AS a, w[i+1] AS b
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    bc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+    uni AS (
+        SELECT x AS tok, COUNT(*) AS c
+        FROM (SELECT unnest(w) AS x FROM toks) GROUP BY x
+    ),
+    tot AS (
+        SELECT (SELECT SUM(c) FROM uni) AS w_total,
+               (SELECT SUM(c_ab) FROM bc) AS nb_total
+    ),
+    scored AS (
+        SELECT bc.a, bc.b, bc.c_ab,
+               1000.0 * bc.c_ab * tot.w_total * tot.w_total
+                   / (tot.nb_total::DOUBLE * ua.c * ub.c) AS score
+        FROM bc
+        JOIN uni ua ON bc.a = ua.tok
+        JOIN uni ub ON bc.b = ub.tok
+        CROSS JOIN tot
+        WHERE bc.c_ab >= 5
+    )
+    SELECT a, b, c_ab, CAST(FLOOR(score) AS BIGINT) AS pmi_ratio_milli
+    FROM scored
+    ORDER BY score DESC, a, b
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information: rank by
+    ``p(a,b) / (p(a) p(b))`` — computed as the RATIO (monotone with PMI, no
+    log, so no libm 1-ulp divergence) in an identical left-associated
+    double expression on both engines. Bigrams come from the positional
+    transform (multiset, like the span detector); unigram/bigram counts
+    are two partially-aggregated shuffles; totals are broadcast scalars;
+    the final cut is orderBy().limit() — TakeOrderedAndProject, never a
+    global sort."""
+    words = F.split(F.col("text"), " ")
+    d = load_table(spark, sf_dir, "documents")
+    bi = (
+        d.where(F.size(words) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.struct(
+                        F.get(words, i).alias("a"), F.get(words, i + 1).alias("b")
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.a", "s.b")
+    )
+    bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        d.select(F.explode(words).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bc.agg(F.sum("c_ab").alias("nb_total")).crossJoin(
+        uni.agg(F.sum("c").alias("w_total"))
+    )
+    scored = (
+        bc.where(F.col("c_ab") >= 5)
+        .join(uni.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            (
+                F.lit(1000.0)
+                * F.col("c_ab")
+                * F.col("w_total")
+                * F.col("w_total")
+                / (F.col("nb_total").cast("double") * F.col("ca") * F.col("cb"))
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), "a", "b")
+        .limit(20)
+        .select("a", "b", "c_ab", F.floor("score").cast("bigint").alias("pmi_ratio_milli"))
+    )
