@@ -179,6 +179,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "histogram_equidepth_price",
     "sim_hard_negatives",
     "text_pmi_collocations",
+    "sample_oversample_parity",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -348,3 +348,41 @@ def token_budget_select(
         .drop("__cum")
     )
     return kept_full.unionByName(boundary_kept)
+
+
+def oversample_to_parity(
+    df: DataFrame, label_col: str, max_factor: int = 1000
+) -> DataFrame:
+    """Class-imbalance repair by deterministic oversampling: each row is
+    repeated ``floor(majority_count / class_count)`` times, bringing every
+    class to within one natural multiple of the majority — the standard
+    minority-upweighting step before classifier training, with no RNG (a
+    duplicate count, not a Bernoulli draw, so it is retry-stable and
+    exactly reproducible).
+
+    The per-class counts aggregate first (map-side combined); the factor
+    joins back broadcast (|classes| rows); the repeat itself is
+    ``explode(sequence(1, factor))`` — row multiplication happens where
+    the row lives, no shuffle of the corpus. ``max_factor`` caps runaway
+    imbalance (a 10^6:1 class would otherwise explode storage); capped
+    classes stay under-represented and should be reported, not silently
+    amplified.
+
+    Returns the input columns plus ``__copy`` (1..factor) so downstream
+    dedup-sensitive stages can tell copies apart.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    wall = Window.partitionBy()
+    factors = counts.select(
+        label_col,
+        F.least(
+            F.floor(F.max("__n").over(wall) / F.col("__n")), F.lit(max_factor)
+        )
+        .cast("int")
+        .alias("__factor"),
+    )
+    return (
+        df.join(F.broadcast(factors), label_col)
+        .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__factor"))))
+        .drop("__factor")
+    )

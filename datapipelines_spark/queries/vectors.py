@@ -761,3 +761,48 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, vec_col="embedding", id_col="vec_id", k=4, threshold=0.45
     ).orderBy("vec_id")
+
+
+@query(
+    "sample_oversample_parity",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    f AS (
+        SELECT label, n,
+               LEAST((SELECT MAX(n) FROM c) // n, 1000) AS factor
+        FROM c
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           n AS n_before,
+           CAST(factor AS BIGINT) AS factor,
+           n * factor AS n_after
+    FROM f
+    ORDER BY label
+    """,
+)
+def sample_oversample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-parity oversampling (operators/mixing.py:oversample_to_parity)
+    run END TO END: the embeddings table is materially resampled — every
+    row repeated floor(majority/class) times via an explode where the row
+    lives — and the query reports per-class before/factor/after counts
+    FROM THE RESAMPLED ROWS, so the oracle's closed-form n*factor checks
+    the actual multiplication, not the plan's intent."""
+    from datapipelines_spark.operators.mixing import oversample_to_parity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    before = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    res = oversample_to_parity(e, "label")
+    after = res.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.max("__copy").cast("bigint").alias("factor"),
+    )
+    return (
+        before.join(after, "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_before",
+            "factor",
+            "n_after",
+        )
+        .orderBy("label")
+    )
