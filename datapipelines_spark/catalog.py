@@ -180,6 +180,8 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "sim_hard_negatives",
     "text_pmi_collocations",
     "sample_oversample_parity",
+    "diag_join_key_skew",
+    "quality_percent_rank_norm",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -929,3 +929,45 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_rules(d, text_col="text", id_col="doc_id").orderBy(
         "doc_id"
     )
+
+
+@query(
+    "quality_percent_rank_norm",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS score
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(FLOOR(1000 * percent_rank() OVER (
+               PARTITION BY lang ORDER BY score, doc_id)) AS BIGINT)
+               AS pr_milli
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def quality_percent_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a quality score: percent_rank WITHIN each
+    language, so scores become comparable across languages whose raw
+    distributions differ — the rank-based calibration step before a single
+    global quality threshold is applied. percent_rank is (rank-1)/(n-1)
+    from integers, identical IEEE on both engines; ties pinned by doc_id.
+    One window per lang partition — no global sort."""
+    words = F.split(F.col("text"), " ")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.lit(1000) * F.percent_rank().over(w))
+        .cast("bigint")
+        .alias("pr_milli"),
+    ).orderBy("doc_id")

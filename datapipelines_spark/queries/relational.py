@@ -384,3 +384,47 @@ def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "diag_join_key_skew",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+        SELECT SUM(n) * 1.0 / COUNT(*) AS mean_n FROM c
+    )
+    SELECT key, n,
+           CAST(FLOOR(1000.0 * n / mean_n) AS BIGINT) AS skew_x_milli
+    FROM c, m
+    ORDER BY n DESC, key
+    LIMIT 10
+    """,
+)
+def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report you run BEFORE a big join to
+    decide between AQE skew handling, salting, or a broadcast: the 10
+    heaviest o_custkey values with their multiplicity as a multiple of the
+    mean key weight. One partially-aggregated count, a broadcast scalar
+    mean, and a TakeOrderedAndProject cut — never a global sort, never a
+    collect of the key histogram."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = c.agg(
+        (F.sum("n") * F.lit(1.0) / F.count(F.lit(1))).alias("mean_n")
+    )
+    return (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "key",
+            "n",
+            F.floor(F.lit(1000.0) * F.col("n") / F.col("mean_n"))
+            .cast("bigint")
+            .alias("skew_x_milli"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(10)
+    )
