@@ -119,6 +119,8 @@ HEADLINE = [
     "multimodal_dhash_neardup",
     "interval_open_orders_sweep",
     "scd2_orders_history",
+    "sim_hard_negatives",
+    "text_pmi_collocations",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

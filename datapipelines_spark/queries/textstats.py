@@ -430,21 +430,16 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(w) >= 2
     ),
     bc AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
-    uni AS (
-        SELECT x AS tok, COUNT(*) AS c
-        FROM (SELECT unnest(w) AS x FROM toks) GROUP BY x
-    ),
-    tot AS (
-        SELECT (SELECT SUM(c) FROM uni) AS w_total,
-               (SELECT SUM(c_ab) FROM bc) AS nb_total
-    ),
+    ma AS (SELECT a, SUM(c_ab) AS ca FROM bc GROUP BY a),
+    mb AS (SELECT b, SUM(c_ab) AS cb FROM bc GROUP BY b),
+    tot AS (SELECT SUM(c_ab) AS nb_total FROM bc),
     scored AS (
         SELECT bc.a, bc.b, bc.c_ab,
-               1000.0 * bc.c_ab * tot.w_total * tot.w_total
-                   / (tot.nb_total::DOUBLE * ua.c * ub.c) AS score
+               1000.0 * bc.c_ab * tot.nb_total
+                   / (ma.ca::DOUBLE * mb.cb) AS score
         FROM bc
-        JOIN uni ua ON bc.a = ua.tok
-        JOIN uni ub ON bc.b = ub.tok
+        JOIN ma ON bc.a = ma.a
+        JOIN mb ON bc.b = mb.b
         CROSS JOIN tot
         WHERE bc.c_ab >= 5
     )
@@ -455,43 +450,45 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 bigram collocations by pointwise mutual information: rank by
-    ``p(a,b) / (p(a) p(b))`` — computed as the RATIO (monotone with PMI, no
-    log, so no libm 1-ulp divergence) in an identical left-associated
-    double expression on both engines. Bigrams come from the positional
-    transform (multiset, like the span detector); unigram/bigram counts
-    are two partially-aggregated shuffles; totals are broadcast scalars;
-    the final cut is orderBy().limit() — TakeOrderedAndProject, never a
-    global sort."""
+    """Top-20 bigram collocations by pointwise mutual information over the
+    bigram sample space: rank by ``p(a,b) / (p(a,.) p(.,b))`` — computed
+    as the RATIO (monotone with PMI, no log, so no libm 1-ulp divergence)
+    in an identical left-associated double expression on both engines.
+    ONE corpus scan builds the bigram counts; both marginals and the total
+    aggregate from that (vocabulary-sized) table; the final cut is
+    orderBy().limit() — TakeOrderedAndProject, never a global sort."""
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
     words = F.split(F.col("text"), " ")
-    d = load_table(spark, sf_dir, "documents")
+    # the fixture table is one parquet split; the bigram explode is the
+    # CPU-bound stage, so widen FIRST (parallelize_small floors partitions
+    # at default parallelism without ever coalescing a wide input)
+    d = parallelize_small(load_table(spark, sf_dir, "documents").select("text"))
+    # bigrams via slice + arrays_zip — native expressions end to end (an
+    # equivalent transform(sequence, lambda) HOF is interpreted per element
+    # and measured ~2x slower on the explode stage)
     bi = (
         d.where(F.size(words) >= 2)
         .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - 2),
-                    lambda i: F.struct(
-                        F.get(words, i).alias("a"), F.get(words, i + 1).alias("b")
-                    ),
-                )
-            ).alias("s")
+            F.slice(words, 1, F.size(words) - 1).alias("aw"),
+            F.slice(words, 2, F.size(words) - 1).alias("bw"),
         )
-        .select("s.a", "s.b")
+        .select(F.explode(F.arrays_zip("aw", "bw")).alias("s"))
+        .select(F.col("s.aw").alias("a"), F.col("s.bw").alias("b"))
     )
+    # ONE corpus scan: the marginals p(a,.) and p(.,b) aggregate from the
+    # bigram-count table itself (vocabulary-sized partial aggregates over
+    # bc, never a second pass over the corpus) — the textbook bigram-PMI
+    # sample space, and at scale the difference between scanning 100 TB
+    # once or twice
     bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = (
-        d.select(F.explode(words).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = bc.agg(F.sum("c_ab").alias("nb_total")).crossJoin(
-        uni.agg(F.sum("c").alias("w_total"))
-    )
+    ma = bc.groupBy("a").agg(F.sum("c_ab").alias("ca"))
+    mb = bc.groupBy("b").agg(F.sum("c_ab").alias("cb"))
+    tot = bc.agg(F.sum("c_ab").alias("nb_total"))
     scored = (
         bc.where(F.col("c_ab") >= 5)
-        .join(uni.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
-        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")
+        .join(ma, "a")  # marginals are vocabulary-sized: let AQE pick
+        .join(mb, "b")  # broadcast when they fit, shuffle when they don't
         .crossJoin(F.broadcast(tot))
         .select(
             "a",
@@ -500,9 +497,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.lit(1000.0)
                 * F.col("c_ab")
-                * F.col("w_total")
-                * F.col("w_total")
-                / (F.col("nb_total").cast("double") * F.col("ca") * F.col("cb"))
+                * F.col("nb_total")
+                / (F.col("ca").cast("double") * F.col("cb"))
             ).alias("score"),
         )
     )
