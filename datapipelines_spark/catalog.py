@@ -182,6 +182,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "sample_oversample_parity",
     "diag_join_key_skew",
     "quality_percent_rank_norm",
+    "events_anomaly_mad",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -358,3 +358,98 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        FROM r GROUP BY event_type
+    ),
+    d AS (
+        SELECT r.event_id, r.event_type, r.value, med.med,
+               abs(r.value - med.med) AS dev,
+               row_number() OVER (PARTITION BY r.event_type
+                                  ORDER BY abs(r.value - med.med),
+                                           r.event_id) AS drn,
+               COUNT(*) OVER (PARTITION BY r.event_type) AS n
+        FROM r JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               MAX(CASE WHEN drn = (n + 1) // 2 THEN dev END) AS mad
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(FLOOR(d.value * 1000) AS BIGINT) AS value_milli,
+           CAST(FLOOR(mad.mad * 1000) AS BIGINT) AS mad_milli,
+           (abs(d.value - d.med) > 3 * mad.mad) AS is_anomaly
+    FROM d JOIN mad USING (event_type)
+    ORDER BY d.event_id
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging by Median Absolute Deviation per event
+    type: |value - median| > 3 * MAD — the outlier rule that, unlike
+    mean/stddev z-scores, is not dragged by the outliers it hunts (and,
+    cross-engine, needs NO order-sensitive floating sum at all). Both
+    medians are DISCRETE — the rank-(n+1)//2 element by integer arithmetic
+    (the winsorize discipline), ties pinned by event_id — so every
+    compared quantity derives from identical IEEE ops. Two windows per
+    event_type partition; group medians join back broadcast-small."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = (
+        r.select(
+            "event_type",
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value")).alias(
+                "m"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(F.max("m").alias("med"))
+    )
+    d0 = r.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    d = d0.withColumn("drn", F.row_number().over(w2))
+    mad = (
+        d.select(
+            "event_type",
+            F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev")).alias(
+                "x"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(F.max("x").alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+            F.floor(F.col("mad") * 1000).cast("bigint").alias("mad_milli"),
+            (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("event_id")
+    )
