@@ -183,6 +183,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "diag_join_key_skew",
     "quality_percent_rank_norm",
     "events_anomaly_mad",
+    "text_gini_diversity",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

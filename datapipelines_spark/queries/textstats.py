@@ -507,3 +507,77 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("a", "b", "c_ab", F.floor("score").cast("bigint").alias("pmi_ratio_milli"))
     )
+
+
+@query(
+    "text_gini_diversity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+        SELECT doc_id, x, COUNT(*) AS n
+        FROM toks, LATERAL unnest(w) AS t(x)
+        GROUP BY doc_id, x
+    ),
+    s AS (
+        SELECT doc_id, SUM(n) AS n_words, SUM(n * n) AS sum_sq
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(FLOOR(1000.0 * (1 - sum_sq * 1.0 / (n_words * n_words)))
+                AS BIGINT) AS gini_milli
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity as GINI impurity — ``1 - sum(p_i^2)`` over the
+    document's token distribution: the entropy-style repetitiveness signal
+    WITHOUT a logarithm, so it is pure rational arithmetic and immune to
+    the libm 1-ulp divergence that rules out cross-engine entropy. The
+    per-token counts come from the same shuffle-free sort_array run-length
+    fold the Gopher bundle uses — here the fold accumulates the sum of
+    squared run lengths — so the corpus never shuffles; the oracle
+    recounts with unnest + GROUP BY."""
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    words = F.split(F.col("text"), " ")
+    sw = F.sort_array(words)
+    zero = F.lit(0).cast("bigint")
+    run_after = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+        F.lit(1).cast("bigint")
+    )
+    # acc.sq accumulates run^2 of each CLOSED run; the finish lambda closes
+    # the final run. An empty array never happens (split always yields >= 1).
+    sum_sq = F.aggregate(
+        sw,
+        F.struct(F.lit(None).cast("string").alias("prev"), zero.alias("run"), zero.alias("sq")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_after(acc, x).alias("run"),
+            F.when(
+                x.eqNullSafe(acc["prev"]), acc["sq"]
+            ).otherwise(acc["sq"] + acc["run"] * acc["run"]).alias("sq"),
+        ),
+        lambda acc: acc["sq"] + acc["run"] * acc["run"],
+    )
+    d = parallelize_small(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(words).cast("bigint").alias("n_words"),
+            sum_sq.alias("sum_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    F.lit(1)
+                    - F.col("sum_sq") * F.lit(1.0) / (F.col("n_words") * F.col("n_words"))
+                )
+            )
+            .cast("bigint")
+            .alias("gini_milli"),
+        )
+        .orderBy("doc_id")
+    )
