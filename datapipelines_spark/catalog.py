@@ -184,6 +184,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "quality_percent_rank_norm",
     "events_anomaly_mad",
     "text_gini_diversity",
+    "quality_source_length_drift",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

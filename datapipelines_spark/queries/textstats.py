@@ -581,3 +581,74 @@ def text_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "quality_source_length_drift",
+    oracle="""
+    WITH d AS (
+        SELECT source, n_chars // 100 AS bucket FROM documents
+    ),
+    sb AS (SELECT source, bucket, COUNT(*) AS n_sb FROM d GROUP BY 1, 2),
+    bt AS (SELECT bucket, COUNT(*) AS n_b FROM d GROUP BY 1),
+    st AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM d),
+    grid AS (
+        SELECT st.source, bt.bucket, st.n_s, bt.n_b, tot.n,
+               COALESCE(sb.n_sb, 0) AS n_sb
+        FROM st CROSS JOIN bt CROSS JOIN tot
+        LEFT JOIN sb ON sb.source = st.source AND sb.bucket = bt.bucket
+    )
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           CAST(FLOOR(1000.0 * SUM(abs(n_sb * n - n_b * n_s))
+                      / (2.0 * MAX(n_s) * MAX(n))) AS BIGINT) AS drift_milli
+    FROM grid GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection per source: the total-variation
+    distance between each source's document-length histogram (100-char
+    buckets) and the corpus-wide histogram — the train/serve-skew and
+    "which source changed shape" report. The numerator is an EXACT
+    integer sum (|n_sb*n - n_b*n_s|, cross-multiplied so no per-bucket
+    float sums whose addition order could flip a floor boundary); one
+    double division at the end. Buckets a source never hits contribute
+    n_b*n_s each — folded in closed form as n_s*(n - sum of covered n_b)
+    instead of materializing the source x bucket grid (the oracle builds
+    the grid; the numbers are identical by algebra)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.expr("n_chars div 100").alias("bucket")
+    )
+    sb = d.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n_sb"))
+    bt = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    st = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    present = (
+        sb.join(F.broadcast(bt), "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_s"),
+            F.max("n").alias("n"),
+            F.sum(
+                F.abs(F.col("n_sb") * F.col("n") - F.col("n_b") * F.col("n_s"))
+            ).alias("present_sum"),
+            F.sum("n_b").alias("covered_n_b"),
+        )
+    )
+    return present.select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_docs"),
+        F.floor(
+            F.lit(1000.0)
+            * (
+                F.col("present_sum")
+                + F.col("n_s") * (F.col("n") - F.col("covered_n_b"))
+            )
+            / (F.lit(2.0) * F.col("n_s") * F.col("n"))
+        )
+        .cast("bigint")
+        .alias("drift_milli"),
+    ).orderBy("source")
