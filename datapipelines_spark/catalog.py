@@ -185,6 +185,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "events_anomaly_mad",
     "text_gini_diversity",
     "quality_source_length_drift",
+    "events_daily_trend_slope",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -453,3 +453,73 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "events_daily_trend_slope",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, day, SUM(v_micro) AS y
+        FROM d GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n, SUM(day) AS sx, SUM(y) AS sy,
+               SUM(day * y) AS sxy, SUM(day * day) AS sxx
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(FLOOR(1000.0 * (n * sxy - sx * sy)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000000))
+                AS BIGINT) AS slope_milli
+    FROM s ORDER BY event_type
+    """,
+)
+def events_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric trend detection: the ordinary-least-squares slope of each
+    event type's DAILY value total over the month, in value-units per day
+    (floor-scaled milli). Every accumulated quantity is an exact INTEGER —
+    values floor to micros per row BEFORE summing (a float sum's addition
+    order is nondeterministic under parallel aggregation; an integer sum
+    is associative), day indices are small ints, and the closed-form OLS
+    slope (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) divides two exact integers in
+    one final double op. Two partially-aggregated shuffles, group count =
+    |event types|."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v_micro"),
+    )
+    daily = d.groupBy("event_type", "day").agg(F.sum("v_micro").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.floor(
+            F.lit(1000.0)
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * 1000000
+            )
+        )
+        .cast("bigint")
+        .alias("slope_milli"),
+    ).orderBy("event_type")
