@@ -186,6 +186,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "text_gini_diversity",
     "quality_source_length_drift",
     "events_daily_trend_slope",
+    "events_transition_matrix",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

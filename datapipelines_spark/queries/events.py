@@ -523,3 +523,38 @@ def events_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_milli"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: how often each event type follows
+    each other type within a user's stream — the Markov-chain view behind
+    next-action prediction and funnel design. One lag window per user
+    partition (the stream is already the partitioning the sessionization
+    queries use) + one partially-aggregated count over |types|² groups;
+    tie order pinned by (ts, event_id)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        o.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
