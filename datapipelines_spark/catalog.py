@@ -187,6 +187,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "quality_source_length_drift",
     "events_daily_trend_slope",
     "events_transition_matrix",
+    "customer_rfm_segments",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

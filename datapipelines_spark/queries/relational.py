@@ -11,7 +11,7 @@ at runtime).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipelines_spark.catalog import query
 from datapipelines_spark.sources.parquet import load_table
@@ -427,4 +427,139 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "key")
         .limit(10)
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+    cust AS (
+        SELECT o_custkey AS custkey,
+               CAST(ref.ref_d - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders, ref GROUP BY o_custkey, ref.ref_d
+    ),
+    qs AS (
+        SELECT
+            (SELECT v FROM (SELECT recency_days AS v,
+                row_number() OVER (ORDER BY recency_days, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (n + 3) // 4) AS r1,
+            (SELECT v FROM (SELECT recency_days AS v,
+                row_number() OVER (ORDER BY recency_days, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (n + 1) // 2) AS r2,
+            (SELECT v FROM (SELECT recency_days AS v,
+                row_number() OVER (ORDER BY recency_days, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (3 * n + 3) // 4) AS r3,
+            (SELECT v FROM (SELECT frequency AS v,
+                row_number() OVER (ORDER BY frequency, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (n + 3) // 4) AS f1,
+            (SELECT v FROM (SELECT frequency AS v,
+                row_number() OVER (ORDER BY frequency, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (n + 1) // 2) AS f2,
+            (SELECT v FROM (SELECT frequency AS v,
+                row_number() OVER (ORDER BY frequency, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (3 * n + 3) // 4) AS f3,
+            (SELECT v FROM (SELECT monetary_cents AS v,
+                row_number() OVER (ORDER BY monetary_cents, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (n + 3) // 4) AS m1,
+            (SELECT v FROM (SELECT monetary_cents AS v,
+                row_number() OVER (ORDER BY monetary_cents, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (n + 1) // 2) AS m2,
+            (SELECT v FROM (SELECT monetary_cents AS v,
+                row_number() OVER (ORDER BY monetary_cents, custkey) AS rn,
+                COUNT(*) OVER () AS n FROM cust) WHERE rn = (3 * n + 3) // 4) AS m3
+    )
+    SELECT c.custkey, c.recency_days, c.frequency, c.monetary_cents,
+           CAST(4 - ((c.recency_days > qs.r1)::INT + (c.recency_days > qs.r2)::INT
+                     + (c.recency_days > qs.r3)::INT) AS BIGINT) AS r_score,
+           CAST(1 + (c.frequency > qs.f1)::INT + (c.frequency > qs.f2)::INT
+                  + (c.frequency > qs.f3)::INT AS BIGINT) AS f_score,
+           CAST(1 + (c.monetary_cents > qs.m1)::INT + (c.monetary_cents > qs.m2)::INT
+                  + (c.monetary_cents > qs.m3)::INT AS BIGINT) AS m_score
+    FROM cust c CROSS JOIN qs
+    ORDER BY c.custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order, vs the
+    corpus max date), frequency (order count), monetary (exact integer
+    cents), each scored 1-4 against DISCRETE quartile thresholds (the
+    integer-rank elements at ceil(n/4), ceil(n/2), ceil(3n/4) — the
+    winsorize discipline, so no interpolated boundary and no float sums).
+    The quartiles come from three windows over the customer AGGREGATE
+    (|customers| rows, not the fact table); at larger scales the exact
+    thresholds relax to approx_percentile without changing the contract
+    shape."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_d"))
+    cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("ref_d"), F.max(F.to_date("o_orderdate")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    from datapipelines_spark.functions.caching import managed_persist
+
+    cust = managed_persist(cust)
+
+    def quartiles(col: str):
+        w = Window.orderBy(F.col(col), F.col("custkey"))
+        r = cust.select(
+            F.col(col).alias("v"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        return r.agg(
+            F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("v"))).alias("q1"),
+            F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))).alias("q2"),
+            F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("v"))).alias("q3"),
+        )
+
+    rq = quartiles("recency_days").select(
+        F.col("q1").alias("r1"), F.col("q2").alias("r2"), F.col("q3").alias("r3")
+    )
+    fq = quartiles("frequency").select(
+        F.col("q1").alias("f1"), F.col("q2").alias("f2"), F.col("q3").alias("f3")
+    )
+    mq = quartiles("monetary_cents").select(
+        F.col("q1").alias("m1"), F.col("q2").alias("m2"), F.col("q3").alias("m3")
+    )
+    qs = F.broadcast(rq.crossJoin(fq).crossJoin(mq))
+
+    def above(c, a, b, d):
+        return (
+            (F.col(c) > F.col(a)).cast("int")
+            + (F.col(c) > F.col(b)).cast("int")
+            + (F.col(c) > F.col(d)).cast("int")
+        )
+
+    return (
+        cust.crossJoin(qs)
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            (F.lit(4) - above("recency_days", "r1", "r2", "r3"))
+            .cast("bigint")
+            .alias("r_score"),
+            (F.lit(1) + above("frequency", "f1", "f2", "f3"))
+            .cast("bigint")
+            .alias("f_score"),
+            (F.lit(1) + above("monetary_cents", "m1", "m2", "m3"))
+            .cast("bigint")
+            .alias("m_score"),
+        )
+        .orderBy("custkey")
     )
