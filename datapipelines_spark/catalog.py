@@ -188,6 +188,8 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "events_daily_trend_slope",
     "events_transition_matrix",
     "customer_rfm_segments",
+    "fluent_pipeline_customers",
+    "profile_observed_orders",
 )
 
 # r8 rotation plan (build the next PRIORITY_50 from this, in order):

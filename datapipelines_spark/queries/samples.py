@@ -1320,3 +1320,81 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "width", "height", "dhash", "n_copies", "canonical_doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fluent_pipeline_customers",
+    oracle="""
+    SELECT custkey, name, acct_cents, segment FROM (
+        SELECT c_custkey AS custkey, UPPER(c_name) AS name,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acct_cents,
+               c_mktsegment AS segment
+        FROM customer
+        WHERE CAST('0x' || substr(md5('7-' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 1000000 < 300000
+    )
+    ORDER BY custkey LIMIT 50 OFFSET 10
+    """,
+)
+def fluent_pipeline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fluent-verb surface (§2.9, operators/fluent.py) composed end to
+    end and VALUE-checked: to_tuple -> rename (webdataset keyword
+    convention) -> rsample (data-keyed deterministic Bernoulli, seed 7) ->
+    map_dict (per-key transforms in place) -> slice_rows (LIMIT/OFFSET
+    with mandatory order). The oracle replays the portable sample hash,
+    both transforms, and the ordered slice — the wds-style chain is not
+    just API sugar, it is the same relational plan."""
+    from datapipelines_spark.operators import fluent as fl
+
+    c = load_table(spark, sf_dir, "customer")
+    out = fl.to_tuple(c, "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    out = fl.rename(
+        out,
+        custkey="c_custkey",
+        name="c_name",
+        acctbal="c_acctbal",
+        segment="c_mktsegment",
+    )
+    out = fl.rsample(out, 0.30, "custkey", seed=7)
+    out = fl.map_dict(
+        out,
+        name=lambda col: F.upper(col),
+        acctbal=lambda col: F.floor(col * 100).cast("bigint"),
+    )
+    out = fl.rename(out, acct_cents="acctbal")
+    out = fl.to_tuple(out, "custkey", "name", "acct_cents", "segment")
+    return fl.slice_rows(out, limit=50, offset=10, order_by=["custkey"])
+
+
+@query(
+    "profile_observed_orders",
+    oracle="""
+    SELECT COUNT(*) AS rows_seen,
+           COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END)
+               AS null_o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+               AS null_o_orderpriority
+    FROM orders
+    """,
+)
+def profile_observed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 profiling driver-gated: ``observed`` (operators/errors.py)
+    attaches row/null counters to a scan via ``df.observe`` — metrics ride
+    the SAME pass as the real work, costing zero extra jobs — and this
+    query surfaces the observation as a one-row DataFrame the SQL oracle
+    recounts. The counters are collected from the Observation handle after
+    one action (O(1) driver data, the intended API shape)."""
+    from datapipelines_spark.operators.errors import observed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    watched, obs = observed(
+        o, "orders_profile", required=["o_orderstatus", "o_orderpriority"]
+    )
+    watched.agg(F.count(F.lit(1))).collect()  # one action populates metrics
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_seen"], m["null_o_orderstatus"], m["null_o_orderpriority"])],
+        "rows_seen bigint, null_o_orderstatus bigint, null_o_orderpriority bigint",
+    )
