@@ -80,85 +80,25 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate hashes exactly the FIRST 50 entries of
 # all_queries() in iteration order. The window ROTATES each round so
 # cumulative driver-green coverage grows instead of re-verifying the same 50
-# (VERDICT r2 #6). Round-7 window, following the r6 rotation plan
-# (catalog.py r6:183-190) and VERDICT r6 items 1+3:
-#   (a) CORRECTNESS_r06 was 50/50 green -- no reds to pin;
-#   (b) the 18 queries added in r6 after that window was pinned lead -- all
-#       first driver verdicts; graph_triangle_interactions among them also
-#       pins the r7 localCheckpoint fix (VERDICT r6 #1), upsert/profile the
-#       r7 commit-ordering hardening;
-#   (c) the 2 r3-only verdicts deferred from the r6 window
-#       (window_first_last_value, window_running_customer_spend) -- after
-#       these, no verdict in the catalog is older than r4;
-#   (d) the 30 oldest r4-only verdicts (CORRECTNESS_r04 minus r05 minus
-#       r06, in r4 order) fill the rest; the remaining 19 r4-only queries
-#       go first in the r8 staleness pool.
+# (VERDICT r2 #6). Round-8 window, following the r7 rotation plan
+# (catalog.py r7:195-209) and VERDICT r7 item 1:
+#   (a) CORRECTNESS_r07 was 50/50 green -- no reds to pin;
+#   (b) the 32 queries added in r7 after that window was pinned lead -- all
+#       first driver verdicts. Four of them also pin r8 behavior changes:
+#       stream_incremental_view_replay (crash-safe state swap, VERDICT r7
+#       #1), quality_winsorize_outliers (integral-type validation, ADVICE),
+#       sample_oversample_parity (integer-division factor, ADVICE),
+#       dedup_repeated_ngram_spans (null-text filter, ADVICE);
+#   (c) 18 of the 19 r4-only stale verdicts fill the rest, in r4 pool
+#       order; corpus_clean_pipeline (last in pool order) defers to r9 and
+#       leads the r9 staleness pool. After r8, cumulative driver coverage
+#       is the entire pre-r8 catalog (202/202).
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
 PRIORITY_50: tuple[str, ...] = (
-    # --- first driver verdicts (added r6 after the r6 window was pinned) ---
-    "quality_lm_perplexity",
-    "dedup_winnow_fingerprints",
-    "text_heavy_hitter_tokens",
-    "stream_minhash_bands_replay",
-    "sample_weighted_topk",
-    "upsert_orders_snapshot",
-    "quality_constraint_checks",
-    "graph_triangle_interactions",
-    "sim_pq_adc_topk",
-    "dedup_clusters_longest_survivor",
-    "split_leakage_safe_eval",
-    "text_build_vocab",
-    "multimodal_adpcm_decode",
-    "multimodal_flac_decode",
-    "multimodal_avi_frames",
-    "profile_orders_table",
-    "multimodal_y4m_frames",
-    "mix_temperature_sources",
-    # --- the 2 r3-only verdicts deferred from the r6 window ---
-    "window_first_last_value",
-    "window_running_customer_spend",
-    # --- 30 oldest r4-only verdicts, re-confirmed under current code ---
-    "null_semantics",
-    "map_type_status_counts",
-    "mapper_einops_reduce_groups",
-    "kmeans_centroids_2iter",
-    "sim_topk_bruteforce",
-    "sim_ivf_cell_assign",
-    "fuzzy_join_supplier_names",
-    "sample_n_per_lang",
-    "scalar_from_json_typed",
-    "scalar_map_hof_funcs",
-    "agg_approx_percentile_contract",
-    "sql_recursive_region_chain",
-    "sql_exists_correlated",
-    "mapper_square_crop",
-    "pii_redact_documents",
-    "text_repetition_signals",
-    "multimodal_wav_decode",
-    "multimodal_mjpeg_frames",
-    "tar_roundtrip_shards",
-    "partition_pruned_scan",
-    "bucketed_join_revenue_by_status",
-    "stream_static_join_replay",
-    "config_pipeline_quality_filter",
-    "multimodal_quarantine_decode",
-    "multimodal_png_decode",
-    "agg_distinct_suppliers_per_flag",
-    "cube_lineitem_flags",
-    "dedup_exact_normalized",
-    "events_sliding_1h_30m",
-    "events_tumbling_1h",
-)
-
-
-#: Queries added AFTER the current PRIORITY_50 was pinned: they have no
-#: driver verdict yet and MUST lead the next round's window. Keep in sync
-#: when adding catalog queries mid-round (test_catalog_order enforces that
-#: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "chunk_fixed_overlap",  # added r7 after the window was pinned
+    # --- first driver verdicts (added r7 after the r7 window was pinned) ---
+    "chunk_fixed_overlap",
     "diff_orders_versions",
     "layout_zorder_orders",
     "incremental_revenue_by_month",
@@ -190,20 +130,40 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "customer_rfm_segments",
     "fluent_pipeline_customers",
     "profile_observed_orders",
+    # --- 18 r4-only stale verdicts, re-confirmed under current code ---
+    "scalar_conditional_funcs",
+    "scalar_date_funcs",
+    "scalar_fuzzy_string",
+    "scalar_math_funcs",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "sim_lsh_bucket_histogram",
+    "text_fingerprint",
+    "text_language_id",
+    "text_length_histogram",
+    "text_quality_score",
+    "text_token_stats",
+    "window_moving_avg_events",
+    "window_order_gaps",
+    "window_price_rank_in_brand",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
 )
 
-# r8 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r07 (fix first, then pin);
+
+#: Queries added AFTER the current PRIORITY_50 was pinned: they have no
+#: driver verdict yet and MUST lead the next round's window. Keep in sync
+#: when adding catalog queries mid-round (test_catalog_order enforces that
+#: every query is either driver-verified, in the window, or listed here).
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+
+# r9 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r08 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r8;
-#   4. the 19 r4-only verdicts left out of the r7 window
-#      (CORRECTNESS_r04 minus r05/r06 minus the 30 pinned above):
-#      scalar_conditional_funcs, scalar_date_funcs, scalar_fuzzy_string,
-#      scalar_math_funcs, setop_except_nations, setop_intersect_nations,
-#      sim_lsh_bucket_histogram, text_fingerprint, text_language_id,
-#      text_length_histogram, text_quality_score, text_token_stats,
-#      window_moving_avg_events, window_order_gaps,
-#      window_price_rank_in_brand, q1_pricing_summary, dedup_minhash_lsh,
-#      dedup_clusters, corpus_clean_pipeline;
-#   5. oldest r5 verdicts (CORRECTNESS_r05 minus r06 minus r07), with
-#      remaining slots.
+#   3. queries whose plans/outputs change in r9;
+#   4. corpus_clean_pipeline -- the one r4-only verdict deferred from the
+#      r8 window (after it, no r4-only verdict remains anywhere);
+#   5. oldest r5 verdicts (CORRECTNESS_r05 minus r06/r07/r08), then oldest
+#      r6, with remaining slots -- drains toward the "no verdict older
+#      than two rounds of code change" invariant (VERDICT r7 item 2).

@@ -31,56 +31,67 @@ def test_priority_window_leads_registry_order():
     assert names[:50] == list(PRIORITY_50)
 
 
-def test_priority_window_pins_first_verdicts_and_changed_queries_first():
-    # Round-7 rotation policy (VERDICT r6 #1): the 18 queries added in r6
-    # after that window was pinned lead (all first driver verdicts), then
-    # the two r3-only verdicts deferred from the r6 window.
-    assert list(PRIORITY_50[:18]) == [
-        "quality_lm_perplexity",
-        "dedup_winnow_fingerprints",
-        "text_heavy_hitter_tokens",
-        "stream_minhash_bands_replay",
-        "sample_weighted_topk",
-        "upsert_orders_snapshot",
-        "quality_constraint_checks",
-        "graph_triangle_interactions",
-        "sim_pq_adc_topk",
-        "dedup_clusters_longest_survivor",
-        "split_leakage_safe_eval",
-        "text_build_vocab",
-        "multimodal_adpcm_decode",
-        "multimodal_flac_decode",
-        "multimodal_avi_frames",
-        "profile_orders_table",
-        "multimodal_y4m_frames",
-        "mix_temperature_sources",
-    ]
-    assert list(PRIORITY_50[18:20]) == [
-        "window_first_last_value",
-        "window_running_customer_spend",
+def test_priority_window_pins_first_verdicts_first():
+    # Round-8 rotation policy (VERDICT r7 #1): the 32 queries added in r7
+    # after that window was pinned lead — all first driver verdicts.
+    assert list(PRIORITY_50[:32]) == [
+        "chunk_fixed_overlap",
+        "diff_orders_versions",
+        "layout_zorder_orders",
+        "incremental_revenue_by_month",
+        "sim_pq_rerank_topk",
+        "decontaminate_minhash_cross",
+        "text_bpe_tokenize",
+        "stream_incremental_view_replay",
+        "dedup_repeated_ngram_spans",
+        "quality_token_budget_sample",
+        "dedup_semantic_clusters",
+        "quality_winsorize_outliers",
+        "stream_topk_types_replay",
+        "quality_gopher_rules",
+        "multimodal_dhash_neardup",
+        "events_cohort_retention",
+        "interval_open_orders_sweep",
+        "scd2_orders_history",
+        "histogram_equidepth_price",
+        "sim_hard_negatives",
+        "text_pmi_collocations",
+        "sample_oversample_parity",
+        "diag_join_key_skew",
+        "quality_percent_rank_norm",
+        "events_anomaly_mad",
+        "text_gini_diversity",
+        "quality_source_length_drift",
+        "events_daily_trend_slope",
+        "events_transition_matrix",
+        "customer_rfm_segments",
+        "fluent_pipeline_customers",
+        "profile_observed_orders",
     ]
 
 
 def test_priority_window_refreshes_oldest_stale_verdicts():
-    """Staleness invariant (VERDICT r6 #3): after r7 no verdict may be
-    older than r4, and the r4-only staleness pool drains oldest-first —
-    every window slot not taken by a first verdict or deferral holds an
-    r4-only query."""
-    r3 = _verdicts("CORRECTNESS_r03.json")
+    """Staleness invariant (VERDICT r7 item 2): the r4-only staleness pool
+    drains oldest-first — every window slot not taken by a first verdict
+    holds an r4-only query, and at most one r4-only query
+    (corpus_clean_pipeline, deferred to r9) stays outside the window."""
     r4 = _verdicts("CORRECTNESS_r04.json")
     if not r4:  # fresh checkout without round artifacts
         return
-    later = _verdicts("CORRECTNESS_r05.json", "CORRECTNESS_r06.json")
-    # the 2 deferred r3-only verdicts are pinned (slots 18-19 above);
-    # everything else in slots 20+ must come from the r4-only pool
+    later = _verdicts(
+        "CORRECTNESS_r05.json", "CORRECTNESS_r06.json", "CORRECTNESS_r07.json"
+    )
     r4_only = r4 - later
-    not_stale = [n for n in PRIORITY_50[20:] if n not in r4_only]
+    not_stale = [n for n in PRIORITY_50[32:] if n not in r4_only]
     assert not not_stale, f"non-r4-stale queries occupying staleness slots: {not_stale}"
-    assert not (r3 - r4 - later - set(PRIORITY_50))  # no r3-only left behind
+    deferred = r4_only - set(PRIORITY_50)
+    assert deferred <= {"corpus_clean_pipeline"}, (
+        f"more than the documented deferral left out of the window: {deferred}"
+    )
 
 
 def test_priority_window_completes_cumulative_driver_coverage():
-    """Rounds 1-6 verdicts + the r7 window must cover the ENTIRE catalog
+    """Rounds 1-7 verdicts + the r8 window must cover the ENTIRE catalog
     except queries explicitly declared PENDING_FIRST_VERDICT."""
     seen = _verdicts(
         "CORRECTNESS_r01.json",
@@ -89,6 +100,7 @@ def test_priority_window_completes_cumulative_driver_coverage():
         "CORRECTNESS_r04.json",
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
     )
     if not seen:  # fresh checkout without round artifacts
         return
