@@ -76,3 +76,93 @@ def test_incremental_state_sink_multi_batch_with_retraction(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got == {"a": (2, 4.0), "c": (1, 5.0)}
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k string, x double")
+
+
+def _state_view(spark, state):
+    return {
+        r["k"]: (r["__cnt"], float(r["sum_x"]))
+        for r in spark.read.parquet(state).collect()
+    }
+
+
+def test_crash_between_swap_renames_recovers_without_state_loss(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the sink BETWEEN the two swap renames (old state moved aside,
+    new state not yet visible — the exact window VERDICT r7 #1 showed
+    silently reset the view), then restart: the re-delivered epoch must
+    leave the view equal to the exactly-once aggregate, with no leftover
+    dirs and no double-count."""
+    import glob
+    import os
+
+    from datapipelines_spark.operators.incremental import incremental_state_sink
+
+    state = str(tmp_path / "state")
+    sink = incremental_state_sink(state, ["k"], ["x"])
+    sink(_batch(spark, [("a", 1.0), ("b", 2.0)]), 0)
+    sink(_batch(spark, [("a", 3.0)]), 1)
+
+    real_rename = os.rename
+
+    def crash_on_rename_in(src, dst):
+        if dst == state:
+            raise RuntimeError("simulated crash between swap renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_on_rename_in)
+    try:
+        sink(_batch(spark, [("b", 4.0), ("c", 5.0)]), 2)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # the crash window: state dir absent, old + complete staging left behind
+    assert not os.path.isdir(state)
+    assert glob.glob(state + ".old-*") and glob.glob(state + ".staging-*")
+
+    # restart = a fresh sink instance; the stream re-delivers epoch 2
+    sink2 = incremental_state_sink(state, ["k"], ["x"])
+    sink2(_batch(spark, [("b", 4.0), ("c", 5.0)]), 2)
+    assert _state_view(spark, state) == {"a": (2, 4.0), "b": (2, 6.0), "c": (1, 5.0)}
+    assert not glob.glob(state + ".old-*") and not glob.glob(state + ".staging-*")
+
+
+def test_crash_mid_staging_write_restores_and_remerges(spark, tmp_path):
+    """A torn staging (no _SUCCESS) must be discarded; if the crash also
+    left the state moved aside, the old state is restored and the
+    re-delivered epoch merges normally."""
+    import glob
+    import os
+    import shutil
+
+    from datapipelines_spark.operators.incremental import incremental_state_sink
+
+    state = str(tmp_path / "state")
+    sink = incremental_state_sink(state, ["k"], ["x"])
+    sink(_batch(spark, [("a", 1.0)]), 0)
+    # fabricate the crash: state renamed aside, staging torn (no _SUCCESS)
+    os.rename(state, state + ".old-1")
+    os.makedirs(state + ".staging-1")
+    open(state + ".staging-1/part-00000.parquet", "wb").close()
+
+    sink2 = incremental_state_sink(state, ["k"], ["x"])
+    sink2(_batch(spark, [("a", 9.0)]), 1)  # re-delivery merges, not re-seeds
+    assert _state_view(spark, state) == {"a": (2, 10.0)}
+    assert not glob.glob(state + ".old-*") and not glob.glob(state + ".staging-*")
+
+
+def test_epoch_redelivery_after_commit_is_idempotent(spark, tmp_path):
+    """The _applied marker travels inside the renamed state dir, so a
+    retry of an epoch that already committed is a no-op."""
+    from datapipelines_spark.operators.incremental import incremental_state_sink
+
+    state = str(tmp_path / "state")
+    sink = incremental_state_sink(state, ["k"], ["x"])
+    sink(_batch(spark, [("a", 1.0)]), 0)
+    sink(_batch(spark, [("a", 2.0)]), 1)
+    sink(_batch(spark, [("a", 2.0)]), 1)  # re-delivery of a committed epoch
+    assert _state_view(spark, state) == {"a": (2, 3.0)}
