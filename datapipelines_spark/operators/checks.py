@@ -194,8 +194,23 @@ def winsorize(
     scales where even a per-group sort is unwelcome, ``approx_percentile``
     bounds are the documented relaxation (the flag then becomes
     approximate; this exact form is the oracle-checkable contract).
+
+    ``value_col`` must be an integral type: the exactness contract rests
+    on bigint arithmetic, and silently truncating a fractional column
+    would compute bounds, clips, and flags on the wrong values — so a
+    non-integral column raises instead.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"winsorize requires an integral value_col (exact bigint "
+            f"arithmetic is the contract); {value_col!r} is "
+            f"{vtype.simpleString()} — cast or scale it to an integer "
+            f"domain first"
+        )
 
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
     ranked = df.select(

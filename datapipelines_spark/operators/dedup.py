@@ -922,7 +922,11 @@ def repeated_ngram_span_stats(
     arrays; at n-gram granularity the same signal is two hash-partitioned
     aggregates and one equi-join, no suffix structures, no global sort).
 
-    Returns one row per input document, short docs included:
+    Returns one row per input document with NON-NULL text (the same
+    discipline as fixed-overlap chunking: a null text has no token
+    positions to report — and Spark's ``size(null)`` is -1 where SQL
+    ``len(string_split(NULL))`` is NULL, so emitting such rows would
+    diverge from any SQL oracle), short docs included:
     ``(id, n_tokens, n_dup_starts, n_covered_tokens, dup_permille)`` where
     ``n_dup_starts`` counts flagged window starts, ``n_covered_tokens``
     counts distinct token positions under at least one flagged window, and
@@ -937,6 +941,7 @@ def repeated_ngram_span_stats(
     corpus to become likely; below that the hash-keyed counts equal
     string-keyed counts (the DuckDB oracle counts by string).
     """
+    df = df.where(F.col(text_col).isNotNull())
     words = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col), F.size(words).cast("bigint").alias("n_tokens"))
     # positional MULTISET of grams — deliberately NOT doc_shingles, whose

@@ -320,11 +320,23 @@ def token_budget_select(
     """
     bucket = F.floor(F.col(score_col) * F.lit(bucket_scale)).cast("long")
     d = df.where(F.col(score_col).isNotNull())
+    # The driver-side histogram is bounded ONLY because scores live in
+    # [0, 1] (<= bucket_scale + 1 groups). Guard it: collect at most one
+    # row past that cap and fail loudly rather than let an unbounded score
+    # column turn this into an O(range * scale) driver transfer.
+    cap = bucket_scale + 1
     hist = (
         d.groupBy(bucket.alias("__b"))
         .agg(F.sum(F.col(tokens_col).cast("bigint")).alias("__t"))
+        .limit(cap + 1)
         .collect()
     )
+    if len(hist) > cap:
+        raise ValueError(
+            f"token_budget_select: {score_col!r} produced more than {cap} "
+            f"histogram buckets — scores must lie in [0, 1] (normalize "
+            f"them, or raise bucket_scale deliberately)"
+        )
     cum = 0
     boundary = None
     remaining = 0
@@ -373,11 +385,16 @@ def oversample_to_parity(
     """
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
     wall = Window.partitionBy()
+    # `div` is INTEGER division on the bigint counts: double `/` + floor()
+    # can round 1 ulp below an exact quotient at large counts and flip the
+    # factor off by one, diverging from the floor(majority/class) contract
     factors = counts.select(
         label_col,
-        F.least(
-            F.floor(F.max("__n").over(wall) / F.col("__n")), F.lit(max_factor)
-        )
+        F.max("__n").over(wall).alias("__max"),
+        F.col("__n"),
+    ).select(
+        label_col,
+        F.least(F.expr("__max div __n"), F.lit(max_factor))
         .cast("int")
         .alias("__factor"),
     )

@@ -425,7 +425,8 @@ def decontaminate_minhash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_repeated_ngram_spans",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE text IS NOT NULL),
     base AS (SELECT doc_id, len(w) AS n_tokens FROM toks),
     grams AS (
         SELECT doc_id, i AS pos,
