@@ -268,6 +268,7 @@ def main() -> None:
         ][:scale_top_n]
         top += [n for n in slow if n not in top]
         scaled_queries: dict[str, float] = {}
+        contention_checks: dict[str, dict[str, float]] = {}
         for name in top:
             release_persists()
             spark.catalog.clearCache()
@@ -276,7 +277,38 @@ def main() -> None:
                 t0 = time.perf_counter()
                 registry[name].builder(spark, scaled_dir).count()
                 times.append(time.perf_counter() - t0)
-            scaled_queries[name] = _median(times)
+            med = _median(times)
+            if _growth_class(per_query[name], med, scale_factor) == "superlinear":
+                # Contention check (VERDICT r7 #2): the scaled set runs many
+                # heavy queries back-to-back in one session, and accumulated
+                # executor pressure once mis-classed a floor-bound query as
+                # superlinear (pagerank: 9.82 s in-sequence vs 3.42 s
+                # standalone). "superlinear" is the one class the driver
+                # gates on, so it must reproduce IN ISOLATION — full cache
+                # clear, JVM GC, a settle pause, then a fresh
+                # median-of-repeats — before it is emitted; the isolated
+                # measurement wins if it is faster.
+                release_persists()
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(2.0)
+                retimes = []
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    registry[name].builder(spark, scaled_dir).count()
+                    retimes.append(time.perf_counter() - t0)
+                remed = _median(retimes)
+                contention_checks[name] = {
+                    "in_sequence_sec": round(med, 3),
+                    "isolated_sec": round(remed, 3),
+                }
+                print(
+                    f"# scaled x{scale_factor} {name}: superlinear candidate "
+                    f"{med:.3f}s re-measured in isolation: {remed:.3f}s",
+                    file=sys.stderr,
+                )
+                med = min(med, remed)
+            scaled_queries[name] = med
             print(
                 f"# scaled x{scale_factor} {name}: {scaled_queries[name]:.3f}s "
                 f"median of {repeats}",
@@ -301,6 +333,10 @@ def main() -> None:
                 for n, v in scaled_queries.items()
             },
         }
+        if contention_checks:
+            # would-be superlinear classifications and their isolated
+            # re-measurements; the recorded scaled_sec is the min of the two
+            scaled_out["contention_checks"] = contention_checks
 
     duck_total = sum(duck_per_query.values())
     spark_on_oracled = sum(per_query[n] for n in duck_per_query)
