@@ -156,7 +156,9 @@ PRIORITY_50: tuple[str, ...] = (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+PENDING_FIRST_VERDICT: tuple[str, ...] = (
+    "multimodal_dhash_near_pairs",  # added r8 after the window was pinned
+)
 
 # r9 rotation plan (build the next PRIORITY_50 from this, in order):
 #   1. any query red or errored in CORRECTNESS_r08 (fix first, then pin);

@@ -279,3 +279,82 @@ def dhash_images(
             )
 
     return df.select(key_col, payload_col).mapInPandas(batches, schema)
+
+
+def dhash_near_pairs(
+    hashes,
+    id_col: str = "__key__",
+    hash_col: str = "dhash",
+    max_hamming: int = 7,
+    bands: int = 8,
+):
+    """Near-duplicate image pairs beyond exact hash equality (VERDICT r7
+    #6): resized or re-encoded copies differ from their original by a few
+    dHash bits, so grouping on hash equality misses them. Candidate pairs
+    come from Hamming banding — the 64-bit hash splits into ``bands``
+    equal bit-slices and images join on any equal slice — then every
+    candidate is verified by exact ``bit_count(xor) <= max_hamming`` (the
+    simhash_near_pairs discipline, operators/dedup.py).
+
+    Recall contract (pigeonhole): a pair within ``max_hamming <= bands-1``
+    differing bits cannot touch every band, so at least one band matches
+    and the pair is GUARANTEED to surface — the banded join is then an
+    exact algorithm, not an approximation. Above that bound banding is
+    candidate-recall only; callers wanting a larger radius should raise
+    ``bands``.
+
+    Scale shape: 8-byte hash + band keys shuffle (images never move); the
+    band join fans out per bucket, so bucket sizes stay near-duplicate-
+    density-sized, not corpus-sized. Output ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b``, deduped across bands.
+    """
+    import pyspark.sql.functions as F
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming for exact "
+            f"recall (pigeonhole); got bands={bands}"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col(hash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(band_arr).alias("b")
+    ).select(
+        id_col,
+        hash_col,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    x = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("hash_a"),
+        "band_id",
+        "band_key",
+    )
+    y = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("hash_b"),
+        "band_id",
+        "band_key",
+    )
+    hamming = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+    return (
+        x.join(y, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -313,3 +313,42 @@ def test_oversample_factor_is_exact_integer_division(spark):
     counts = {r["label"]: r["n"] for r in out.groupBy("label").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"maj": 12, "min": 10}  # 5 * floor(12/5) = 10
+
+
+def test_dhash_near_pairs_exact_recall_within_pigeonhole_bound(spark):
+    # planted 64-bit hashes with known Hamming distances: banding must find
+    # exactly the pairs brute force finds for distances <= bands-1
+    from datapipelines_spark.operators.imageops import dhash_near_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b111),            # hamming 3 from a
+        ("c", base ^ (0b1111111 << 57)),  # hamming 7 from a, top band only
+        ("d", ~base & 0xFFFFFFFFFFFFFFFF),  # hamming 64 from a
+    ]
+    signed = [(k, v - (1 << 64) if v >= 1 << 63 else v) for k, v in rows]
+    df = spark.createDataFrame(signed, "k string, dhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_pairs(df, id_col="k").collect()
+    }
+    assert got == {("a", "b"): 3, ("a", "c"): 7}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_pairs(df, id_col="k", max_hamming=8, bands=8)
+    with pytest.raises(ValueError, match="divide 64"):
+        dhash_near_pairs(df, id_col="k", max_hamming=4, bands=7)
+
+
+def test_dhash_near_pairs_dedupes_multi_band_matches(spark):
+    # a pair equal in several bands must appear once, not once per band
+    from datapipelines_spark.operators.imageops import dhash_near_pairs
+
+    df = spark.createDataFrame(
+        [("a", 42), ("b", 42 ^ 1)], "k string, dhash long"
+    )
+    out = dhash_near_pairs(df, id_col="k").collect()
+    assert len(out) == 1 and out[0]["hamming"] == 1
