@@ -192,12 +192,18 @@ def table_diff(
     key_cols: list[str],
     v_from: int,
     v_to: int,
+    compare_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keyed change set between two snapshots of the upsert table:
     one row per key that was ``added``, ``removed``, or ``changed`` between
     ``as_of_version=v_from`` and ``as_of_version=v_to`` (unchanged keys
-    drop out). ``before``/``after`` carry the full value structs (null on
+    drop out). ``before``/``after`` carry the value structs (null on
     the missing side). Value comparison is per-field null-safe.
+
+    ``compare_cols`` restricts BOTH the comparison and the carried structs
+    to the named value columns — on a wide table the parquet scan then
+    reads only keys + those fields (column pruning reaches the file
+    footers), instead of deserializing every column to diff two of them.
 
     The audit face of time travel: what did the last N commits do to the
     table, as data. Scale shape: both snapshot reads shuffle by the same
@@ -216,6 +222,13 @@ def table_diff(
     before = read_merged(spark, path, key_cols, as_of_version=v_from)
     after = read_merged(spark, path, key_cols, as_of_version=v_to)
     val_cols = [c for c in before.columns if c not in key_cols]
+    if compare_cols is not None:
+        unknown = [c for c in compare_cols if c not in val_cols]
+        if unknown:
+            raise ValueError(
+                f"compare_cols not value columns of the table: {unknown}"
+            )
+        val_cols = [c for c in val_cols if c in compare_cols]
     b = before.select(*key_cols, F.struct(*val_cols).alias("before"))
     a = after.select(*key_cols, F.struct(*val_cols).alias("after"))
     joined = b.join(a, key_cols, "full_outer")

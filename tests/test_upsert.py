@@ -240,3 +240,42 @@ def test_table_diff_null_value_semantics(spark, tmp_path):
         r["k"]: r["change"] for r in table_diff(spark, path, ["k"], 0, 1).collect()
     }
     assert got == {1: "changed", 2: "changed"}  # 3: null->null, unchanged
+
+
+def test_table_diff_compare_cols_prunes_scan_and_restricts_diff(spark, tmp_path):
+    """compare_cols must (a) restrict the change detection to the named
+    fields and (b) prune the other value columns out of the parquet scan
+    (ReadSchema), so a wide table diffs only what it reads."""
+    import pytest
+
+    from datapipelines_spark.sinks.upsert import table_diff
+
+    path = str(tmp_path / "tbl")
+    upsert_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, val string, extra long"
+        ),
+        path,
+    )
+    upsert_write(
+        spark.createDataFrame(
+            [(1, "a", 99), (2, "B2", 20)], "k long, val string, extra long"
+        ),
+        path,
+    )
+    out = table_diff(spark, path, ["k"], 0, 1, compare_cols=["val"])
+    got = {r["k"]: (r["change"], r["after"]) for r in out.collect()}
+    # key 1 changed only in the ignored column -> absent; structs carry
+    # only the compared field
+    assert set(got) == {2}
+    assert got[2][0] == "changed" and got[2][1].asDict() == {"val": "B2"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "extra" not in plan  # pruning reached the scan
+    full_plan = (
+        table_diff(spark, path, ["k"], 0, 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "extra" in full_plan  # default still reads every value column
+
+    with pytest.raises(ValueError, match="compare_cols"):
+        table_diff(spark, path, ["k"], 0, 1, compare_cols=["nope"])
