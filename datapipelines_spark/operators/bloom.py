@@ -74,15 +74,21 @@ def _probe_positions(h: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarra
 
 
 def build_bloom(
-    df: DataFrame, col: str, num_bits: int, num_hashes: int
+    df: DataFrame,
+    col: str,
+    num_bits: int,
+    num_hashes: int,
+    driver_or_budget_bytes: int = 256 << 20,
 ) -> np.ndarray:
     """Aggregate ``xxhash64(col)`` of every row into a packed uint64 bitmap.
 
     One Arrow pass: each task folds its partition into a local bitmap and
     emits ONE row of m/8 bytes; the driver ORs the partials — O(partitions)
-    bitmaps, never rows. (At multi-GB filter sizes the partials would merge
-    executor-side via treeReduce instead; at the ~10-100 MB filters a
-    billion-n-gram eval suite needs, the driver OR is fine.)"""
+    bitmaps, never rows. When ``partitions × bitmap`` exceeds
+    ``driver_or_budget_bytes`` (multi-GB filters on wide clusters), a
+    second executor-side OR level merges the partials tree-wise first, so
+    the driver receives at most the budget regardless of partition count
+    — the two-level reduce the module docstring promises."""
     hashes = df.select(F.xxhash64(F.col(col)).alias("h"))
     words = num_bits // 64
 
@@ -102,8 +108,31 @@ def build_bloom(
         if seen:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
+    partial_df = hashes.mapInPandas(partials, "bits binary")
+
+    bitmap_bytes = max(1, words * 8)
+    n_parts = hashes.rdd.getNumPartitions()
+    n_groups = min(n_parts, max(1, driver_or_budget_bytes // bitmap_bytes))
+    if n_groups < n_parts:
+
+        def combine(batches):
+            bits = np.zeros(words, dtype=np.uint64)
+            seen = False
+            for pdf in batches:
+                for buf in pdf["bits"]:
+                    bits |= np.frombuffer(buf, dtype=np.uint64)
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+        # round-robin the one-row-per-task partials into n_groups tasks;
+        # each ORs its group, so the driver collect is <= the budget
+        partial_df = partial_df.repartition(n_groups).mapInPandas(
+            combine, "bits binary"
+        )
+
     out = np.zeros(words, dtype=np.uint64)
-    for row in hashes.mapInPandas(partials, "bits binary").collect():
+    for row in partial_df.collect():
         out |= np.frombuffer(row["bits"], dtype=np.uint64)
     return out
 

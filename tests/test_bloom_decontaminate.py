@@ -110,3 +110,18 @@ def test_probe_positions_cover_whole_array_past_2_32_bits():
     pos_k = _probe_positions(h, num_bits, 8).ravel()
     counts, _ = np.histogram(pos_k, bins=8, range=(0, num_bits))
     assert counts.min() > 0.8 * counts.mean()
+
+
+def test_build_bloom_tree_merge_equals_driver_or(spark):
+    """A budget small enough to force the executor-side OR level must
+    produce the bit-identical filter the plain driver OR builds."""
+    rows = [(f"gram-{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string").repartition(16)
+    num_bits = optimal_bits(5000, 0.01)
+    k = optimal_hashes(num_bits, 5000)
+    direct = build_bloom(df, "g", num_bits, k)
+    # bitmap is ~6 KB; a 2-bitmap budget forces n_groups=2 < 16 partitions
+    treed = build_bloom(
+        df, "g", num_bits, k, driver_or_budget_bytes=2 * (num_bits // 8)
+    )
+    assert np.array_equal(direct, treed)
