@@ -158,6 +158,7 @@ PRIORITY_50: tuple[str, ...] = (
 #: every query is either driver-verified, in the window, or listed here).
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "multimodal_dhash_near_pairs",  # added r8 after the window was pinned
+    "multimodal_audio_fp_pairs",
 )
 
 # r9 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -406,3 +406,29 @@ def _ima_adpcm_decode(
     if total_samples is not None:
         arr = arr[:total_samples]
     return arr.astype(np.float64) / 32768.0
+
+
+def audio_fingerprint(df, envelope_col: str = "envelope", out_col: str = "afp"):
+    """64-bit delta-sign audio fingerprint over a 65-bin loudness envelope
+    — the audio twin of the image dHash (operators/imageops.py): bit i is
+    ``envelope[i] > envelope[i+1]``, packed row-major into a signed
+    BIGINT. Copies that survive re-sampling or re-encoding keep the same
+    loudness CONTOUR, so they land within a small Hamming distance;
+    near-duplicate clips are then found with the generic Hamming-banded
+    pairing (imageops.dhash_near_pairs works on any int64 signature).
+
+    Entirely JVM-side expressions over the already-decoded envelope — no
+    Python stage, no shuffle; bit packing uses bitwiseOR (never addition),
+    so bit 63 cannot overflow under ANSI arithmetic."""
+    import pyspark.sql.functions as F
+
+    packed = F.expr(
+        f"""
+        aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          (acc, i) -> acc | IF(element_at({envelope_col}, i + 1)
+                               > element_at({envelope_col}, i + 2),
+                               shiftleft(CAST(1 AS BIGINT), i),
+                               CAST(0 AS BIGINT)))
+        """
+    )
+    return df.withColumn(out_col, packed)

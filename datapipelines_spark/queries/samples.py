@@ -1466,6 +1466,123 @@ def multimodal_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_fp_pairs",
+    oracle="""
+    WITH clips AS (SELECT DISTINCT lang, source FROM documents),
+    b AS (
+        SELECT lang || ':' || source AS clip,
+               md5(lang || ':' || source) AS hx,
+               (length(source) % 2 = 0) AS has_v
+        FROM clips
+    ),
+    -- 65 per-frame amplitudes from the md5 hex chars (period 32); the
+    -- variant re-masters frame 0 to amplitude 2000 (its 2x resample
+    -- leaves the RMS contour — hence the fingerprint — untouched)
+    amps AS (
+        SELECT clip, has_v, j.range AS j,
+               300 + 13 * ascii(substr(hx, (j.range % 32) + 1, 1)) AS amp
+        FROM b, range(0, 65) AS j
+    ),
+    allamps AS (
+        SELECT clip, j, amp FROM amps
+        UNION ALL
+        SELECT clip || '~v' AS clip, j,
+               CASE WHEN j = 0 THEN 2000 ELSE amp END AS amp
+        FROM amps WHERE has_v
+    ),
+    bits AS (
+        SELECT a.clip, a.j,
+               CASE WHEN a.amp > c.amp THEN 1 ELSE 0 END AS bit
+        FROM allamps a
+        JOIN allamps c ON a.clip = c.clip AND c.j = a.j + 1
+        WHERE a.j < 64
+    ),
+    fp AS (
+        SELECT clip, SUM(CASE WHEN bit = 1 THEN (1::HUGEINT << j)
+                              ELSE 0::HUGEINT END) AS s
+        FROM bits GROUP BY clip
+    ),
+    hh AS (
+        SELECT clip, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                               THEN s - 18446744073709551616::HUGEINT
+                               ELSE s END AS BIGINT) AS afp
+        FROM fp
+    )
+    SELECT a.clip AS id_a, b2.clip AS id_b,
+           CAST(bit_count(xor(a.afp, b2.afp)) AS BIGINT) AS hamming
+    FROM hh a JOIN hh b2 ON a.clip < b2.clip
+    WHERE bit_count(xor(a.afp, b2.afp)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end-to-end (operators/audio.py:audio_fingerprint +
+    the generic Hamming banding of imageops.dhash_near_pairs): one
+    synthetic 65-frame step-amplitude WAV clip per distinct (lang,
+    source), plus — for half — a planted near-duplicate that is 2x
+    resampled AND re-mastered in its first frame (byte-distinct payload,
+    same loudness contour). The REAL WAV decoder extracts a 65-bin RMS
+    envelope (constant frames make each bin exactly amp/32768 — IEEE
+    sqrt of a perfect square is exact), a pure-JVM aggregate packs the 64
+    delta-sign bits, and banded pairing finds clips within Hamming 3.
+    The oracle replays the amplitude formula and brute-forces the pairs:
+    banding must find exactly what brute force finds."""
+    import functools
+
+    from datapipelines_spark.operators.audio import (
+        audio_fingerprint,
+        real_audio_decode,
+    )
+    from datapipelines_spark.operators.imageops import dhash_near_pairs
+    from datapipelines_spark.operators.multimodal import decode_audio
+
+    @F.pandas_udf("binary")
+    def make_clip(clip, is_variant):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from datapipelines_spark.operators.audio import encode_wav
+
+        out = []
+        for key, variant in zip(clip, is_variant):
+            base_key = key[:-2] if variant else key
+            hx = hashlib.md5(base_key.encode()).hexdigest()
+            amps = np.array(
+                [300 + 13 * ord(hx[j % 32]) for j in range(65)], dtype=np.int16
+            )
+            if variant:
+                amps[0] = 2000
+            frames = np.repeat(amps, 20 if variant else 10)  # 2x resample
+            out.append(encode_wav(frames[:, None], 16000))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    clip_key = F.concat_ws(":", F.col("lang"), F.col("source"))
+    base = d.select("lang", "source").distinct().withColumn("clip", clip_key)
+    framed = base.select(F.col("clip").alias("__key__"), F.lit(False).alias("v")).unionByName(
+        base.where(F.length("source") % 2 == 0).select(
+            F.concat(F.col("clip"), F.lit("~v")).alias("__key__"),
+            F.lit(True).alias("v"),
+        )
+    ).withColumn("wav", make_clip("__key__", "v"))
+    decoded = decode_audio(
+        framed,
+        payload_col="wav",
+        decode_fn=functools.partial(real_audio_decode, envelope_bins=65),
+        on_error="fail",
+    )
+    fp = audio_fingerprint(decoded, envelope_col="envelope", out_col="afp")
+    pairs = dhash_near_pairs(
+        fp, id_col="__key__", hash_col="afp", max_hamming=3, bands=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "fluent_pipeline_customers",
     oracle="""
     SELECT custkey, name, acct_cents, segment FROM (

@@ -352,3 +352,23 @@ def test_dhash_near_pairs_dedupes_multi_band_matches(spark):
     )
     out = dhash_near_pairs(df, id_col="k").collect()
     assert len(out) == 1 and out[0]["hamming"] == 1
+
+
+def test_audio_fingerprint_packs_delta_signs_including_bit63(spark):
+    # bit i = env[i] > env[i+1]; bit 63 must wrap into the sign bit via
+    # bitwiseOR (no ANSI overflow), matching the dHash two's-complement
+    # convention
+    from datapipelines_spark.operators.audio import audio_fingerprint
+
+    desc = [float(65 - i) for i in range(65)]       # every delta positive
+    asc = [float(i) for i in range(65)]             # every delta zero/neg
+    one = [0.0] * 65
+    one[5] = 1.0                                    # only bit 5 set
+    df = spark.createDataFrame(
+        [("desc", desc), ("asc", asc), ("one", one)],
+        "k string, envelope array<double>",
+    )
+    got = {r["k"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert got["desc"] == -1          # all 64 bits set = two's-complement -1
+    assert got["asc"] == 0
+    assert got["one"] == 1 << 5
