@@ -159,6 +159,7 @@ PRIORITY_50: tuple[str, ...] = (
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "multimodal_dhash_near_pairs",  # added r8 after the window was pinned
     "multimodal_audio_fp_pairs",
+    "multimodal_image_dedup_pipeline",
 )
 
 # r9 rotation plan (build the next PRIORITY_50 from this, in order):

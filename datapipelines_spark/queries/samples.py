@@ -1322,10 +1322,12 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_dhash_near_pairs",
-    oracle="""
-    WITH imgs AS (SELECT DISTINCT lang, source FROM documents),
+# Shared by multimodal_dhash_near_pairs and multimodal_image_dedup_pipeline:
+# the synthetic image set (one per distinct (lang, source), plus a planted
+# 2x-upscaled one-pixel-repainted near-dup for half of them) replayed as
+# oracle CTEs ending at hh(img, dh) — the per-image 64-bit dHash.
+_DHASH_SET_SQL = """
+    imgs AS (SELECT DISTINCT lang, source FROM documents),
     b AS (
         SELECT lang || ':' || source AS img,
                4 + length(source) % 5 AS w,
@@ -1350,8 +1352,8 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- variant = 2x nearest upscale + upscaled pixel (0,0) repainted 'zzz'.
     -- Nearest-index composition: grid cell (y,x) of the 2h x 2w image reads
     -- upscaled pixel ((y*2h)//8, (x*2w)//9), which copies base pixel
-    -- (((y*2h)//8)//2, ((x*2w)//9)//2) = ((y*h)//8, (x*w)//9) — the base
-    -- grid cell — so only cells sampling upscaled (0,0) change (gray 122).
+    -- (((y*2h)//8)//2, ((x*2w)//9)//2) = ((y*h)//8, (x*w)//9) -- the base
+    -- grid cell -- so only cells sampling upscaled (0,0) change (gray 122).
     vg AS (
         SELECT img || '~v' AS img, y, x,
                CASE WHEN (y * 2 * h) // 8 = 0 AND (x * 2 * w) // 9 = 0
@@ -1380,27 +1382,13 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ELSE s END AS BIGINT) AS dh
         FROM hb
     )
-    SELECT a.img AS id_a, b2.img AS id_b,
-           CAST(bit_count(xor(a.dh, b2.dh)) AS BIGINT) AS hamming
-    FROM hh a JOIN hh b2 ON a.img < b2.img
-    WHERE bit_count(xor(a.dh, b2.dh)) <= 7
-    ORDER BY id_a, id_b
-    """,
-)
-def multimodal_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup BEYOND exact hash equality (VERDICT r7 #6,
-    operators/imageops.py:dhash_near_pairs): one synthetic image per
-    distinct (lang, source), plus — for half of them — a planted 2x
-    nearest-upscaled copy with one repainted pixel (a resized, lightly
-    re-encoded near-duplicate: byte-distinct payload, small dHash Hamming
-    distance). Both payloads are REAL P6 bytes decoded by the in-repo
-    codec and dHashed; pairing is Hamming-banded (8 bands x 8 bits —
-    pigeonhole-exact for the <= 7 radius) with bit_count(xor)
-    verification. The oracle replays both rasters' integer hash math and
-    brute-forces the pairs: banding must find exactly what brute force
-    finds."""
-    from datapipelines_spark.operators.imageops import dhash_images, dhash_near_pairs
+"""
 
+
+def _synthetic_image_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(img_key, ppm) — the engine-side twin of _DHASH_SET_SQL: real P6
+    payloads, one per distinct (lang, source) plus the planted upscaled
+    repainted variants."""
     d = load_table(spark, sf_dir, "documents")
     img_key = F.concat_ws(":", F.col("lang"), F.col("source"))
     base = (
@@ -1456,13 +1444,98 @@ def multimodal_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppm"),
         )
     )
+    return base_rows.unionByName(variant_rows)
+
+
+@query(
+    "multimodal_dhash_near_pairs",
+    oracle=f"""
+    WITH {_DHASH_SET_SQL}
+    SELECT a.img AS id_a, b2.img AS id_b,
+           CAST(bit_count(xor(a.dh, b2.dh)) AS BIGINT) AS hamming
+    FROM hh a JOIN hh b2 ON a.img < b2.img
+    WHERE bit_count(xor(a.dh, b2.dh)) <= 7
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup BEYOND exact hash equality (VERDICT r7 #6,
+    operators/imageops.py:dhash_near_pairs): one synthetic image per
+    distinct (lang, source), plus — for half of them — a planted 2x
+    nearest-upscaled copy with one repainted pixel (a resized, lightly
+    re-encoded near-duplicate: byte-distinct payload, small dHash Hamming
+    distance). Both payloads are REAL P6 bytes decoded by the in-repo
+    codec and dHashed; pairing is Hamming-banded (8 bands x 8 bits —
+    pigeonhole-exact for the <= 7 radius) with bit_count(xor)
+    verification. The oracle replays both rasters' integer hash math and
+    brute-forces the pairs: banding must find exactly what brute force
+    finds."""
+    from datapipelines_spark.operators.imageops import dhash_images, dhash_near_pairs
+
     hd = dhash_images(
-        base_rows.unionByName(variant_rows), payload_col="ppm", key_col="img_key"
+        _synthetic_image_set(spark, sf_dir), payload_col="ppm", key_col="img_key"
     )
     pairs = dhash_near_pairs(hd, id_col="img_key", max_hamming=7, bands=8)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "multimodal_image_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_DHASH_SET_SQL},
+    pairs AS (
+        SELECT a.img AS u, b2.img AS v
+        FROM hh a JOIN hh b2 ON a.img < b2.img
+        WHERE bit_count(xor(a.dh, b2.dh)) <= 7
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    closure(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT c.node, e.v FROM closure c JOIN edges e ON c.r = e.u
+    ),
+    clusters AS (SELECT node, MIN(r) AS cluster_id FROM closure GROUP BY node)
+    SELECT hh.img,
+           COALESCE(cl.cluster_id, hh.img) AS cluster_id,
+           COALESCE(cl.cluster_id, hh.img) = hh.img AS is_canonical
+    FROM hh LEFT JOIN clusters cl ON cl.node = hh.img
+    ORDER BY hh.img
+    """,
+)
+def multimodal_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed image-dedup decision, end to end: decode real payloads
+    → dHash (one Arrow stage) → Hamming-banded near-pairs (pigeonhole-
+    exact at radius 7) → connected components (iterative min-label
+    propagation, operators/components.py) → min-id canonical per cluster;
+    singleton images are their own canonical. This is the per-image
+    keep/drop verdict a multimodal curation pipeline applies before
+    training — the image twin of corpus_clean_pipeline's near-dup stage.
+    The oracle replays the hashes, brute-forces the pair graph, and
+    closes it with a recursive transitive-closure CTE (fine at fixture
+    scale, quadratic in general — exactly why the engine uses label
+    propagation)."""
+    from datapipelines_spark.operators.components import duplicate_clusters
+    from datapipelines_spark.operators.imageops import dhash_images, dhash_near_pairs
+
+    hd = dhash_images(
+        _synthetic_image_set(spark, sf_dir), payload_col="ppm", key_col="img_key"
+    ).localCheckpoint()  # hashed once; pairs + the CC loop both consume it
+    pairs = dhash_near_pairs(hd, id_col="img_key", max_hamming=7, bands=8)
+    clusters = duplicate_clusters(pairs, src="id_a", dst="id_b")
+    return (
+        hd.select(F.col("img_key").alias("img"))
+        .join(clusters, F.col("img") == F.col("node"), "left")
+        .select(
+            "img",
+            F.coalesce("cluster_id", "img").alias("cluster_id"),
+            F.coalesce(F.col("img") == F.col("cluster_id"), F.lit(True)).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("img")
+    )
 
 
 @query(
