@@ -166,3 +166,65 @@ def test_epoch_redelivery_after_commit_is_idempotent(spark, tmp_path):
     sink(_batch(spark, [("a", 2.0)]), 1)
     sink(_batch(spark, [("a", 2.0)]), 1)  # re-delivery of a committed epoch
     assert _state_view(spark, state) == {"a": (2, 3.0)}
+
+
+def test_crash_at_every_swap_step_recovers_exactly_once(spark, tmp_path, monkeypatch):
+    """Exhaustive crash-point sweep: kill the sink at EVERY filesystem
+    mutation of the swap protocol (staging rmtree, marker write, rename
+    aside, rename in, old-dir delete), restart with a fresh instance, and
+    re-deliver the epoch. Every crash point must yield the same
+    exactly-once final state — no loss, no double-count."""
+    import builtins
+    import os
+    import shutil
+
+    from datapipelines_spark.operators.incremental import incremental_state_sink
+
+    batches = [
+        [("a", 1.0), ("b", 2.0)],
+        [("a", 3.0), ("c", 5.0)],
+        [("b", 4.0)],
+    ]
+    expected = {"a": (2, 4.0), "b": (2, 6.0), "c": (1, 5.0)}
+
+    real_rename, real_rmtree, real_open = os.rename, shutil.rmtree, builtins.open
+
+    for crash_at in range(1, 8):
+        state = str(tmp_path / f"state-{crash_at}")
+        sink = incremental_state_sink(state, ["k"], ["x"])
+        sink(_batch(spark, batches[0]), 0)
+        sink(_batch(spark, batches[1]), 1)
+
+        calls = {"n": 0}
+
+        def counting(fn, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise RuntimeError(f"simulated crash at fs-op {crash_at}")
+            return fn(*a, **kw)
+
+        def counted_open(path, *a, **kw):
+            # count only the sink's marker write, not Spark's own files
+            if isinstance(path, str) and "_applied-" in path:
+                return counting(real_open, path, *a, **kw)
+            return real_open(path, *a, **kw)
+
+        monkeypatch.setattr(os, "rename", lambda *a: counting(real_rename, *a))
+        monkeypatch.setattr(
+            shutil, "rmtree", lambda *a, **kw: counting(real_rmtree, *a, **kw)
+        )
+        monkeypatch.setattr(builtins, "open", counted_open)
+        crashed = False
+        try:
+            sink(_batch(spark, batches[2]), 2)
+        except RuntimeError:
+            crashed = True
+        monkeypatch.undo()
+
+        sink2 = incremental_state_sink(state, ["k"], ["x"])
+        sink2(_batch(spark, batches[2]), 2)  # re-delivery after restart
+        assert _state_view(spark, state) == expected, (
+            f"crash point {crash_at} (crashed={crashed}) broke exactly-once"
+        )
+        if not crashed:
+            break  # fewer fs-ops than crash points: protocol fully swept
