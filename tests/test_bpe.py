@@ -98,3 +98,54 @@ def test_reassembly_and_monotonicity_on_fixture(spark, sf_dir):
     rows = joined.collect()
     assert rows and all(r["reassembles"] for r in rows)
     assert all(r["monotonic"] for r in rows)
+
+
+# --- encode-equivalence fuzz -------------------------------------------------
+# The priority encode loop (_encode_word: merge the lowest-ranked applicable
+# pair, repeat) is the optimized form of the original Sennrich formulation
+# (replay the learned rules IN ORDER, merging every occurrence left to
+# right). For merge lists actually produced by training the two are
+# equivalent — a merge's constituent symbols can only be built by strictly
+# earlier merges — and that equivalence is exactly what makes the fast loop
+# safe to ship. Fuzz it: random corpora, learned merges, random words
+# (including words never seen in training).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abc", min_size=1, max_size=7)
+
+
+def _encode_in_order(word, merges):
+    symbols = list(word) + [END_OF_WORD]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(_word, min_size=1, max_size=5).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    probes=st.lists(_word, min_size=1, max_size=6),
+    num_merges=st.integers(1, 12),
+)
+def test_priority_encode_matches_in_order_replay(spark, corpus, probes, num_merges):
+    merges = bpe_train(_docs(spark, corpus), "text", num_merges=num_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in probes:
+        fast = _encode_word(w, ranks)
+        assert fast == _encode_in_order(w, merges)
+        # reassembly: tokens concatenate back to the word + boundary marker
+        assert "".join(fast) == w + END_OF_WORD
