@@ -35,15 +35,23 @@ def pack_sequences(
     ``partition_cols`` group; ``pack_offset`` = position inside that chunk.
     All integer arithmetic (exact in any engine).
     """
+    if int(budget) < 1:
+        raise ValueError(f"budget must be >= 1, got {budget!r}")
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
-    offset = cum_before % budget
-    pack_id = ((cum_before - offset) / budget).cast("long")
-    return df.withColumn("pack_id", pack_id).withColumn("pack_offset", offset)
+    # `div` is INTEGER division on the bigint running sum: double `/` can
+    # round 1 ulp off an exact quotient once the cumulative token count
+    # passes 2^53 (same contract fix as oversample_to_parity's factor)
+    return (
+        df.withColumn("__pack_cum", cum_before)
+        .withColumn("pack_id", F.expr(f"__pack_cum div {int(budget)}"))
+        .withColumn("pack_offset", F.col("__pack_cum") % budget)
+        .drop("__pack_cum")
+    )
 
 
 def pack_summary(

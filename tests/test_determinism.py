@@ -131,3 +131,34 @@ def test_pack_sequences_invariants_and_repartition_stability(spark):
         cum = by_src.get(src, 0)
         assert pack_id == cum // budget and offset == cum % budget
         by_src[src] = cum + n_tokens
+
+
+def test_pack_sequences_exact_past_double_precision(spark):
+    """pack_id is INTEGER division of the running token sum: once the
+    cumulative count passes 2^53, double division can round an exact
+    quotient 1 ulp off before the truncating cast (the oversample_to_parity
+    factor bug class). Pin exactness with a cumulative sum no double can
+    represent."""
+    from datapipelines_spark.operators.packing import pack_sequences
+
+    big = (1 << 60) + 1  # not representable as a double
+    df = spark.createDataFrame(
+        [(0, big), (1, 7), (2, 7)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, "n_tokens", "doc_id", 3).collect()
+    }
+    assert out[0] == (0, 0)
+    assert out[1] == (big // 3, big % 3)
+    assert out[2] == ((big + 7) // 3, (big + 7) % 3)
+
+
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    import pytest
+
+    from datapipelines_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(0, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "n_tokens", "doc_id", 0)
