@@ -13,3 +13,96 @@ def test_minhash_lsh_join_cross_sides_only(spark):
         left, right, "text", "doc_id", MinHashConfig(num_hashes=16, bands=4, ngram=3)
     ).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [(0, 1, 1.0)]
+
+
+# --- LSH banding differential fuzz -------------------------------------------
+# minhash_lsh_pairs = signatures -> band buckets -> in-bucket pair
+# combinations -> exact-Jaccard verification. The signature/shingle
+# primitives have their own parity tests (test_dedup_arrow_parity), so the
+# fuzz takes the Spark-computed (shingles, h0..hk) per doc as ground truth
+# and brute-forces the REST in Python: candidates = pairs agreeing on at
+# least one full band slice; survivors = candidates whose shingle-set
+# Jaccard clears the threshold. Any banding off-by-one (wrong slice bounds,
+# a lost bucket, a pair emitted twice) diverges.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datapipelines_spark.operators.dedup import MinHashConfig, minhash_lsh_pairs
+
+_VOCAB = ["red", "blue", "green", "gold"]
+_text = st.lists(st.sampled_from(_VOCAB), min_size=2, max_size=7).map(" ".join)
+_CFG = MinHashConfig(num_hashes=8, bands=4, ngram=2)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(_text, min_size=2, max_size=8),
+    threshold=st.sampled_from([0.0, 0.3, 0.5, 0.8]),
+)
+def test_lsh_pairs_match_bruteforce_banding(spark, texts, threshold):
+    from datapipelines_spark.operators.dedup import _docs_with_signatures
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    docs = {
+        r["doc_id"]: (list(r["shingles"]), [r[f"h{i}"] for i in range(8)])
+        for r in _docs_with_signatures(df, "text", "doc_id", _CFG).collect()
+    }
+    rows_per_band = _CFG.num_hashes // _CFG.bands
+    expected = {}
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            sig_a, sig_b = docs[a][1], docs[b][1]
+            shares_band = any(
+                sig_a[k * rows_per_band : (k + 1) * rows_per_band]
+                == sig_b[k * rows_per_band : (k + 1) * rows_per_band]
+                for k in range(_CFG.bands)
+            )
+            if not shares_band:
+                continue
+            sa, sb = set(docs[a][0]), set(docs[b][0])
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                expected[(a, b)] = j
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", _CFG, threshold=threshold, max_bucket_size=None
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for pair, j in expected.items():
+        assert abs(got[pair] - j) < 1e-6, pair
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(_text, min_size=2, max_size=8))
+def test_simhash_near_pairs_exact_under_pigeonhole(spark, texts):
+    """With max_hamming <= bands-1 the banding is EXACT, not a candidate
+    filter (pigeonhole): the returned pairs must be every pair whose
+    Spark-computed simhash signatures differ in <= max_hamming bits."""
+    from datapipelines_spark.operators.dedup import simhash, simhash_near_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, "text", "doc_id", bits=32).collect()
+    }
+    ids = sorted(sigs)
+    expected = {
+        (a, b): (sigs[a] ^ sigs[b]).bit_count()
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (sigs[a] ^ sigs[b]).bit_count() <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            df, "text", "doc_id", bits=32, max_hamming=3, bands=4
+        ).collect()
+    }
+    assert got == expected
