@@ -52,13 +52,23 @@ def _chunk_one(text: str, divisor: int, min_len: int, max_len: int) -> list[str]
     while i < n:
         h = ((h << 1) + gear[data[i]]) & 0xFFFFFFFFFFFFFFFF
         i += 1
+        # a cut is legal only on a UTF-8 codepoint boundary: a byte-offset
+        # cut inside a multi-byte sequence corrupts BOTH neighboring chunks
+        # (replacement chars), breaks chunk reassembly, and — worse — lets
+        # two DIFFERENT byte chunks decode to the same replaced string and
+        # chunk_hash-collide into a false duplicate. The hash still ingests
+        # every byte; only the boundary decision waits for the character to
+        # complete, so max_len can overshoot by at most 3 bytes on
+        # multi-byte text (identical behavior on ASCII).
+        if i < n and (data[i] & 0xC0) == 0x80:
+            continue
         length = i - start
         if (length >= min_len and (h & mask) == mask) or length >= max_len:
-            chunks.append(data[start:i].decode("utf-8", errors="replace"))
+            chunks.append(data[start:i].decode("utf-8"))
             start = i
             h = 0
     if start < n:
-        chunks.append(data[start:].decode("utf-8", errors="replace"))
+        chunks.append(data[start:].decode("utf-8"))
     return chunks
 
 
@@ -71,7 +81,10 @@ def content_defined_chunks(
     max_len: int = 256,
 ) -> DataFrame:
     """Exploded (id, chunk_idx, chunk, chunk_hash) rows; ``divisor`` sets the
-    expected chunk length (power of two), ``min_len``/``max_len`` bound it."""
+    expected chunk length (power of two), ``min_len``/``max_len`` bound it
+    (byte lengths; boundaries snap to UTF-8 codepoint edges, so ``max_len``
+    can overshoot by up to 3 bytes on multi-byte text and chunks always
+    reassemble losslessly to the document)."""
     if divisor & (divisor - 1):
         raise ValueError("divisor must be a power of two")
 

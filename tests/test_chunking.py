@@ -149,3 +149,47 @@ def test_fixed_overlap_matches_python_reference_fuzz(spark):
                     expect.append((idx, toks[s : s + size]))
                     idx += 1
                 assert sorted(got.get(i, [])) == expect, (i, n, size, ov)
+
+
+def test_chunks_roundtrip_multibyte_text():
+    """Boundaries must land on UTF-8 codepoint edges: byte-offset cuts
+    inside a multi-byte sequence used to corrupt both neighboring chunks
+    with replacement chars (and let two different byte chunks hash-collide
+    after replacement). Chunks of any text must reassemble losslessly."""
+    import random
+
+    from datapipelines_spark.operators.chunking import _chunk_one
+
+    rng = random.Random(7)
+    for _ in range(200):
+        t = "".join(rng.choice("漢字文本テキストabc déjà ") for _ in range(rng.randint(20, 400)))
+        chunks = _chunk_one(t, 16, 4, 64)
+        assert "".join(chunks) == t
+        assert all("�" not in c for c in chunks)
+        # max_len may overshoot only to complete one codepoint (<= 3 bytes)
+        assert all(len(c.encode("utf-8")) <= 64 + 3 for c in chunks)
+
+
+def test_multibyte_chunks_hash_distinct(spark):
+    """Two documents whose byte chunks differ must never share a
+    chunk_hash via lossy decoding (the pre-fix failure: both cut chunks
+    decoded to '...�' and collided)."""
+    import pyspark.sql.functions as F
+
+    from datapipelines_spark.operators.chunking import content_defined_chunks
+
+    texts = ["漢" * 40 + "a", "字" * 40 + "a"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = content_defined_chunks(df, "text", "doc_id", divisor=16, min_len=4, max_len=32)
+    rows = out.select("doc_id", "chunk", "chunk_hash").collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["chunk_hash"], set()).add(r["chunk"])
+    # one hash, one chunk string — no post-decode collisions anywhere
+    assert all(len(v) == 1 for v in by_hash.values())
+    # and per-doc reassembly holds through the Spark path too
+    per_doc = out.groupBy("doc_id").agg(
+        F.concat_ws("", F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))).getField("chunk")).alias("re")
+    ).collect()
+    re = {r["doc_id"]: r["re"] for r in per_doc}
+    assert re == {0: texts[0], 1: texts[1]}
