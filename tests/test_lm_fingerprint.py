@@ -113,3 +113,38 @@ def test_winnow_fingerprints_plan_is_row_local(spark):
     assert "Sort" not in plan
     assert "hashpartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+    window=st.integers(2, 4),
+)
+def test_winnow_matches_python_reference(spark, texts, k, window):
+    """Full differential against a direct Python transcription of robust
+    winnowing with lexicographic selection: per-window minimum over the
+    k-gram strings, distinct per document, docs shorter than window+k-1
+    tokens dropped. The tiny repeated vocabulary forces heavy gram ties —
+    the case window-minimum off-by-ones hide in. ASCII-only so Python's
+    code-point order equals Spark's binary string order."""
+    from datapipelines_spark.operators.fingerprint import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    expected = set()
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        if len(toks) < window + k - 1:
+            continue
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        for i in range(len(grams) - window + 1):
+            expected.add((doc_id, min(grams[i : i + window])))
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df, "text", "doc_id", k=k, window=window).collect()
+    }
+    assert got == expected
