@@ -232,6 +232,13 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # PageRank of the empty graph is the empty ranking; exit before the
+        # teleport term folds an ANSI 1/0 error out of the literal 1/N
+        empty = nodes.withColumn("rank", F.lit(None).cast("decimal(18,9)"))
+        e.unpersist()
+        nodes.unpersist()
+        return empty
     # size gate for the per-iteration dimension-side joins: the node count
     # is already exact (needed for the teleport term), so the router is free
     maybe_broadcast = F.broadcast if n <= broadcast_max_nodes else (lambda d: d)

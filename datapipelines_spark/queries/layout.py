@@ -60,7 +60,10 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters asserted in test_plan_hygiene). At 100 TB this is the
     difference between scanning one status slice and scanning the table."""
     out = partitioned_orders_dir(spark, sf_dir)
-    o = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    # explicit schema: inference needs at least one data file, so an empty
+    # source table (zero partitions written) would otherwise fail the read
+    schema = load_table(spark, sf_dir, "orders").schema
+    o = spark.read.schema(schema).parquet(out).where(F.col("o_orderstatus") == "F")
     return (
         o.groupBy("o_orderpriority")
         .agg(
@@ -155,13 +158,16 @@ def jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelines_spark.functions.hashing import portable_hash64
 
     out = _scratch(sf_dir, "documents_jsonl_gz")
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
     marker = (spark.sparkContext.applicationId, out)
     if marker not in _WRITTEN:
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text", "lang", "n_chars"
-        ).write.mode("overwrite").option("compression", "gzip").json(out)
+        src.write.mode("overwrite").option("compression", "gzip").json(out)
         _WRITTEN.add(marker)
-    back = spark.read.json(out)
+    # explicit schema: JSON inference reads the data once AND fails outright
+    # on an empty corpus; the source schema is authoritative either way
+    back = spark.read.schema(src.schema).json(out)
     return (
         back.groupBy("lang")
         .agg(
