@@ -212,6 +212,10 @@ def winsorize(
             f"domain first"
         )
 
+    # NULL values have no rank to clip at and would shift every other
+    # row's percentile rank by the engine's null-ordering convention
+    # (Spark sorts NULLS FIRST, most SQL engines LAST) — out of domain
+    df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(id_col).asc())
     ranked = df.select(
         F.col(id_col),

@@ -60,16 +60,21 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_chars = F.length(text_col).cast("double")
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
     uniq_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    # try_divide: an EMPTY text has n_chars = 0, and ANSI `/` would raise
+    # where the SQL oracle's division by zero yields NULL (n_tokens is
+    # never 0 — split('') is [''] — and is NULL for NULL text, so the
+    # token-ratio divisions are already safe)
+    punct_ratio = F.try_divide(punct, n_chars)
     score = (
         F.when(n_tokens < 5, 0.0).otherwise(1.0)
         * (F.lit(0.5) + stop_ratio)
-        * (F.lit(1.5) - punct / n_chars)
+        * (F.lit(1.5) - punct_ratio)
         * uniq_ratio
     )
     return df.select(
         F.col(id_col),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct / n_chars, 6).alias("punct_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(uniq_ratio, 6).alias("unique_token_ratio"),
         F.round(score, 6).alias("quality_score"),
         F.when(score >= 0.5, "keep").when(score >= 0.2, "review").otherwise("drop").alias(
@@ -99,7 +104,13 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set — a canonical form robust to shuffling/duplication of words."""
     toks = tokens(F.col(text_col))
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    # concat_ws swallows NULL arrays into '' — a NULL text would silently
+    # fingerprint as md5("") and collide with every other NULL text, where
+    # the oracle's md5(NULL) is NULL; keep NULL in, NULL out
+    canon = F.when(
+        F.col(text_col).isNotNull(),
+        F.concat_ws(" ", F.array_sort(F.array_distinct(toks))),
+    )
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
 
 
@@ -421,8 +432,11 @@ def gopher_quality_rules(
     corpus never shuffles and output is one row per document:
     ``(id, n_words, n_distinct, sum_word_chars, max_word_run,
     n_stopwords, ok_word_count, ok_mean_len, ok_repetition,
-    ok_distinct_ratio, ok_stopwords, passes_all)``.
+    ok_distinct_ratio, ok_stopwords, passes_all)`` — one row per document
+    WITH text (NULL texts have no rules to evaluate and are dropped, the
+    chunk_fixed_overlap discipline).
     """
+    df = df.where(F.col(text_col).isNotNull())
     words = F.split(F.col(text_col), " ")
     sw = F.sort_array(words)
     zero = F.lit(0).cast("bigint")

@@ -75,12 +75,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(string_split(text, ' ')) >= 10
                AND len(list_distinct(string_split(text, ' '))) * 1.0
                    / len(string_split(text, ' ')) >= 0.2 AS passed_quality
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     exact_canon AS (
         SELECT doc_id,
                doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_exact_canonical
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -112,9 +112,10 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     One declarative plan: quality is a scan-local expression, exact-canon a
     window over the content hash, near-dup the pair-graph clustering. At
     100 TB each stage is the operator already benchmarked; the composition
-    adds joins on doc_id only (no new data-volume shuffles).
+    adds joins on doc_id only (no new data-volume shuffles). Domain:
+    documents WITH text (every stage is a text signal).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.split(F.col("text"), " ")
     quality = d.select(
         "doc_id",
@@ -186,7 +187,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     c AS (
         SELECT source, doc_id, n_tokens,
@@ -209,7 +210,9 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     running token sum. See operators/packing.py."""
     from datapipelines_spark.operators.packing import pack_sequences
 
-    d = load_table(spark, sf_dir, "documents").select(
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select(
         "source",
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
@@ -263,7 +266,7 @@ def fuzzy_join_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 13 = 0
                     THEN ' from 10.0.' || doc_id % 256 || '.25 host'
                     ELSE '' END AS text
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     r AS (
         SELECT doc_id,
@@ -303,7 +306,7 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte is verified, not just the counts)."""
     from datapipelines_spark.operators.text import pii_redact
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     aug = d.select(
         "doc_id",
         F.concat(
@@ -537,7 +540,7 @@ def chunk_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS doubling_compresses,
            TRUE AS constant_run_compresses_best
     FROM documents
-    WHERE text IS NOT NULL AND len(text) > 0
+    WHERE text IS NOT NULL AND len(text) >= 32
     ORDER BY doc_id
     """,
 )
@@ -552,11 +555,15 @@ def quality_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
       the second copy sits inside the 32 KB window and compresses to
       near-zero, so the ratio must strictly drop;
     - ``constant_run_compresses_best``: a constant run of the same length
-      compresses strictly better than the doc's own text."""
+      compresses strictly better than the doc's own text.
+
+    Domain: docs of >= 32 chars — below that, DEFLATE's fixed header
+    overhead dominates and the monotonicity invariants genuinely do not
+    hold (a 3-char doc "inflates"); the signal is meaningless there."""
     from datapipelines_spark.operators.text import compression_ratio_signal
 
     d = load_table(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull() & (F.length("text") > 0)
+        F.col("text").isNotNull() & (F.length("text") >= 32)
     )
     base = compression_ratio_signal(d.select("doc_id", "text"), "text", "doc_id")
     doubled = compression_ratio_signal(
@@ -786,7 +793,7 @@ def chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(string_split(text, ' ')) AS n_tokens,
                len(list_distinct(string_split(text, ' '))) * 1.0
                    / len(string_split(text, ' ')) AS score
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     r AS (
         SELECT doc_id, n_tokens, score,
@@ -817,6 +824,7 @@ def quality_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), " ")
     d = (
         load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
         .select(
             "doc_id",
             F.size(words).cast("bigint").alias("n_tokens"),
@@ -844,6 +852,7 @@ def quality_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY n_chars, doc_id) AS rn,
                COUNT(*) OVER (PARTITION BY lang) AS n
         FROM documents
+        WHERE n_chars IS NOT NULL
     ),
     b AS (
         SELECT lang,
@@ -939,6 +948,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_distinct(string_split(text, ' '))) * 1.0
                    / len(string_split(text, ' ')) AS score
         FROM documents
+        WHERE text IS NOT NULL
     )
     SELECT doc_id, lang,
            CAST(FLOOR(1000 * percent_rank() OVER (
@@ -954,14 +964,20 @@ def quality_percent_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions differ — the rank-based calibration step before a single
     global quality threshold is applied. percent_rank is (rank-1)/(n-1)
     from integers, identical IEEE on both engines; ties pinned by doc_id.
-    One window per lang partition — no global sort."""
+    One window per lang partition — no global sort. Domain: docs with
+    text — a NULL score has no rank, and each engine's null-ordering
+    convention would shift every real row's rank differently."""
     words = F.split(F.col("text"), " ")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        (F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)).alias(
-            "score"
-        ),
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (F.size(F.array_distinct(words)) * F.lit(1.0) / F.size(words)).alias(
+                "score"
+            ),
+        )
     )
     w = Window.partitionBy("lang").orderBy("score", "doc_id")
     return d.select(

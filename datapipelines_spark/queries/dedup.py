@@ -216,7 +216,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup docs land within small Hamming distance; clustering then joins
     on rotated prefixes. The signature itself is oracle-checked bit-for-bit.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # one row per doc WITH text: the oracle's unnest drops NULL texts (the
+    # operator itself passes NULL through for simhash_near_pairs' sake)
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return ops.simhash(d, text_col="text", id_col="doc_id", bits=32).orderBy("doc_id")
 
 

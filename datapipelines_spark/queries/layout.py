@@ -296,6 +296,10 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        # default ignoreSurroundingSpaces=true TRIMS element text, so a
+        # whitespace-only (or space-padded) document would not survive the
+        # roundtrip byte-for-byte — the exact property this query proves
+        .option("ignoreSurroundingSpaces", "false")
         .schema("doc_id bigint, text string, lang string, n_chars bigint")
         .load(out)
     )

@@ -158,7 +158,7 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                3 + doc_id % 4 AS h,
                substr(repeat(md5(text), 5), 1,
                       CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INT)) AS px
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, w AS width, h AS height, 3 AS n_channels,
            round(list_aggregate(list_transform(range(1, len(px) + 1),
@@ -178,7 +178,7 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     same raster."""
     from datapipelines_spark.operators.multimodal import decode_images, real_decode
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
     h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
     n_px = (w * h * 3).cast("int")
@@ -495,7 +495,8 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(text) AS txt_md5,
            CAST(octet_length(encode(text)) AS BIGINT) AS txt_bytes,
            lang
-    FROM documents ORDER BY doc_id
+    FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ORDER BY doc_id
     """,
 )
 def tar_roundtrip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,7 +516,9 @@ def tar_roundtrip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelines_spark.sinks.writer import write_tar_shards
     from datapipelines_spark.sources.shards import read_tar_samples
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
     samples = d.select(
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("__key__"),
         F.create_map(
@@ -595,7 +598,7 @@ def config_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFram
            doc_id % 10 <> 0 AS decode_ok,
            CASE WHEN doc_id % 10 <> 0
                 THEN CAST(4 + doc_id % 5 AS BIGINT) END AS width
-    FROM documents ORDER BY doc_id
+    FROM documents WHERE text IS NOT NULL ORDER BY doc_id
     """,
 )
 def multimodal_quarantine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,7 +610,7 @@ def multimodal_quarantine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states exactly which doc_ids must land on each side."""
     from datapipelines_spark.operators.multimodal import decode_images, real_decode
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
     h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
     n_px = (w * h * 3).cast("int")
@@ -1223,7 +1226,7 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                substr(repeat(md5(lang || ':' || source), 5), 1,
                       CAST((4 + length(source) % 5)
                            * (3 + length(lang) % 4) * 3 AS INT)) AS px
-        FROM documents
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
     ),
     g AS (
         SELECT doc_id, w, h, y2.range AS y, x2.range AS x,
@@ -1279,7 +1282,9 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster."""
     from datapipelines_spark.operators.imageops import dhash_images
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     # one synthetic image per (lang, source) slice: the fixture contrivance
     # that yields REAL duplicate multiplicities for the hash-grouping to
     # find (the corpus has no exact-duplicate texts at sf0.01); production
@@ -1541,7 +1546,8 @@ def multimodal_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "multimodal_audio_fp_pairs",
     oracle="""
-    WITH clips AS (SELECT DISTINCT lang, source FROM documents),
+    WITH clips AS (SELECT DISTINCT lang, source FROM documents
+                   WHERE lang IS NOT NULL AND source IS NOT NULL),
     b AS (
         SELECT lang || ':' || source AS clip,
                md5(lang || ':' || source) AS hx,
@@ -1631,7 +1637,9 @@ def multimodal_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(encode_wav(frames[:, None], 16000))
         return pd.Series(out)
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     clip_key = F.concat_ws(":", F.col("lang"), F.col("source"))
     base = d.select("lang", "source").distinct().withColumn("clip", clip_key)
     framed = base.select(F.col("clip").alias("__key__"), F.lit(False).alias("v")).unionByName(

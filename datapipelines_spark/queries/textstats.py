@@ -20,13 +20,16 @@ from datapipelines_spark.sources.parquet import load_table
            round(list_sum(list_transform(string_split(text, ' '),
                                          t -> CAST(length(t) AS DOUBLE)))
                  / len(string_split(text, ' ')), 6) AS avg_token_len
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: chars, whitespace tokens, distinct tokens, mean length."""
-    d = load_table(spark, sf_dir, "documents")
+    """Token counting: chars, whitespace tokens, distinct tokens, mean
+    length — one row per document WITH text (NULL-text token counts are
+    session-conf-dependent in Spark: size(NULL) is -1 or NULL by legacy
+    flag, so the contract excludes them outright)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return ops.token_stats(d, text_col="text", id_col="doc_id").orderBy("doc_id")
 
 
@@ -40,7 +43,7 @@ _STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'is', 'in', 'that']"
         SELECT doc_id, text,
                string_split(text, ' ') AS toks,
                CAST(length(text) AS DOUBLE) AS n_chars
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     feat AS (
         SELECT doc_id,
@@ -68,8 +71,9 @@ _STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'is', 'in', 'that']"
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword/punct/repetition features + keep bucket."""
-    d = load_table(spark, sf_dir, "documents")
+    """Quality scoring: stopword/punct/repetition features + keep bucket,
+    over documents WITH text (no signal exists for a NULL text)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return ops.quality_score(d, text_col="text", id_col="doc_id").orderBy("doc_id")
 
 
@@ -90,7 +94,7 @@ def _langid_oracle() -> str:
     return f"""
     WITH scored AS (
         SELECT doc_id, {', '.join(score_cols)}
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, {cols}, {pred} AS pred_lang
     FROM scored ORDER BY doc_id
@@ -99,8 +103,9 @@ def _langid_oracle() -> str:
 
 @query("text_language_id", oracle=_langid_oracle())
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-lexicon language identification with per-language scores."""
-    d = load_table(spark, sf_dir, "documents")
+    """Stopword-lexicon language identification with per-language scores,
+    over documents WITH text."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return ops.language_id(d, text_col="text", id_col="doc_id").orderBy("doc_id")
 
 
@@ -559,7 +564,13 @@ def text_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda acc: acc["sq"] + acc["run"] * acc["run"],
     )
-    d = parallelize_small(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    d = parallelize_small(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # one row per doc WITH text: the oracle's unnest drops NULL texts,
+        # and a NULL token distribution has no diversity to measure
+        .where(F.col("text").isNotNull())
+    )
     return (
         d.select(
             "doc_id",
@@ -588,6 +599,7 @@ def text_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
         SELECT source, n_chars // 100 AS bucket FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
     ),
     sb AS (SELECT source, bucket, COUNT(*) AS n_sb FROM d GROUP BY 1, 2),
     bt AS (SELECT bucket, COUNT(*) AS n_b FROM d GROUP BY 1),
@@ -616,9 +628,14 @@ def quality_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division at the end. Buckets a source never hits contribute
     n_b*n_s each — folded in closed form as n_s*(n - sum of covered n_b)
     instead of materializing the source x bucket grid (the oracle builds
-    the grid; the numbers are identical by algebra)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", F.expr("n_chars div 100").alias("bucket")
+    the grid; the numbers are identical by algebra). Domain: docs with a
+    non-null (source, n_chars) — drift is per-source, so an unattributable
+    doc has no histogram to belong to (and NULL group keys would otherwise
+    thread differently through each engine's null-unsafe joins)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select("source", F.expr("n_chars div 100").alias("bucket"))
     )
     sb = d.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n_sb"))
     bt = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
