@@ -75,13 +75,17 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CAST(embedding[i] AS DOUBLE)) AS dim_sum,
            MAX(CAST(embedding[i] AS DOUBLE)) AS dim_max
     FROM embeddings, LATERAL unnest(generate_series(1, 8)) AS t(i)
+    WHERE embedding IS NOT NULL
     GROUP BY dim ORDER BY dim
     """,
 )
 def vector_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode: per-dimension statistics over the first 8 embedding
-    positions (lateral array flattening + group on position)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    positions (lateral array flattening + group on position), over rows
+    WITH a vector."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     exploded = e.select(
         F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)).alias("dim", "x")
     )

@@ -225,7 +225,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
     norms AS (
         SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
     )
@@ -248,7 +250,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≈63°) LSH bucketing cannot prune without recall loss, so the exact
     blocked plan IS the scale path.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    # cosine is undefined for the zero vector — out of domain
+    e = e.where(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        > 0
+    )
     return ops.embedding_cosine_pairs_blocked(
         e, vec_col="embedding", id_col="vec_id", threshold=0.45
     ).orderBy("vec_a", "vec_b")

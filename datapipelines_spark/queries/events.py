@@ -25,7 +25,7 @@ from datapipelines_spark.sources.parquet import load_table
            event_type,
            COUNT(*) AS n_events,
            SUM(value) AS sum_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
@@ -36,7 +36,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical expression works under readStream + withWatermark; tested as a
     stream in tests/test_streaming.py.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
@@ -54,10 +54,11 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sliding_1h_30m",
     oracle="""
     WITH win AS (
-        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value
+        FROM events WHERE ts IS NOT NULL
         UNION ALL
         SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT CAST(window_start AS TIMESTAMP) AS window_start,
            COUNT(*) AS n_events,
@@ -70,7 +71,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows, 1 h length / 30 min slide: every event lands in two
     overlapping windows (Spark expands this internally; the oracle expands it
     explicitly via UNION ALL of the two epoch-aligned bucket starts)."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         # SUM, not AVG: avg = sum/2^k of centile-valued doubles has a finite
@@ -93,6 +94,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
@@ -115,7 +117,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (F.session_window — a new session starts when the gap since the previous
     event is ≥ the timeout; the oracle replays that rule as gaps-and-islands
     with microsecond-exact arithmetic)."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
@@ -368,7 +370,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
     ),
     med AS (
         SELECT event_type,
@@ -406,7 +408,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the winsorize discipline), ties pinned by event_id — so every
     compared quantity derives from identical IEEE ops. Two windows per
     event_type partition; group medians join back broadcast-small."""
-    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # NULL values have no rank (each engine orders them differently) and a
+    # NULL type is not a population — out of the MAD domain on both sides
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
     w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
     r = e.select(
         "event_id",
@@ -532,7 +540,7 @@ def events_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
     FROM o WHERE prev_type IS NOT NULL
@@ -546,8 +554,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     next-action prediction and funnel design. One lag window per user
     partition (the stream is already the partitioning the sessionization
     queries use) + one partially-aggregated count over |types|² groups;
-    tie order pinned by (ts, event_id)."""
-    e = load_table(spark, sf_dir, "events")
+    tie order pinned by (ts, event_id). Domain: well-formed events (a
+    NULL ts has no position in the stream, a NULL type no state)."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     o = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")

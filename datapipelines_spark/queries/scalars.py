@@ -222,14 +222,17 @@ def scalar_fuzzy_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_aggregate(embedding::DOUBLE[], 'min'), 6)       AS vec_min,
            round(CAST(embedding[1] AS DOUBLE), 6)                     AS first_elem,
            len(list_filter(embedding, x -> x > 0))                    AS n_positive
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     ORDER BY vec_id
     """,
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order functions over the embedding column — the engine's
-    native representation for tensor-valued sample members (SURVEY §1.4)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    native representation for tensor-valued sample members (SURVEY §1.4) —
+    over rows WITH a vector (size(NULL) is session-conf-dependent)."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     vec = F.col("embedding")
     return e.select(
         "vec_id",
@@ -268,7 +271,12 @@ def scalar_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         parsed["k"].alias("k_typed"),
-        F.to_json(F.struct((parsed["k"] * 2).alias("k"))).alias("doubled_json"),
+        # ignoreNullFields=false: a null k must serialize as {"k":null}
+        # (SQL json_object semantics), not silently vanish into {}
+        F.to_json(
+            F.struct((parsed["k"] * 2).alias("k")),
+            {"ignoreNullFields": "false"},
+        ).alias("doubled_json"),
     ).orderBy("event_id")
 
 

@@ -23,6 +23,8 @@ _DOT_SQL = "list_sum(list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i]))"
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
     ),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -50,7 +52,17 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus streamed in Arrow batches, one matmul + partial top-k per batch)
     — bit-equal results either way including tie order
     (tests/test_similarity_vectorized.py)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    e = e.where(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        > 0
+    )
     return ops.cosine_topk_auto(
         e, vec_col="embedding", id_col="vec_id", query_pred=F.col("vec_id") % 100 == 0, k=5
     ).orderBy("query_id", "rank")

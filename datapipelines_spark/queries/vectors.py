@@ -20,6 +20,7 @@ _DIM = 64
     WITH elems AS (
         SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
     ),
     means AS (
         SELECT label, i, AVG(x) AS m FROM elems GROUP BY label, i
@@ -27,7 +28,8 @@ _DIM = 64
     SELECT label,
            round(list_aggregate(list(round(m, 9) ORDER BY i), 'sum'), 6) AS centroid_sum,
            round(list(round(m, 9) ORDER BY i)[1], 6) AS centroid_first,
-           (SELECT COUNT(*) FROM embeddings e WHERE e.label = means.label) AS n_vecs
+           (SELECT COUNT(*) FROM embeddings e
+            WHERE e.label = means.label AND e.embedding IS NOT NULL) AS n_vecs
     FROM means GROUP BY label
     ORDER BY label
     """,
@@ -35,8 +37,12 @@ _DIM = 64
 def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise mean embedding per label — distributed centroid
     computation (one shuffle on (label, position); at 100 TB this is the
-    k-means update step)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    k-means update step). Domain: rows with a vector and a label — a NULL
+    class is not a class, and each engine threads NULL group keys through
+    joins differently."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     elems = e.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x")
     )
@@ -79,6 +85,8 @@ def _ivf_dot(a: str, b: str) -> str:
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
     ),
     cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
     scored AS (
@@ -103,9 +111,14 @@ def sim_ivf_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelines_spark.operators.dedup import _dot, _norm
     from datapipelines_spark.functions.partitioning import parallelize_small
 
-    base = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        # zero-norm vectors have no cosine direction — out of domain
+        .where(F.col("nrm") > 0)
+    )
     # centroid side is broadcast: widening it would only add a shuffle to
     # the broadcast-build job; only the scored (corpus) side is parallelized
     cents = base.where(F.col("vec_id") < 8).select(
@@ -167,6 +180,8 @@ def text_regex_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
     ),
     cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
     ranked AS (
@@ -212,9 +227,14 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelines_spark.functions.partitioning import parallelize_small
 
     e = (
-        parallelize_small(load_table(spark, sf_dir, "embeddings"))
+        parallelize_small(
+            load_table(spark, sf_dir, "embeddings").where(
+                F.col("embedding").isNotNull()
+            )
+        )
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
     )
     e = managed_persist(e)
     cents = e.where(F.col("vec_id") < 8).select(
@@ -268,7 +288,8 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kmeans_centroids_2iter",
     oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
     c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
         FROM e ORDER BY vec_id LIMIT 4
@@ -331,7 +352,9 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     # c1 = centroids after ONE iteration; resuming from c1 gives the
     # round-2 centroids without re-running round 1. Assigning against c1
     # reproduces the round-2 assignment whose sizes the oracle counts (and
@@ -369,6 +392,8 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
     ),
     c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
@@ -454,7 +479,18 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
     from datapipelines_spark.operators.dedup import _dot, _norm
 
-    e0 = load_table(spark, sf_dir, "embeddings")
+    e0 = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    # cosine scoring downstream: zero-norm vectors have no direction
+    e0 = e0.where(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        > 0
+    )
     c1, _ = kmeans_fit(e0, "embedding", "vec_id", k=4, max_iter=1, tol=0.0)
     cells = kmeans_assign(e0, "embedding", "vec_id", c1)
 
@@ -515,7 +551,7 @@ def _pq_oracle(m: int = 4, k: int = 4, dim: int = 64, top_k: int = 5) -> str:
     (same init, tie, and summation-order rules)."""
     sub = dim // m
     parts: list[str] = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)"
     ]
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
@@ -618,7 +654,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same init/tie/summation-order rules."""
     from datapipelines_spark.operators.pq import pq_adc_topk, pq_encode, pq_fit
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     books = pq_fit(e, "embedding", "vec_id", m=4, k=4, max_iter=1)
     codes = pq_encode(e, "embedding", "vec_id", books)
     queries = e.where(F.col("vec_id") % 50 == 0)
@@ -669,7 +707,9 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_fit,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     books = pq_fit(e, "embedding", "vec_id", m=4, k=4, max_iter=1)
     codes = pq_encode(e, "embedding", "vec_id", books)
     queries = e.where(F.col("vec_id") % 50 == 0)
@@ -688,6 +728,8 @@ _KMEANS4_CELLS_SQL = """
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
     ),
     c0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
@@ -757,7 +799,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest-id survivor rule in SQL."""
     from datapipelines_spark.operators.dedup import semantic_dedup
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    # within-cell dedup scores cosine: zero-norm vectors have no direction
+    e = e.where(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        > 0
+    )
     return semantic_dedup(
         e, vec_col="embedding", id_col="vec_id", k=4, threshold=0.45
     ).orderBy("vec_id")
@@ -766,7 +819,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_oversample_parity",
     oracle="""
-    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings
+               WHERE label IS NOT NULL GROUP BY label),
     f AS (
         SELECT label, n,
                LEAST((SELECT MAX(n) FROM c) // n, 1000) AS factor
@@ -789,7 +843,9 @@ def sample_oversample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the actual multiplication, not the plan's intent."""
     from datapipelines_spark.operators.mixing import oversample_to_parity
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # a NULL class is not a class: it cannot be brought to parity, and the
+    # factor join-back would drop it asymmetrically across engines
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("label").isNotNull())
     before = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
     res = oversample_to_parity(e, "label")
     after = res.groupBy("label").agg(

@@ -143,13 +143,15 @@ def window_price_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
            MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_max_3
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     ORDER BY user_id, event_id
     """,
 )
 def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding row frame (3-row moving average/max) over the event stream."""
-    e = load_table(spark, sf_dir, "events")
+    """Sliding row frame (3-row moving average/max) over the event stream —
+    events WITH a timestamp (each engine orders NULL ts differently, so a
+    NULL would shift which rows share a frame)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     return e.select(
         "user_id",

@@ -1,12 +1,18 @@
-"""Null/edge-document differential: every documents-consuming catalog query
-must agree with its DuckDB oracle on a corpus containing NULL text / lang /
-source / n_chars, empty and whitespace-only texts, multi-byte scripts, and
-embedded tabs/newlines — the rows real corpora contain and the driver
-fixtures don't. This audit found (r8): an ANSI 1/0 crash in the quality
-score, md5('') fingerprints for NULL texts, NULLS FIRST/LAST rank shifts in
-winsorize and percent-rank, XML whitespace trimming, engine-vs-oracle row
-contracts on unnest-dropped NULL texts, and undeclared domains on the
-payload-synthesis queries."""
+"""Null/edge-row differential: every catalog query consuming the documents,
+events, or embeddings tables must agree with its DuckDB oracle on fixtures
+containing the rows real data contains and the driver fixtures don't —
+NULL text / lang / source / n_chars, empty and whitespace-only texts,
+multi-byte scripts, embedded tabs/newlines, NULL ts / event_type / value /
+user_id, duplicate timestamps, NULL embeddings, zero vectors, NULL labels.
+
+This audit found (r8): an ANSI 1/0 crash in the quality score, md5('')
+fingerprints for NULL texts, NULLS FIRST/LAST rank shifts in winsorize /
+percent-rank / MAD / moving averages, XML whitespace trimming, to_json
+dropping null fields, engine-vs-oracle row contracts on unnest-dropped
+NULL texts, cosine 0/0 crashes on zero vectors, PythonExceptions on NULL
+embeddings in the kmeans/PQ stack, and NULL group keys threading
+differently through each engine's null-unsafe joins. Every text/vector
+query now declares its domain identically on both sides."""
 
 import glob
 import inspect
@@ -35,9 +41,43 @@ _EDGE_DOCS = [
      "lang": "en", "source": "edge", "n_chars": 37},
 ]
 
-_DOC_QUERIES = sorted(
+
+def _edge_events(base_ts):
+    return [
+        {"event_id": 90001, "ts": None, "user_id": 1, "event_type": "click",
+         "value": 1.0, "props": "{}"},
+        {"event_id": 90002, "ts": base_ts, "user_id": None, "event_type": "click",
+         "value": 2.0, "props": None},
+        {"event_id": 90003, "ts": base_ts, "user_id": 2, "event_type": None,
+         "value": None, "props": "{}"},
+        {"event_id": 90004, "ts": base_ts, "user_id": 2, "event_type": "click",
+         "value": None, "props": '{"k": null}'},
+        # duplicate-timestamp pair: window tie order must stay pinned
+        {"event_id": 90005, "ts": base_ts, "user_id": 3, "event_type": "view",
+         "value": 0.5, "props": "{}"},
+        {"event_id": 90006, "ts": base_ts, "user_id": 3, "event_type": "view",
+         "value": 0.5, "props": "{}"},
+    ]
+
+
+def _edge_embeddings(dim):
+    return [
+        {"vec_id": 90001, "embedding": None, "label": 1},
+        {"vec_id": 90002, "embedding": [0.0] * dim, "label": None},  # zero norm
+    ]
+
+
+def _consumes(src_text, table):
+    return table in src_text
+
+
+_TARGETS = sorted(
     n for n, s in all_queries().items()
-    if "documents" in inspect.getsource(s.builder)
+    if any(
+        _consumes(inspect.getsource(s.builder), t)
+        for t in ("documents", "events", "embeddings")
+    )
+    and "stream" not in n  # streaming replays are gated separately
 )
 
 
@@ -46,17 +86,39 @@ def null_edge_dir(sf_dir, tmp_path_factory):
     out = tmp_path_factory.mktemp("sf_null_edge")
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)
-        if name != "documents.parquet":
+        if name not in ("documents.parquet", "events.parquet", "embeddings.parquet"):
             shutil.copy(p, out / name)
-    t = pq.read_table(f"{sf_dir}/documents.parquet")
-    merged = pa.Table.from_pylist(
-        t.to_pylist() + _EDGE_DOCS, schema=t.schema.remove_metadata()
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            docs.to_pylist() + _EDGE_DOCS, schema=docs.schema.remove_metadata()
+        ),
+        out / "documents.parquet",
     )
-    pq.write_table(merged, out / "documents.parquet")
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet")
+    rows = ev.to_pylist()
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows + _edge_events(rows[0]["ts"]), schema=ev.schema.remove_metadata()
+        ),
+        out / "events.parquet",
+    )
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    erows = emb.to_pylist()
+    pq.write_table(
+        pa.Table.from_pylist(
+            erows + _edge_embeddings(len(erows[0]["embedding"])),
+            schema=emb.schema.remove_metadata(),
+        ),
+        out / "embeddings.parquet",
+    )
     return str(out)
 
 
-@pytest.mark.parametrize("name", _DOC_QUERIES)
+@pytest.mark.parametrize("name", _TARGETS)
 def test_query_matches_oracle_on_null_edge_corpus(spark, null_edge_dir, name):
     ok, detail = compare_query(spark, null_edge_dir, name)
     assert ok, f"{name}: {detail}"
