@@ -130,6 +130,7 @@ def stream_dedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (

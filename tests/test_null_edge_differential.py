@@ -77,7 +77,8 @@ _TARGETS = sorted(
         _consumes(inspect.getsource(s.builder), t)
         for t in ("documents", "events", "embeddings")
     )
-    and "stream" not in n  # streaming replays are gated separately
+    # streaming replays included: event-time processing drops NULL
+    # timestamps at ingestion, and each oracle declares the same domain
 )
 
 
