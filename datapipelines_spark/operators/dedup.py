@@ -995,6 +995,89 @@ def repeated_ngram_span_stats(
     )
 
 
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Variable-length exact-substring duplicate spans — the removal
+    semantics of suffix-array deduplication (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 §4: cut every
+    substring of at least ``min_len`` tokens that occurs at least
+    ``min_count`` times in the corpus), computed WITHOUT suffix structures.
+
+    The reduction that makes this distributable: a token position lies
+    inside some duplicated substring of length >= L iff it lies under some
+    duplicated L-token window. (=> every L-window of a duplicated long
+    substring occurs wherever the substring does, so each is itself
+    duplicated; <= a duplicated L-window IS a duplicated substring of
+    length L.) So the exact Lee-et-al removal set is the union of
+    duplicated fixed-L windows, and the VARIABLE-LENGTH structure is
+    recovered by merging overlapping flagged windows into maximal spans —
+    a per-document gaps-and-islands pass: two flagged starts chain while
+    ``next_start - prev_start <= L`` (their coverage overlaps or abuts).
+
+    Returns one row per MAXIMAL duplicated span:
+    ``(id, span_start, span_len, span_text)`` with ``span_start`` the
+    0-based token offset, ``span_len`` in tokens, and ``span_text`` the
+    exact removed text — string-verifiable against any replay. Documents
+    with no duplicated span (and NULL texts: no token positions) emit
+    nothing; subtracting the spans from the input is plain re-slicing.
+
+    Scale shape: only 8-byte ``xxhash64`` window keys shuffle for the
+    corpus-wide count (map-side combine; the text never moves); the
+    frequent set is duplicate-density-sized and joins back by hash key
+    (AQE broadcast). Island-merging windows partition BY DOCUMENT — no
+    global sort, no suffix array, spans slice from the doc's own token
+    array. Collision caveat as repeated_ngram_span_stats: 64-bit keys are
+    exact below ~2^32 distinct windows."""
+    win = Window.partitionBy(id_col).orderBy("pos")
+    df = df.where(F.col(text_col).isNotNull())
+    words = F.split(F.col(text_col), " ")
+    toks = df.select(F.col(id_col), words.alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - min_len),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, min_len)),
+    )
+    pos = (
+        toks.where(F.size("toks") >= min_len)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        .select(id_col, "pos", F.xxhash64("gram").alias("gh"))
+    )
+    freq = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    flagged = pos.join(freq, "gh").select(id_col, "pos")
+    islands = flagged.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos").over(win) <= min_len, F.lit(0)
+            ).otherwise(F.lit(1))  # first row: NULL comparison -> new island
+        ).over(win),
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") - F.min("pos") + min_len).alias("span_len"),
+    )
+    return (
+        spans.join(toks, id_col)
+        .select(
+            F.col(id_col),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_len").cast("bigint").alias("span_len"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("span_start") + 1, F.col("span_len"))
+            ).alias("span_text"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,

@@ -355,6 +355,9 @@ def dhash_near_pairs(
         x.join(y, ["band_id", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .distinct()
+        # verify BEFORE the cross-band dedup so the distinct's shuffle
+        # carries only the near set, not every banded candidate (ADVICE r8
+        # #4); results identical — hamming is a function of the pair.
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -91,7 +91,13 @@ def _recover_state(state_dir: str) -> None:
 
     - state dir absent + complete staging → ADOPT the staging (it is the
       newest state; its ``_applied-E`` marker makes the re-delivered
-      epoch E a no-op);
+      epoch E a no-op). "Complete" requires BOTH Spark's _SUCCESS marker
+      AND the ``_applied-E`` file: a crash between the parquet write and
+      the marker creation leaves a _SUCCESS-bearing but markerless
+      staging, and adopting it on the FIRST epoch (no prior state dir to
+      fall back to) would double-count the re-delivered epoch — the
+      marker is what makes re-delivery idempotent, so a markerless
+      staging is torn by definition (ADVICE r8 #3);
     - state dir absent + only an old dir → restore it (epoch E will be
       re-delivered and re-merged);
     - state dir present → every leftover staging/old is stale (its epoch
@@ -109,7 +115,10 @@ def _recover_state(state_dir: str) -> None:
     olds = glob.glob(root + ".old-*")
     if not os.path.isdir(root):
         complete = [
-            d for d in stagings if os.path.exists(os.path.join(d, "_SUCCESS"))
+            d
+            for d in stagings
+            if os.path.exists(os.path.join(d, "_SUCCESS"))
+            and any(n.startswith(_APPLIED_PREFIX) for n in os.listdir(d))
         ]
         if complete:
             newest = max(complete, key=lambda d: int(d.rsplit("-", 1)[1]))

@@ -484,3 +484,90 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.repeated_ngram_span_stats(
         d, text_col="text", id_col="doc_id", n=5, min_count=2
     ).orderBy("doc_id")
+
+
+# Boilerplate passages planted (identically on both sides) to create long
+# variable-length exact duplicates: the sf fixtures contain no exact
+# duplicate texts, so the corpus is augmented deterministically — every
+# doc_id % 4 == 0 document gets BP1 appended; every doc_id % 8 == 0 gets
+# BP1 followed by BP2, so the %8 cohort's maximal span MERGES the two
+# passages while the %4-only cohort's span is BP1 alone.
+_BP1 = (
+    "the quick brown fox jumps over the lazy dog again and again without pause"
+)
+_BP2 = "all work and no play makes the model a dull corpus in the long run"
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 8 = 0
+                    THEN string_split(text || ' {_BP1} {_BP2}', ' ')
+                    WHEN doc_id % 4 = 0
+                    THEN string_split(text || ' {_BP1}', ' ')
+                    ELSE string_split(text, ' ') END AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(w, i + 1, i + 8), ' ') AS g
+        FROM toks, LATERAL unnest(generate_series(0, len(w) - 8)) AS x(i)
+        WHERE len(w) >= 8
+    ),
+    freq AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    flagged AS (SELECT doc_id, pos FROM grams JOIN freq USING (g)),
+    lagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM flagged
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM lagged
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(pos) AS span_start,
+               MAX(pos) - MIN(pos) + 8 AS span_len
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT s.doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_len AS BIGINT) AS span_len,
+           array_to_string(
+               list_slice(t.w, span_start + 1, span_start + span_len), ' '
+           ) AS span_text
+    FROM spans s JOIN toks t USING (doc_id)
+    ORDER BY s.doc_id, span_start
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact-substring duplicate spans
+    (operators/dedup.py:duplicate_substring_spans) — the suffix-array
+    removal semantics of Lee et al. ACL 2022 §4 without suffix structures:
+    duplicated fixed-8-token windows (corpus-wide count >= 2 by xxhash64
+    key; text never shuffles) merge per document into MAXIMAL spans via
+    gaps-and-islands, and each span's exact text ships in the output. The
+    corpus is augmented with two deterministic boilerplate passages so
+    long planted duplicates exist (BP1 for doc_id%4, BP1+BP2 contiguously
+    for doc_id%8 — whose spans must MERGE across the passage boundary);
+    the oracle replays the construction counting gram STRINGS and
+    string-verifies every removed span."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_BP1), F.lit(_BP2)),
+        )
+        .when(F.col("doc_id") % 4 == 0, F.concat_ws(" ", F.col("text"), F.lit(_BP1)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return ops.duplicate_substring_spans(
+        planted, text_col="text", id_col="doc_id", min_len=8, min_count=2
+    ).orderBy("doc_id", "span_start")

@@ -1332,7 +1332,8 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2x-upscaled one-pixel-repainted near-dup for half of them) replayed as
 # oracle CTEs ending at hh(img, dh) — the per-image 64-bit dHash.
 _DHASH_SET_SQL = """
-    imgs AS (SELECT DISTINCT lang, source FROM documents),
+    imgs AS (SELECT DISTINCT lang, source FROM documents
+             WHERE lang IS NOT NULL AND source IS NOT NULL),
     b AS (
         SELECT lang || ':' || source AS img,
                4 + length(source) % 5 AS w,
@@ -1397,7 +1398,12 @@ def _synthetic_image_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     img_key = F.concat_ws(":", F.col("lang"), F.col("source"))
     base = (
-        d.select("lang", "source")
+        # Declared domain: rows with NULL lang/source carry no image key
+        # (concat_ws skips NULLs while the oracle's || yields NULL), and a
+        # NULL-derived ppm would crash the fail-mode decoder — filter both
+        # sides identically (ADVICE r8, matching multimodal_audio_fp_pairs).
+        d.where(F.col("lang").isNotNull() & F.col("source").isNotNull())
+        .select("lang", "source")
         .distinct()
         .withColumn("w", (F.lit(4) + F.length("source") % 5).cast("int"))
         .withColumn("h", (F.lit(3) + F.length("lang") % 4).cast("int"))

@@ -155,6 +155,46 @@ def test_crash_mid_staging_write_restores_and_remerges(spark, tmp_path):
     assert not glob.glob(state + ".old-*") and not glob.glob(state + ".staging-*")
 
 
+def test_epoch0_crash_between_parquet_and_marker_no_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8 #3: a crash AFTER the staging parquet write (_SUCCESS
+    present) but BEFORE the _applied marker is created, on the FIRST epoch
+    (no prior state dir), must not double-count — recovery must treat the
+    complete-looking but markerless staging as torn and discard it, so the
+    re-delivered epoch 0 re-seeds the view exactly once."""
+    import builtins
+    import glob
+    import os
+
+    from datapipelines_spark.operators.incremental import incremental_state_sink
+
+    state = str(tmp_path / "state")
+    sink = incremental_state_sink(state, ["k"], ["x"])
+    real_open = builtins.open
+
+    def crash_on_marker(path, *a, **kw):
+        if isinstance(path, str) and "_applied-" in path:
+            raise RuntimeError("simulated crash before marker creation")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", crash_on_marker)
+    try:
+        sink(_batch(spark, [("a", 1.0), ("b", 2.0)]), 0)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    # the exposed window: no state dir, a _SUCCESS-complete markerless staging
+    assert not os.path.isdir(state)
+    staging = glob.glob(state + ".staging-*")
+    assert staging and os.path.exists(os.path.join(staging[0], "_SUCCESS"))
+
+    sink2 = incremental_state_sink(state, ["k"], ["x"])
+    sink2(_batch(spark, [("a", 1.0), ("b", 2.0)]), 0)  # re-delivery
+    assert _state_view(spark, state) == {"a": (1, 1.0), "b": (1, 2.0)}
+    assert not glob.glob(state + ".staging-*") and not glob.glob(state + ".old-*")
+
+
 def test_epoch_redelivery_after_commit_is_idempotent(spark, tmp_path):
     """The _applied marker travels inside the renamed state dir, so a
     retry of an epoch that already committed is a no-op."""

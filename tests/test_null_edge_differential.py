@@ -71,10 +71,14 @@ def _consumes(src_text, table):
     return table in src_text
 
 
+# A builder may reach a table only through a helper (_synthetic_image_set),
+# which a source-text grep misses (ADVICE r8 #2) — but every query's oracle
+# is a fully-expanded SQL string that must name the views it reads, so grep
+# builder source AND oracle SQL together.
 _TARGETS = sorted(
     n for n, s in all_queries().items()
     if any(
-        _consumes(inspect.getsource(s.builder), t)
+        _consumes(inspect.getsource(s.builder) + "\n" + (s.oracle or ""), t)
         for t in ("documents", "events", "embeddings")
     )
     # streaming replays included: event-time processing drops NULL
