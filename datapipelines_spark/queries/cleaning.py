@@ -987,3 +987,103 @@ def quality_percent_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pr_milli"),
     ).orderBy("doc_id")
+
+
+def _logreg_oracle_sql(buckets: int, epochs: int, lr: float) -> str:
+    """Unrolled-epoch DuckDB replay of the fastText-recipe trainer
+    (operators/linear.py): the oracle is GENERATED with the same epoch
+    count, so every gradient step is string-identical SQL — the BPE/nbayes
+    replay precedent extended to an iterative model."""
+    head = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (SELECT doc_id, u.g FROM docs, LATERAL unnest(w) AS u(g)),
+    big AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        FROM docs, LATERAL unnest(generate_series(1, len(w) - 1)) AS x(i)
+        WHERE len(w) >= 2
+    ),
+    grams AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+    feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {buckets}
+                   AS bucket,
+               COUNT(*) AS cnt
+        FROM grams GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, {buckets} AS bucket, 1 AS cnt FROM docs
+    ),
+    ntot AS (SELECT COUNT(*) AS n FROM docs),
+    w0 AS (SELECT r.range AS bucket, CAST(0 AS DECIMAL(18,6)) AS wt
+           FROM range(0, {buckets + 1}) r)"""
+    body = ""
+    for e in range(1, epochs + 1):
+        body += f""",
+    z{e} AS (
+        SELECT f.doc_id, SUM(w.wt * f.cnt) AS z
+        FROM feats f JOIN w{e - 1} w USING (bucket) GROUP BY f.doc_id
+    ),
+    r{e} AS (
+        SELECT d.doc_id,
+               CAST(ROUND(d.y - 1.0 / (1.0 + EXP(-CAST(z.z AS DOUBLE))), 6)
+                    AS DECIMAL(18,6)) AS r
+        FROM docs d JOIN z{e} z USING (doc_id)
+    ),
+    g{e} AS (
+        SELECT f.bucket, SUM(r.r * f.cnt) AS g
+        FROM feats f JOIN r{e} r USING (doc_id) GROUP BY f.bucket
+    ),
+    w{e} AS (
+        SELECT w.bucket,
+               CAST(ROUND(CAST(w.wt AS DOUBLE)
+                          + {lr} * CAST(COALESCE(g.g, 0) AS DOUBLE) / n.n, 6)
+                    AS DECIMAL(18,6)) AS wt
+        FROM w{e - 1} w LEFT JOIN g{e} g USING (bucket), ntot n
+    )"""
+    tail = f"""
+    SELECT f.doc_id,
+           CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
+           CAST(SUM(w.wt * f.cnt) AS DECIMAL(28,6)) AS score,
+           SUM(w.wt * f.cnt) > 0 AS pred
+    FROM feats f JOIN w{epochs} w USING (bucket)
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """
+    return head + body + tail
+
+
+@query("quality_linear_classifier", oracle=_logreg_oracle_sql(64, 2, 0.5))
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-recipe quality gate trained IN-PLAN (operators/linear.py,
+    Joulin et al. 2017 + the Weinberger et al. 2009 hashing trick): token
+    uni+bigrams feature-hashed to 64 buckets (portable md5 hash), logistic
+    regression trained 2 full-batch epochs at lr 0.5 on the deterministic
+    label y = (lang = 'en'), then every document scored by the learned
+    weights. Each epoch is one broadcast-join score pass + one per-bucket
+    gradient aggregate (map-side combine = the per-partition gradient);
+    the corpus is never collected. Weights are DECIMAL(18,6) at every
+    epoch boundary (residuals rounded before the exact decimal gradient
+    sum; the update divides in IEEE double), so the oracle — generated
+    with the SAME epoch unrolling — replays training to the last digit."""
+    from datapipelines_spark.operators.linear import (
+        hashed_ngram_features,
+        logreg_score,
+        logreg_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    feats = hashed_ngram_features(
+        d, text_col="text", id_col="doc_id", buckets=64
+    ).localCheckpoint(eager=True)  # consumed by every epoch AND the scorer
+    # null-safe label: NULL lang is "not en" (0) in both engines — Spark's
+    # (lang == 'en').cast('int') would yield NULL where the oracle's CASE
+    # yields 0, silently dropping the row from the gradient
+    labels = d.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    w = logreg_train(feats, labels, id_col="doc_id", buckets=64, epochs=2, lr=0.5)
+    return logreg_score(feats, w, id_col="doc_id").orderBy("doc_id")
