@@ -615,3 +615,63 @@ def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(spark, out, ["o_orderkey"]).orderBy(
         "o_orderkey", "valid_from"
     )
+
+
+@query(
+    "upsert_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN round(o_totalprice + 1000.0, 2)
+                ELSE round(o_totalprice, 2) END AS price,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN CAST(o_orderkey % 7 AS BIGINT) END AS discount
+    FROM orders
+    WHERE o_orderkey % 17 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def upsert_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR schema evolution + vacuum end to end (sinks/upsert.py): a base
+    version of (o_orderkey, price), a restatement delta that ADDS a
+    ``discount`` column (keys %10: price+1000, discount = key%7), a
+    tombstone delta (%17), then ``vacuum(retain_n=2)`` folds the base into
+    the restatement cutoff (tombstones kept — the resurrection guard).
+    The snapshot after evolution AND vacuum must equal the state DuckDB
+    derives from the rules directly: union schema with NULL discount on
+    never-restated keys, restated prices, deleted keys gone. Time travel
+    ACROSS the schema change (v0 reads without the discount column) is
+    asserted in tests/test_upsert_vacuum.py."""
+    import shutil
+
+    from datapipelines_spark.sinks.upsert import (
+        _versions,
+        read_merged,
+        upsert_write,
+        vacuum,
+    )
+
+    out = _scratch(sf_dir, "orders_upsert_evo")
+    if _versions(out) != [1, 2]:  # post-vacuum layout: fold at v1 + v2
+        shutil.rmtree(out, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.round(F.col("o_totalprice"), 2).alias("price")
+        )
+        upsert_write(orders, out)
+        upsert_write(
+            orders.where(F.col("o_orderkey") % 10 == 0).select(
+                "o_orderkey",
+                F.round(F.col("price") + 1000.0, 2).alias("price"),
+                (F.col("o_orderkey") % 7).cast("bigint").alias("discount"),
+            ),
+            out,
+        )
+        upsert_write(
+            orders.where(F.col("o_orderkey") % 17 == 0), out, delete=True
+        )
+        vacuum(spark, out, ["o_orderkey"], retain_n=2)
+    return (
+        read_merged(spark, out, ["o_orderkey"])
+        .select("o_orderkey", "price", "discount")
+        .orderBy("o_orderkey")
+    )

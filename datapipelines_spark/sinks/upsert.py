@@ -49,12 +49,79 @@ def _versions(path: str) -> list[int]:
     return sorted(out)
 
 
+_VACUUM_MARKER = "_vacuumed-"  # underscore-prefixed: invisible to parquet
+
+
+def _recover_vacuum(path: str) -> None:
+    """Repair a vacuum interrupted between its swap renames (the only
+    window where a version dir is ever absent). Mirrors
+    operators/incremental.py:_recover_state: if ``v=V`` is missing, adopt
+    a COMPLETE staging (Spark's _SUCCESS plus the ``_vacuumed-V`` marker —
+    a markerless staging is torn by definition) else restore the
+    moved-aside original; then delete leftovers. Pre-cutoff versions a
+    crash left undeleted are NOT touched here — the folded base keeps
+    tombstones, so leftover history is merely a larger table (latest-wins
+    already correct) and the next vacuum removes it. Called from every
+    read/write entry point; single-writer per table, as documented."""
+    import glob as _glob
+    import shutil
+
+    root = path.rstrip("/")
+    stagings = _glob.glob(root + ".vacuum-staging-*")
+    olds = _glob.glob(root + ".vacuum-old-*")
+    for leftover in stagings + olds:
+        v = int(leftover.rsplit("-", 1)[1])
+        target = os.path.join(root, f"v={v}")
+        if not os.path.isdir(target):
+            staged = root + f".vacuum-staging-{v}"
+            complete = os.path.isdir(staged) and (
+                os.path.exists(os.path.join(staged, "_SUCCESS"))
+                and os.path.exists(os.path.join(staged, f"{_VACUUM_MARKER}{v}"))
+            )
+            if complete:
+                os.rename(staged, target)
+            elif os.path.isdir(root + f".vacuum-old-{v}"):
+                os.rename(root + f".vacuum-old-{v}", target)
+    for leftover in stagings + olds:
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+
+
+def _read_raw(
+    spark: SparkSession, path: str, as_of_version: int | None = None
+) -> DataFrame:
+    """All delta rows (with the ``v`` partition column), schema-merged
+    across versions — SCHEMA EVOLUTION: a delta may add or omit columns;
+    absent fields read as NULL. ``as_of_version`` restricts the FILE LIST,
+    not just the rows, so a time-travel read carries the schema AS OF that
+    commit (a column added later does not exist in the old snapshot)."""
+    _recover_vacuum(path)
+    versions = _versions(path)
+    if as_of_version is not None:
+        versions = [v for v in versions if v <= as_of_version]
+        if not versions:
+            raise ValueError(
+                f"no version <= {as_of_version} in {path} — below the "
+                "vacuum horizon or before the first commit"
+            )
+    dirs = [os.path.join(path, f"v={v}") for v in versions]
+    return (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*dirs)
+    )
+
+
 def upsert_write(df: DataFrame, path: str, *, delete: bool = False) -> int:
     """Land ``df`` as the next delta version; returns the version number.
 
     ``delete=True`` writes the rows as tombstones (only the key columns
     need real values). Rows in later versions fully replace same-key rows
-    from earlier versions at read time."""
+    from earlier versions at read time. The delta's schema may differ from
+    earlier versions' (SCHEMA EVOLUTION): added columns read as NULL on
+    old rows, omitted columns as NULL on the new ones — snapshot schema is
+    the union of the versions it reads."""
+    _recover_vacuum(path)
     version = (_versions(path)[-1] + 1) if _versions(path) else 0
     (
         df.withColumn(DELETED_COL, F.lit(bool(delete)))
@@ -80,11 +147,10 @@ def read_merged(
     ordering, exactly like a table format's commit sequence.
 
     ``as_of_version`` is TIME TRAVEL: the snapshot as of that commit —
-    later deltas are pruned at the partition level (the version is a
-    partition column, so Spark never opens their files)."""
-    raw = spark.read.option("basePath", path).parquet(path)
-    if as_of_version is not None:
-        raw = raw.where(F.col("v") <= as_of_version)
+    later deltas never even reach the file list (stronger than partition
+    pruning: their footers aren't consulted, so the snapshot also carries
+    the SCHEMA as of that commit — see ``_read_raw``)."""
+    raw = _read_raw(spark, path, as_of_version)
     w = Window.partitionBy(*key_cols).orderBy(F.desc("v"))
     return (
         raw.withColumn(VERSION_COL, F.row_number().over(w))
@@ -127,6 +193,66 @@ def compact(spark: SparkSession, path: str, key_cols: list[str]) -> int:
             shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return new_version
+
+
+def vacuum(
+    spark: SparkSession, path: str, key_cols: list[str], retain_n: int
+) -> int | None:
+    """Bound the table's history to the last ``retain_n`` versions without
+    touching the snapshot: versions older than the cutoff FOLD into a
+    rewritten base at the cutoff version (latest-per-key as of the cutoff,
+    TOMBSTONES KEPT), then the pre-cutoff dirs are deleted. Every read —
+    current or time travel to any retained version — is unchanged; only
+    history below the horizon becomes unreachable (``read_merged`` with an
+    ``as_of_version`` below it raises). Returns the cutoff version, or
+    None when there is nothing to fold.
+
+    Tombstones are kept in the folded base, unlike ``compact`` (which
+    rewrites at a NEW highest version, where dropping them is safe): here
+    the fold sits BELOW retained deltas, and if a crash leaves a
+    pre-cutoff live row undeleted while its tombstone had been folded
+    away, the key would resurrect. With the tombstone kept, leftover
+    history is merely a larger table. Run ``compact`` to clear tombstones.
+
+    Crash-ordering (compact's visible-first discipline + the
+    incremental-sink swap, since the cutoff dir must be REPLACED): the
+    folded base is written to ``.vacuum-staging-V`` with a ``_vacuumed-V``
+    marker riding inside, the old ``v=V`` renamed ASIDE, the staging
+    renamed in, and only then is history deleted — old-aside first,
+    pre-cutoff versions last. ``_recover_vacuum`` (run at every
+    read/write entry) adopts a complete staging or restores the aside dir,
+    so no crash point leaves a version missing or a key resurrected
+    (crash-point sweep in tests/test_upsert_vacuum.py)."""
+    import shutil
+
+    _recover_vacuum(path)
+    versions = _versions(path)
+    if retain_n < 1:
+        raise ValueError(f"retain_n must be >= 1, got {retain_n}")
+    if len(versions) <= retain_n:
+        return None
+    v_cut = versions[-retain_n]
+    raw = _read_raw(spark, path, as_of_version=v_cut)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("v"))
+    folded = (
+        raw.withColumn(VERSION_COL, F.row_number().over(w))
+        .where(F.col(VERSION_COL) == 1)
+        .drop(VERSION_COL, "v")
+    )
+    root = path.rstrip("/")
+    staging = root + f".vacuum-staging-{v_cut}"
+    shutil.rmtree(staging, ignore_errors=True)
+    folded.write.mode("overwrite").parquet(staging)  # materializes the read
+    open(os.path.join(staging, f"{_VACUUM_MARKER}{v_cut}"), "w").close()
+    old = root + f".vacuum-old-{v_cut}"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(os.path.join(path, f"v={v_cut}"), old)
+    os.rename(staging, os.path.join(path, f"v={v_cut}"))
+    shutil.rmtree(old, ignore_errors=True)
+    for v in versions:
+        if v < v_cut:
+            shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return v_cut
 
 
 def streaming_upsert_sink(path: str, *, delete_col: str | None = None):
@@ -221,7 +347,14 @@ def table_diff(
 
     before = read_merged(spark, path, key_cols, as_of_version=v_from)
     after = read_merged(spark, path, key_cols, as_of_version=v_to)
-    val_cols = [c for c in before.columns if c not in key_cols]
+    # Schema evolution: the two snapshots may not share a column set (a
+    # column added between v_from and v_to exists only in `after`). Diff
+    # over the UNION of value columns, with the absent side read as NULL —
+    # so adding a column reports 'changed' exactly for keys whose new
+    # field is non-null.
+    b_val = [c for c in before.columns if c not in key_cols]
+    a_val = [c for c in after.columns if c not in key_cols]
+    val_cols = b_val + [c for c in a_val if c not in b_val]
     if compare_cols is not None:
         unknown = [c for c in compare_cols if c not in val_cols]
         if unknown:
@@ -229,8 +362,20 @@ def table_diff(
                 f"compare_cols not value columns of the table: {unknown}"
             )
         val_cols = [c for c in val_cols if c in compare_cols]
-    b = before.select(*key_cols, F.struct(*val_cols).alias("before"))
-    a = after.select(*key_cols, F.struct(*val_cols).alias("after"))
+
+    dtypes = {**dict(before.dtypes), **dict(after.dtypes)}
+
+    def _struct(df: DataFrame, have: list[str], alias: str):
+        fields = [
+            F.col(c).alias(c)
+            if c in have
+            else F.lit(None).cast(dtypes[c]).alias(c)  # typed NULL, not void
+            for c in val_cols
+        ]
+        return df.select(*key_cols, F.struct(*fields).alias(alias))
+
+    b = _struct(before, b_val, "before")
+    a = _struct(after, a_val, "after")
     joined = b.join(a, key_cols, "full_outer")
     field_changed = functools.reduce(
         operator.or_,
@@ -267,7 +412,7 @@ def scd2_history(spark: SparkSession, path: str, key_cols: list[str]) -> DataFra
     One window over the same key partitioning every other merge path uses;
     no join against the snapshot, no per-version scan.
     """
-    raw = spark.read.option("basePath", path).parquet(path)
+    raw = _read_raw(spark, path)
     w = Window.partitionBy(*key_cols).orderBy("v")
     nxt = F.lead("v").over(w)
     value_cols = [c for c in raw.columns if c not in (*key_cols, "v", DELETED_COL)]
