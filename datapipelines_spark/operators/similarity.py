@@ -320,6 +320,95 @@ def cosine_topk_chunked(
     return out
 
 
+def knn_graph(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 4,
+    kmeans_iters: int = 1,
+    mutual: bool = True,
+) -> DataFrame:
+    """Approximate kNN GRAPH over the corpus — the missing primitive
+    between pairwise similarity search and graph analytics: every vector's
+    k nearest neighbors WITHIN its IVF cell, optionally reduced to the
+    MUTUAL (reciprocal) edge set — src in dst's top-k AND dst in src's —
+    the standard symmetrization that feeds connected components, duplicate-
+    graph centrality, and graph-based SemDeDup variants.
+
+    Scale shape (the SemDeDup lever, operators/dedup.py:semantic_dedup):
+    vectors hard-partition into ``n_cells`` k-means cells (deterministic
+    lowest-id init, first-minimal tie rule — SQL-replayable), and ALL
+    candidate work is within-cell: one hash shuffle keyed on cell, then a
+    cell-bucketed join bounded by Σ|cell|², never corpus². Cross-cell
+    neighbors are the deliberate recall trade every IVF index makes. Only
+    (id, id, score) triples survive the ranking shuffle; vectors never
+    leave their cell join.
+
+    Determinism: scoring uses the sequential-fold dot product
+    (operators/dedup.py:_dot) — the same summation order as the SQL
+    oracles' list_sum — and ranking breaks cosine ties by ascending
+    neighbor id, so the graph is bit-stable across engines and retries.
+
+    Returns ``(src, dst, cosine)`` with cosine rounded to 6 decimals;
+    under ``mutual=True`` each undirected edge appears once with
+    ``src < dst``. Domain: callers filter NULL and zero-norm vectors
+    upstream (no cosine direction), as all cosine paths here require.
+    """
+    from datapipelines_spark.functions.caching import managed_persist
+    from datapipelines_spark.functions.partitioning import parallelize_small
+    from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from datapipelines_spark.operators.dedup import _dot, _norm
+
+    e = managed_persist(
+        parallelize_small(
+            df.select(
+                F.col(id_col).cast("long").alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        ).withColumn("nrm", _norm(F.col("v")))
+    )
+    cents, _ = kmeans_fit(e, "v", "__id", k=n_cells, max_iter=kmeans_iters, tol=0.0)
+    withv = e.join(kmeans_assign(e, "v", "__id", cents), "__id")
+    a = withv.select(
+        F.col("__id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cluster",
+    )
+    b = withv.select(
+        F.col("__id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster",
+    )
+    scored = (
+        a.join(b, "cluster")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    knn = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("src", "dst", "cos_raw")
+    )
+    if not mutual:
+        return knn.select("src", "dst", F.round("cos_raw", 6).alias("cosine"))
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        knn.join(rev, ["src", "dst"])  # reciprocal: both directions ranked
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     vec_col: str,

@@ -862,3 +862,54 @@ def sample_oversample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH {_KMEANS4_CELLS_SQL},
+    scored AS (
+        SELECT ca.vec_id AS src, cb.vec_id AS dst,
+               {_ivf_dot('ea.v', 'eb.v')} / (ea.nrm * eb.nrm) AS cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ca.vec_id
+                   ORDER BY {_ivf_dot('ea.v', 'eb.v')} / (ea.nrm * eb.nrm)
+                            DESC, cb.vec_id
+               ) AS rn
+        FROM cells ca
+        JOIN cells cb ON ca.cluster = cb.cluster AND ca.vec_id <> cb.vec_id
+        JOIN e ea ON ea.vec_id = ca.vec_id
+        JOIN e eb ON eb.vec_id = cb.vec_id
+    ),
+    knn AS (SELECT src, dst, cos_raw FROM scored WHERE rn <= 5)
+    SELECT a.src, a.dst, round(a.cos_raw, 6) AS cosine
+    FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    ORDER BY a.src, a.dst
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual kNN graph (operators/similarity.py:knn_graph): k-means-
+    partition the embeddings (the deterministic 4-cell, one-iteration fit
+    shared with SemDeDup), rank each vector's within-cell top-5 cosine
+    neighbors (sequential-fold dot, ties to the lower id), and keep only
+    RECIPROCAL edges (each side in the other's top-5), one row per
+    undirected edge. Candidate work is Σ|cell|², never corpus² — no
+    all-pairs stage anywhere in the plan. The oracle replays training,
+    assignment, per-vector ranking, and the reciprocity join in SQL."""
+    from datapipelines_spark.operators.similarity import knn_graph
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    e = e.where(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        > 0
+    )
+    return knn_graph(
+        e, vec_col="embedding", id_col="vec_id", k=5, n_cells=4, mutual=True
+    ).orderBy("src", "dst")
