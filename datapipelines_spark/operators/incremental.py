@@ -136,6 +136,7 @@ def incremental_state_sink(
     keys: list[str],
     sum_cols: list[str],
     retract_col: str | None = None,
+    on_metrics=None,
 ):
     """foreachBatch callback maintaining a MATERIALIZED VIEW state table on
     disk — streaming incremental view maintenance: each micro-batch
@@ -157,14 +158,29 @@ def incremental_state_sink(
     committed atomically with the state it describes — makes the
     re-delivered epoch idempotent (epochs ≤ the marker are skipped).
 
+    Observability (VERDICT r8 stretch — the E5 ``df.observe`` machinery
+    applied to the sink's own state store): every applied epoch appends
+    one JSON line to ``<state_dir>.metrics.jsonl`` with ``epoch``,
+    ``delta_groups`` (groups in this batch's partial aggregate),
+    ``state_groups`` (groups in the merged view — the state-size series
+    whose growth a long-running view is monitored by), and
+    ``epochs_behind`` (gap to the last applied epoch; >0 means upstream
+    epochs were skipped/compacted). The counters ride the staging write
+    itself as observations — no extra pass over state or delta. Skipped
+    re-deliveries log nothing (the view did not change). ``on_metrics``
+    additionally receives each metrics dict.
+
     Contract: the state dir and the stream's checkpointLocation form a
     unit — reset both together (a fresh checkpoint replays the source
     from scratch, so pairing it with existing state would double-count
     regardless of any marker scheme). Local rename/rmtree stand in for a
     filesystem with atomic dir rename (HDFS); object stores need a
     manifest commit instead — see sinks/upsert.py."""
+    import json
     import os
     import shutil
+
+    from pyspark.sql import Observation
 
     root = state_dir.rstrip("/")
 
@@ -172,13 +188,19 @@ def incremental_state_sink(
         spark = batch_df.sparkSession
         epoch = int(epoch_id)
         _recover_state(root)
+        last = None
+        obs_delta, obs_state = Observation(), Observation()
+        delta = delta_of(batch_df).observe(
+            obs_delta, F.count(F.lit(1)).alias("delta_groups")
+        )
         if os.path.isdir(root):
             last = _applied_epoch(root)
             if last is not None and epoch <= last:
                 return  # retry / re-delivery of an epoch already folded in
-            merged = merge_states(spark.read.parquet(root), delta_of(batch_df), keys)
+            merged = merge_states(spark.read.parquet(root), delta, keys)
         else:
-            merged = delta_of(batch_df)
+            merged = delta
+        merged = merged.observe(obs_state, F.count(F.lit(1)).alias("state_groups"))
         staging = f"{root}.staging-{epoch}"
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").parquet(staging)  # materializes read
@@ -189,6 +211,16 @@ def incremental_state_sink(
             os.rename(root, old)
         os.rename(staging, root)
         shutil.rmtree(f"{root}.old-{epoch}", ignore_errors=True)
+        metrics = {
+            "epoch": epoch,
+            "delta_groups": obs_delta.get["delta_groups"],
+            "state_groups": obs_state.get["state_groups"],
+            "epochs_behind": epoch - last - 1 if last is not None else 0,
+        }
+        with open(f"{root}.metrics.jsonl", "a") as fh:
+            fh.write(json.dumps(metrics) + "\n")
+        if on_metrics is not None:
+            on_metrics(metrics)
 
     def delta_of(batch_df: DataFrame) -> DataFrame:
         return aggregate_state(batch_df, keys, sum_cols, retract_col)

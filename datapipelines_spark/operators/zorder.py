@@ -90,3 +90,72 @@ def zorder_layout(
     return coded.repartitionByRange(num_files, "zorder").sortWithinPartitions(
         "zorder"
     )
+
+
+# Hilbert curve as a 4-state transducer over MSB-first (x-bit, y-bit) pairs.
+# Unlike Morton interleaving, consecutive Hilbert codes are ALWAYS adjacent
+# cells (no quadrant jumps), so range-split files cover tighter rectangles —
+# measurably better locality, same one-shuffle layout job. The tables encode
+# the classic xy2d recursion (Hilbert 1891; the C formulation popularized by
+# Wikipedia/Warren's Hacker's Delight) compiled to a finite-state transducer:
+# state = sub-curve orientation (4 reachable of the dihedral group), input
+# q = 2*bit(x) + bit(y), output = the 2-bit code digit. Fitted AND verified
+# against the reference recursion over the full 256x256 grid in
+# tests/test_hilbert.py — the FST form exists because per-level coordinate
+# mutation (the textbook loop) would nest O(3^bits) expression copies into
+# the plan, while the FST references only the RAW quantized bits: the whole
+# code is O(bits) small codegen expressions, no UDF, no blowup.
+_HILBERT_OUT = [0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0]
+_HILBERT_NXT = [1, 0, 3, 0, 0, 2, 1, 1, 2, 1, 2, 3, 3, 3, 0, 2]
+
+
+def hilbert_code(qa: Column, qb: Column, bits: int = 8) -> Column:
+    """Hilbert index of two ``bits``-bit quantized columns — pure codegen
+    table lookups (array literals + get), one per bit level."""
+    out_arr = F.array(*[F.lit(v) for v in _HILBERT_OUT])
+    nxt_arr = F.array(*[F.lit(v) for v in _HILBERT_NXT])
+    st = F.lit(0).cast("bigint")
+    d = F.lit(0).cast("bigint")
+    for i in range(bits - 1, -1, -1):
+        q = (
+            F.shiftright(qa, i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(qb, i).bitwiseAND(F.lit(1))
+        ).cast("bigint")
+        idx = (st * 4 + q).cast("int")
+        d = d * 4 + F.get(out_arr, idx).cast("bigint")
+        st = F.get(nxt_arr, idx).cast("bigint")
+    return d
+
+
+def hilbert_codes(
+    df: DataFrame, a_col: str, b_col: str, bits: int = 8
+) -> DataFrame:
+    """Input plus ``hilbert`` (the Hilbert index of the min/max-quantized
+    integer columns) — same stats collect and quantization as
+    ``zorder_codes``, different space-filling curve."""
+    stats = df.agg(
+        F.min(a_col).cast("bigint").alias("amin"),
+        F.max(a_col).cast("bigint").alias("amax"),
+        F.min(b_col).cast("bigint").alias("bmin"),
+        F.max(b_col).cast("bigint").alias("bmax"),
+    ).collect()[0]
+    qa = _quantize(F.col(a_col), F.lit(stats["amin"]), F.lit(stats["amax"]), bits)
+    qb = _quantize(F.col(b_col), F.lit(stats["bmin"]), F.lit(stats["bmax"]), bits)
+    return df.withColumn("hilbert", hilbert_code(qa, qb, bits))
+
+
+def hilbert_layout(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    num_files: int,
+    bits: int = 8,
+) -> DataFrame:
+    """Range-partition and sort by the Hilbert index — the OPTIMIZE job
+    with the curve whose consecutive codes never jump quadrants, so each
+    written file covers a tighter (a, b) rectangle than the Morton split
+    of the same data (asserted in tests/test_hilbert.py)."""
+    coded = hilbert_codes(df, a_col, b_col, bits)
+    return coded.repartitionByRange(num_files, "hilbert").sortWithinPartitions(
+        "hilbert"
+    )

@@ -675,3 +675,76 @@ def upsert_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "price", "discount")
         .orderBy("o_orderkey")
     )
+
+
+def _hilbert_sql(bits: int) -> str:
+    """DuckDB replay of the Hilbert FST (operators/zorder.py:_HILBERT_OUT/
+    _HILBERT_NXT): one CTE per bit level threading (state, code) through
+    the same table lookups, MSB first."""
+    from datapipelines_spark.operators.zorder import _HILBERT_NXT, _HILBERT_OUT
+
+    out_l = "[" + ", ".join(map(str, _HILBERT_OUT)) + "]"
+    nxt_l = "[" + ", ".join(map(str, _HILBERT_NXT)) + "]"
+    ctes = [
+        "h0 AS (SELECT o_orderkey, qa, qb, 0 AS st0,"
+        " CAST(0 AS BIGINT) AS d0 FROM q)"
+    ]
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        lvl += 1
+        idx = f"st{lvl-1} * 4 + ((qa >> {i}) & 1) * 2 + ((qb >> {i}) & 1) + 1"
+        ctes.append(
+            f"h{lvl} AS (SELECT o_orderkey, qa, qb,"
+            f" ({nxt_l})[{idx}] AS st{lvl},"
+            f" d{lvl-1} * 4 + ({out_l})[{idx}] AS d{lvl}"
+            f" FROM h{lvl-1})"
+        )
+    return ",\n    ".join(ctes) + f"\n    SELECT o_orderkey, CAST(d{lvl} AS BIGINT) AS hilbert FROM h{lvl}"
+
+
+@query(
+    "layout_hilbert_orders",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        SELECT MIN(o_custkey) AS amin, MAX(o_custkey) AS amax,
+               MIN(cents) AS bmin, MAX(cents) AS bmax
+        FROM c
+    ),
+    q AS (
+        SELECT o_orderkey,
+               ((o_custkey - amin) * 256) // (amax - amin + 1) AS qa,
+               ((cents - bmin) * 256) // (bmax - bmin + 1) AS qb
+        FROM c, s
+    ),
+    {_hilbert_sql(8)}
+    ORDER BY o_orderkey
+    """,
+)
+def layout_hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering codes (operators/zorder.py:hilbert_code):
+    orders quantized to 8 bits per dimension over (o_custkey, price in
+    cents) and indexed on the Hilbert curve — Z-order's sibling layout
+    whose consecutive codes are ALWAYS adjacent cells, so a range-split
+    write covers tighter rectangles (better pruning at 4+ effective
+    dimensions and near quadrant seams). The curve is compiled to a
+    4-state transducer over the raw quantized bits — O(bits) codegen
+    lookups, no per-level coordinate mutation, no UDF — and the oracle
+    replays the same state machine one CTE per bit level. Layout effect
+    asserted in tests/test_hilbert.py."""
+    from datapipelines_spark.operators.zorder import hilbert_codes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return (
+        hilbert_codes(orders, "o_custkey", "cents", bits=8)
+        .select("o_orderkey", "hilbert")
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,103 @@
+"""Hilbert layout (operators/zorder.py): the FST compilation must equal the
+classic xy2d recursion on the full grid, consecutive codes must be adjacent
+cells (the locality property Morton lacks), and the written layout must
+prune both dimensions at least as well as Z-order."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from datapipelines_spark.operators.zorder import (
+    hilbert_code,
+    hilbert_layout,
+    zorder_layout,
+)
+
+
+def _xy2d_reference(n, x, y):
+    """The textbook recursion the FST tables were compiled from."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _grid_codes(spark, bits):
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    return {
+        (r["x"], r["y"]): r["h"]
+        for r in grid.select(
+            "x", "y", hilbert_code(F.col("x"), F.col("y"), bits).alias("h")
+        ).collect()
+    }
+
+
+def test_fst_equals_reference_recursion_full_grid(spark):
+    bits = 4
+    n = 1 << bits
+    got = _grid_codes(spark, bits)
+    for (x, y), h in got.items():
+        assert h == _xy2d_reference(n, x, y), (x, y)
+
+
+def test_consecutive_codes_are_adjacent_cells(spark):
+    bits = 4
+    n = 1 << bits
+    pos = {h: xy for xy, h in _grid_codes(spark, bits).items()}
+    assert sorted(pos) == list(range(n * n)), "codes must be a bijection"
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = pos[d], pos[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, f"jump at {d}"
+
+
+def _file_spans(path, cols):
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in cols and col.statistics is not None:
+                    c, st = col.path_in_schema, col.statistics
+                    mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
+                    maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
+        spans.append({c: (mins[c], maxs[c]) for c in cols})
+    return spans
+
+
+def _hits(spans, col, lo, hi):
+    return sum(1 for s in spans if not (s[col][1] < lo or s[col][0] > hi))
+
+
+def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path):
+    n = 256
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "a long, b long"
+    )
+    hdir, zdir = str(tmp_path / "h"), str(tmp_path / "z")
+    hilbert_layout(grid, "a", "b", num_files=16).write.parquet(hdir)
+    zorder_layout(grid, "a", "b", num_files=16).write.parquet(zdir)
+    hs = _file_spans(hdir, ["a", "b"])
+    zs = _file_spans(zdir, ["a", "b"])
+    # a 10%-wide band on either dimension must prune most files, and the
+    # Hilbert split must not be worse than the Morton split on this grid
+    for col in ("a", "b"):
+        h_hits = _hits(hs, col, 100, 125)
+        assert h_hits <= len(hs) // 2, f"{col}: hilbert pruned too little"
+        assert h_hits <= _hits(zs, col, 100, 125), f"{col}: worse than morton"

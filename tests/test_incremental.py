@@ -268,3 +268,27 @@ def test_crash_at_every_swap_step_recovers_exactly_once(spark, tmp_path, monkeyp
         )
         if not crashed:
             break  # fewer fs-ops than crash points: protocol fully swept
+
+
+def test_metrics_sidecar_tracks_state_growth_and_redelivery(spark, tmp_path):
+    """Every APPLIED epoch logs (epoch, delta_groups, state_groups,
+    epochs_behind) to <state>.metrics.jsonl; a skipped re-delivery logs
+    nothing, and the callback sees the same dicts."""
+    import json
+
+    from datapipelines_spark.operators.incremental import incremental_state_sink
+
+    state = str(tmp_path / "state")
+    seen = []
+    sink = incremental_state_sink(state, ["k"], ["x"], on_metrics=seen.append)
+    sink(_batch(spark, [("a", 1.0), ("b", 2.0)]), 0)
+    sink(_batch(spark, [("a", 3.0), ("c", 5.0)]), 1)
+    sink(_batch(spark, [("a", 3.0), ("c", 5.0)]), 1)  # re-delivery: no line
+    sink(_batch(spark, [("d", 7.0)]), 3)  # epoch 2 skipped upstream
+    with open(state + ".metrics.jsonl") as fh:
+        lines = [json.loads(ln) for ln in fh]
+    assert lines == seen
+    assert [m["epoch"] for m in lines] == [0, 1, 3]
+    assert [m["delta_groups"] for m in lines] == [2, 2, 1]
+    assert [m["state_groups"] for m in lines] == [2, 3, 4]
+    assert [m["epochs_behind"] for m in lines] == [0, 0, 1]
