@@ -80,75 +80,88 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate hashes exactly the FIRST 50 entries of
 # all_queries() in iteration order. The window ROTATES each round so
 # cumulative driver-green coverage grows instead of re-verifying the same 50
-# (VERDICT r2 #6). Round-8 window, following the r7 rotation plan
-# (catalog.py r7:195-209) and VERDICT r7 item 1:
-#   (a) CORRECTNESS_r07 was 50/50 green -- no reds to pin;
-#   (b) the 32 queries added in r7 after that window was pinned lead -- all
-#       first driver verdicts. Four of them also pin r8 behavior changes:
-#       stream_incremental_view_replay (crash-safe state swap, VERDICT r7
-#       #1), quality_winsorize_outliers (integral-type validation, ADVICE),
-#       sample_oversample_parity (integer-division factor, ADVICE),
-#       dedup_repeated_ngram_spans (null-text filter, ADVICE);
-#   (c) 18 of the 19 r4-only stale verdicts fill the rest, in r4 pool
-#       order; corpus_clean_pipeline (last in pool order) defers to r9 and
-#       leads the r9 staleness pool. After r8, cumulative driver coverage
-#       is the entire pre-r8 catalog (202/202).
+# (VERDICT r2 #6). Since r9 the re-confirmation slots are COMPUTED, not
+# hand-maintained: rotation.py derives every query's latest green driver
+# verdict from the CORRECTNESS_r*.json artifacts, and the window's tail
+# must be a prefix of rotation.reconfirm_queue() (stalest latest-verdict
+# first, ties by name) — tests/test_catalog_order.py enforces it. That
+# closes the VERDICT r8 accounting escape where a hand-kept "r4-only" list
+# let scalar_string_funcs sit on its round-1 verdict for seven rounds.
+#
+# Round-9 window:
+#   (a) CORRECTNESS_r08 was 50/50 green — no reds to pin;
+#   (b) first driver verdicts: the 3 queries added in r8 after that window
+#       was pinned, then the 5 added in r9 (variable-length substring
+#       dedup, linear quality classifier, MOR schema evolution + vacuum,
+#       mutual kNN graph, Hilbert layout);
+#   (c) r9 behavior/plan changes re-confirmed: stream_incremental_view_
+#       replay (IVM sink gained the metrics sidecar + epoch-0 recovery
+#       fix), and the three MOR-read queries (reads now go through
+#       _read_raw with mergeSchema + explicit version lists);
+#   (d) the rest is the computed staleness queue verbatim:
+#       scalar_string_funcs (r1!), corpus_clean_pipeline (r4), then the r5
+#       cohort in name order — 36 fit, the remaining 14 r5 names lead r10.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
-PRIORITY_50: tuple[str, ...] = (
-    # --- first driver verdicts (added r7 after the r7 window was pinned) ---
-    "chunk_fixed_overlap",
-    "diff_orders_versions",
-    "layout_zorder_orders",
-    "incremental_revenue_by_month",
-    "sim_pq_rerank_topk",
-    "decontaminate_minhash_cross",
-    "text_bpe_tokenize",
+FIRST_VERDICTS_R9: tuple[str, ...] = (
+    "multimodal_dhash_near_pairs",  # added r8 after the r8 window was pinned
+    "multimodal_audio_fp_pairs",
+    "multimodal_image_dedup_pipeline",
+    "dedup_substring_spans",  # added r9
+    "quality_linear_classifier",
+    "upsert_schema_evolution",
+    "sim_knn_graph",
+    "layout_hilbert_orders",
+)
+
+CHANGED_R9: tuple[str, ...] = (
     "stream_incremental_view_replay",
-    "dedup_repeated_ngram_spans",
-    "quality_token_budget_sample",
-    "dedup_semantic_clusters",
-    "quality_winsorize_outliers",
-    "stream_topk_types_replay",
-    "quality_gopher_rules",
-    "multimodal_dhash_neardup",
-    "events_cohort_retention",
-    "interval_open_orders_sweep",
+    "diff_orders_versions",
     "scd2_orders_history",
-    "histogram_equidepth_price",
-    "sim_hard_negatives",
-    "text_pmi_collocations",
-    "sample_oversample_parity",
-    "diag_join_key_skew",
-    "quality_percent_rank_norm",
-    "events_anomaly_mad",
-    "text_gini_diversity",
-    "quality_source_length_drift",
-    "events_daily_trend_slope",
-    "events_transition_matrix",
-    "customer_rfm_segments",
-    "fluent_pipeline_customers",
-    "profile_observed_orders",
-    # --- 18 r4-only stale verdicts, re-confirmed under current code ---
-    "scalar_conditional_funcs",
-    "scalar_date_funcs",
-    "scalar_fuzzy_string",
-    "scalar_math_funcs",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "sim_lsh_bucket_histogram",
-    "text_fingerprint",
-    "text_language_id",
-    "text_length_histogram",
-    "text_quality_score",
-    "text_token_stats",
-    "window_moving_avg_events",
-    "window_order_gaps",
-    "window_price_rank_in_brand",
-    "q1_pricing_summary",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
+    "upsert_orders_snapshot",
+)
+
+PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R9 + CHANGED_R9 + (
+    # --- computed staleness queue (rotation.reconfirm_queue() prefix) ---
+    "scalar_string_funcs",
+    "corpus_clean_pipeline",
+    "agg_approx_distinct_parts",
+    "asof_join_last_order_before_event",
+    "batch_fixed_size_groups",
+    "decontaminate_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "epoch_repeat_cycle",
+    "filter_required_keys",
+    "filter_size_range",
+    "having_big_part_groups",
+    "join_anti_customers_without_orders",
+    "join_metadata_rename_collision",
+    "join_null_safe_segments",
+    "join_outer_order_counts",
+    "join_semi_customers_with_orders",
+    "jsonl_gz_roundtrip",
+    "mapper_rescale_embeddings",
+    "mix_weighted_sources",
+    "multimodal_binary_stats",
+    "multimodal_jpeg_decode",
+    "multimodal_mp4_probe",
+    "pack_sequences_budget",
+    "percentile_order_values",
+    "pivot_status_by_priority",
+    "q12_priority_shipping_split",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_orders_waiting",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "range_join_price_bands",
+    "rollup_order_totals",
+    "scalar_array_funcs",
 )
 
 
@@ -156,18 +169,13 @@ PRIORITY_50: tuple[str, ...] = (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "multimodal_dhash_near_pairs",  # added r8 after the window was pinned
-    "multimodal_audio_fp_pairs",
-    "multimodal_image_dedup_pipeline",
-)
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 
-# r9 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r08 (fix first, then pin);
+# r10 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r09 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r9;
-#   4. corpus_clean_pipeline -- the one r4-only verdict deferred from the
-#      r8 window (after it, no r4-only verdict remains anywhere);
-#   5. oldest r5 verdicts (CORRECTNESS_r05 minus r06/r07/r08), then oldest
-#      r6, with remaining slots -- drains toward the "no verdict older
-#      than two rounds of code change" invariant (VERDICT r7 item 2).
+#   3. queries whose plans/outputs change in r10;
+#   4. rotation.reconfirm_queue() computed over CORRECTNESS_r01..r09,
+#      verbatim, for every remaining slot — after r9 lands, the queue
+#      starts with the 14 r5 names that did not fit this window, then the
+#      r6 cohort.

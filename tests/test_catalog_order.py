@@ -1,24 +1,20 @@
 """The driver's correctness gate checks exactly the first 50 entries of
-``all_queries()`` in iteration order; PRIORITY_50 pins those slots."""
+``all_queries()`` in iteration order; PRIORITY_50 pins those slots.
 
-import json
-import os
+Since r9 the re-confirmation tail is asserted against the COMPUTED
+staleness queue (rotation.py over the CORRECTNESS_r*.json artifacts) —
+the VERDICT r8 fix for the hand-maintained rotation lists that let
+scalar_string_funcs sit on a round-1 verdict for seven rounds. No query
+can escape the rotation again without failing these tests."""
 
 from datapipelines_spark.catalog import (
+    CHANGED_R9,
+    FIRST_VERDICTS_R9,
     PENDING_FIRST_VERDICT,
     PRIORITY_50,
     all_queries,
 )
-
-
-def _verdicts(*rounds: str) -> set[str]:
-    seen: set[str] = set()
-    for fname in rounds:
-        path = os.path.join(os.path.dirname(__file__), "..", fname)
-        if os.path.exists(path):
-            with open(path) as f:
-                seen |= set(json.load(f))
-    return seen
+from datapipelines_spark.rotation import latest_verdict_rounds, reconfirm_queue
 
 
 def test_priority_window_is_exactly_50_unique_names():
@@ -31,90 +27,56 @@ def test_priority_window_leads_registry_order():
     assert names[:50] == list(PRIORITY_50)
 
 
-def test_priority_window_pins_first_verdicts_first():
-    # Round-8 rotation policy (VERDICT r7 #1): the 32 queries added in r7
-    # after that window was pinned lead — all first driver verdicts.
-    assert list(PRIORITY_50[:32]) == [
-        "chunk_fixed_overlap",
-        "diff_orders_versions",
-        "layout_zorder_orders",
-        "incremental_revenue_by_month",
-        "sim_pq_rerank_topk",
-        "decontaminate_minhash_cross",
-        "text_bpe_tokenize",
-        "stream_incremental_view_replay",
-        "dedup_repeated_ngram_spans",
-        "quality_token_budget_sample",
-        "dedup_semantic_clusters",
-        "quality_winsorize_outliers",
-        "stream_topk_types_replay",
-        "quality_gopher_rules",
-        "multimodal_dhash_neardup",
-        "events_cohort_retention",
-        "interval_open_orders_sweep",
-        "scd2_orders_history",
-        "histogram_equidepth_price",
-        "sim_hard_negatives",
-        "text_pmi_collocations",
-        "sample_oversample_parity",
-        "diag_join_key_skew",
-        "quality_percent_rank_norm",
-        "events_anomaly_mad",
-        "text_gini_diversity",
-        "quality_source_length_drift",
-        "events_daily_trend_slope",
-        "events_transition_matrix",
-        "customer_rfm_segments",
-        "fluent_pipeline_customers",
-        "profile_observed_orders",
-    ]
-
-
-def test_priority_window_refreshes_oldest_stale_verdicts():
-    """Staleness invariant (VERDICT r7 item 2): the r4-only staleness pool
-    drains oldest-first — every window slot not taken by a first verdict
-    holds an r4-only query, and at most one r4-only query
-    (corpus_clean_pipeline, deferred to r9) stays outside the window."""
-    r4 = _verdicts("CORRECTNESS_r04.json")
-    if not r4:  # fresh checkout without round artifacts
+def test_first_verdict_block_is_exactly_the_never_verified_queries():
+    """Block (b): every window query with NO driver verdict in any
+    CORRECTNESS artifact must be declared in FIRST_VERDICTS_R9, and vice
+    versa — first verdicts lead the window."""
+    latest = latest_verdict_rounds()
+    if not latest:  # fresh checkout without round artifacts
         return
-    later = _verdicts(
-        "CORRECTNESS_r05.json", "CORRECTNESS_r06.json", "CORRECTNESS_r07.json"
+    never = {n for n in all_queries() if n not in latest}
+    assert never == set(FIRST_VERDICTS_R9) | set(PENDING_FIRST_VERDICT), (
+        "queries without any verdict must be FIRST_VERDICTS_R9 or "
+        f"PENDING_FIRST_VERDICT; mismatch: {never ^ set(FIRST_VERDICTS_R9)}"
     )
-    r4_only = r4 - later
-    not_stale = [n for n in PRIORITY_50[32:] if n not in r4_only]
-    assert not not_stale, f"non-r4-stale queries occupying staleness slots: {not_stale}"
-    deferred = r4_only - set(PRIORITY_50)
-    assert deferred <= {"corpus_clean_pipeline"}, (
-        f"more than the documented deferral left out of the window: {deferred}"
-    )
+    n_fv = len(FIRST_VERDICTS_R9)
+    assert list(PRIORITY_50[:n_fv]) == list(FIRST_VERDICTS_R9)
 
 
-def test_priority_window_completes_cumulative_driver_coverage():
-    """Rounds 1-7 verdicts + the r8 window must cover the ENTIRE catalog
-    except queries explicitly declared PENDING_FIRST_VERDICT."""
-    seen = _verdicts(
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-        "CORRECTNESS_r07.json",
-    )
-    if not seen:  # fresh checkout without round artifacts
+def test_reconfirm_tail_is_a_prefix_of_the_computed_staleness_queue():
+    """Block (d) — THE computed-queue property: after the first-verdict
+    and changed-query blocks, the window is exactly a prefix of
+    rotation.reconfirm_queue() (stalest latest verdict first, ties by
+    name). A hand-edit that skips a stale query breaks this assertion."""
+    queue = [n for n in reconfirm_queue() if n not in CHANGED_R9]
+    if not queue:  # fresh checkout without round artifacts
         return
-    uncovered = [
-        n
-        for n in all_queries()
-        if n not in seen and n not in PRIORITY_50 and n not in PENDING_FIRST_VERDICT
-    ]
-    assert not uncovered, (
-        "queries with no verdict ever, not in the window, and not declared "
-        f"PENDING_FIRST_VERDICT: {uncovered}"
-    )
-    stale = [n for n in PENDING_FIRST_VERDICT if n in seen or n in PRIORITY_50]
-    assert not stale, f"PENDING_FIRST_VERDICT entries already covered: {stale}"
+    head = len(FIRST_VERDICTS_R9) + len(CHANGED_R9)
+    tail = list(PRIORITY_50[head:])
+    assert tail == queue[: len(tail)]
+
+
+def test_changed_queries_have_prior_verdicts():
+    """Block (c): the changed-query block re-confirms behavior changes —
+    each entry must already have a driver verdict (else it belongs in the
+    first-verdict block)."""
+    latest = latest_verdict_rounds()
+    if not latest:
+        return
+    missing = [n for n in CHANGED_R9 if n not in latest]
+    assert not missing, f"CHANGED_R9 entries with no prior verdict: {missing}"
+
+
+def test_staleness_invariant_after_this_window_lands():
+    """Assuming the r9 window goes green, no query's latest verdict is
+    older than round 5, and the oldest survivors are exactly the computed
+    queue's next prefix — the drain the rotation exists for."""
+    latest = latest_verdict_rounds()
+    if not latest:
+        return
+    projected = {**latest, **{n: 9 for n in PRIORITY_50}}
+    floor = min(projected[n] for n in all_queries() if n in projected)
+    assert floor >= 5, f"stale verdict would survive r9: floor={floor}"
 
 
 def test_every_priority_query_has_an_oracle():
