@@ -121,6 +121,14 @@ HEADLINE = [
     "scd2_orders_history",
     "sim_hard_negatives",
     "text_pmi_collocations",
+    # r9 additions (same rule): variable-length substring dedup, in-plan
+    # logistic-regression quality gate, MOR schema evolution + vacuum,
+    # mutual kNN graph, Hilbert layout codes
+    "dedup_substring_spans",
+    "quality_linear_classifier",
+    "upsert_schema_evolution",
+    "sim_knn_graph",
+    "layout_hilbert_orders",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

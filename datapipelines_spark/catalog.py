@@ -91,16 +91,16 @@ def all_queries() -> dict[str, QuerySpec]:
 # Round-9 window:
 #   (a) CORRECTNESS_r08 was 50/50 green — no reds to pin;
 #   (b) first driver verdicts: the 3 queries added in r8 after that window
-#       was pinned, then the 5 added in r9 (variable-length substring
-#       dedup, linear quality classifier, MOR schema evolution + vacuum,
-#       mutual kNN graph, Hilbert layout);
+#       was pinned, then the 6 added in r9 (variable-length substring
+#       dedup spans + the applied removal, linear quality classifier, MOR
+#       schema evolution + vacuum, mutual kNN graph, Hilbert layout);
 #   (c) r9 behavior/plan changes re-confirmed: stream_incremental_view_
 #       replay (IVM sink gained the metrics sidecar + epoch-0 recovery
 #       fix), and the three MOR-read queries (reads now go through
 #       _read_raw with mergeSchema + explicit version lists);
 #   (d) the rest is the computed staleness queue verbatim:
 #       scalar_string_funcs (r1!), corpus_clean_pipeline (r4), then the r5
-#       cohort in name order — 36 fit, the remaining 14 r5 names lead r10.
+#       cohort in name order — 35 fit, the remaining 15 r5 names lead r10.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
@@ -109,6 +109,7 @@ FIRST_VERDICTS_R9: tuple[str, ...] = (
     "multimodal_audio_fp_pairs",
     "multimodal_image_dedup_pipeline",
     "dedup_substring_spans",  # added r9
+    "dedup_substring_removal",
     "quality_linear_classifier",
     "upsert_schema_evolution",
     "sim_knn_graph",
@@ -161,7 +162,6 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R9 + CHANGED_R9 + (
     "q9_profit_by_nation_year",
     "range_join_price_bands",
     "rollup_order_totals",
-    "scalar_array_funcs",
 )
 
 
@@ -177,5 +177,5 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 #   3. queries whose plans/outputs change in r10;
 #   4. rotation.reconfirm_queue() computed over CORRECTNESS_r01..r09,
 #      verbatim, for every remaining slot — after r9 lands, the queue
-#      starts with the 14 r5 names that did not fit this window, then the
+#      starts with the 15 r5 names that did not fit this window, then the
 #      r6 cohort.

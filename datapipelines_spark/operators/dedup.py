@@ -1078,6 +1078,66 @@ def duplicate_substring_spans(
     )
 
 
+def remove_duplicate_substrings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply the Lee-et-al cut: every token under a duplicated span
+    (``duplicate_substring_spans``) is dropped and the survivors rejoin in
+    order — one row per input document with non-NULL text, ``(id,
+    clean_text, n_removed_tokens)``. Documents without duplicated spans
+    pass through verbatim with 0 removed.
+
+    The subtraction is a per-document anti-membership filter over token
+    positions (spans explode to covered positions, then one left-anti
+    join keyed on (id, position) — both sides already partition by id),
+    so the rebuild shuffles token-position pairs for COVERED documents
+    only, never the clean majority of the corpus."""
+    df = df.where(F.col(text_col).isNotNull())
+    spans = duplicate_substring_spans(
+        df, text_col, id_col, min_len=min_len, min_count=min_count
+    )
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("span_start"), F.col("span_start") + F.col("span_len") - 1
+            )
+        ).alias("pos"),
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text")
+    )
+    n_removed = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed_tokens")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(n_removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,

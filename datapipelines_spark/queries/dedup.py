@@ -498,10 +498,10 @@ _BP1 = (
 _BP2 = "all work and no play makes the model a dull corpus in the long run"
 
 
-@query(
-    "dedup_substring_spans",
-    oracle=f"""
-    WITH toks AS (
+# planted corpus + duplicated-window detection, shared by both substring
+# oracles (the spans view and the removal view read the same flagged set)
+_SUBSTR_BASE_SQL = f"""
+    toks AS (
         SELECT doc_id,
                CASE WHEN doc_id % 8 = 0
                     THEN string_split(text || ' {_BP1} {_BP2}', ' ')
@@ -517,7 +517,27 @@ _BP2 = "all work and no play makes the model a dull corpus in the long run"
         WHERE len(w) >= 8
     ),
     freq AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
-    flagged AS (SELECT doc_id, pos FROM grams JOIN freq USING (g)),
+    flagged AS (SELECT doc_id, pos FROM grams JOIN freq USING (g))"""
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_BP1), F.lit(_BP2)),
+        )
+        .when(F.col("doc_id") % 4 == 0, F.concat_ws(" ", F.col("text"), F.lit(_BP1)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SUBSTR_BASE_SQL},
     lagged AS (
         SELECT doc_id, pos,
                CASE WHEN pos - LAG(pos) OVER
@@ -557,17 +577,60 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for doc_id%8 — whose spans must MERGE across the passage boundary);
     the oracle replays the construction counting gram STRINGS and
     string-verifies every removed span."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    planted = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 8 == 0,
-            F.concat_ws(" ", F.col("text"), F.lit(_BP1), F.lit(_BP2)),
-        )
-        .when(F.col("doc_id") % 4 == 0, F.concat_ws(" ", F.col("text"), F.lit(_BP1)))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
     return ops.duplicate_substring_spans(
-        planted, text_col="text", id_col="doc_id", min_len=8, min_count=2
+        _planted_corpus(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        min_len=8,
+        min_count=2,
     ).orderBy("doc_id", "span_start")
+
+
+@query(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH {_SUBSTR_BASE_SQL},
+    covered AS (
+        SELECT DISTINCT doc_id, cp
+        FROM flagged, LATERAL unnest(generate_series(pos, pos + 7)) AS y(cp)
+    ),
+    tokpos AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        FROM toks, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tokpos t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.pos = c.cp
+        WHERE c.cp IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    nrem AS (SELECT doc_id, COUNT(*) AS n FROM covered GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(nrem.n, 0) AS BIGINT) AS n_removed_tokens
+    FROM toks t
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN nrem USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al CUT applied (operators/dedup.py:
+    remove_duplicate_substrings): every token under a duplicated span is
+    dropped and the survivors rejoin in order — one row per document with
+    the cleaned text and the removed-token count, over the same planted
+    boilerplate corpus as dedup_substring_spans. The oracle rebuilds each
+    cleaned text independently (position anti-join + ordered string_agg),
+    so the subtraction itself — not just the span set — is
+    string-verified."""
+    return ops.remove_duplicate_substrings(
+        _planted_corpus(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        min_len=8,
+        min_count=2,
+    ).orderBy("doc_id")

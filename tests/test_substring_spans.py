@@ -106,3 +106,39 @@ def test_matches_bruteforce_all_lengths_on_random_corpus(spark):
         got = _spans(spark, docs, min_len=min_len)
         want = _brute_removal_cover(docs, min_len=min_len, min_count=2)
         assert got == want, f"min_len={min_len}"
+
+
+def test_remove_duplicate_substrings_cuts_exactly_the_spans(spark):
+    from datapipelines_spark.operators.dedup import remove_duplicate_substrings
+
+    docs = [
+        (1, "intro words alpha beta gamma delta epsilon zeta outro"),
+        (2, "alpha beta gamma delta epsilon zeta and unique tail"),
+        (3, "untouched text with no duplicates at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in remove_duplicate_substrings(
+            df, "text", "id", min_len=3, min_count=2
+        ).collect()
+    }
+    assert got[1] == ("intro words outro", 6)
+    assert got[2] == ("and unique tail", 6)
+    assert got[3] == ("untouched text with no duplicates at all", 0)
+    assert 4 not in got  # NULL text: out of the declared domain
+
+
+def test_remove_fully_duplicated_doc_becomes_empty(spark):
+    from datapipelines_spark.operators.dedup import remove_duplicate_substrings
+
+    docs = [(1, "x y z w"), (2, "x y z w")]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in remove_duplicate_substrings(
+            df, "text", "id", min_len=3, min_count=2
+        ).collect()
+    }
+    assert got == {1: ("", 4), 2: ("", 4)}
