@@ -86,18 +86,65 @@ def _hits(spans, col, lo, hi):
 
 
 def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path):
+    """Written-layout smoke: under a 16-way Hilbert range split, a
+    10%-wide band on EITHER dimension prunes most files from footer stats
+    alone. (No vs-Morton assertion here: repartitionByRange boundaries
+    come from sampling and shift run to run, so per-file comparisons
+    between the two curves are not stable — the locality comparison lives
+    in the deterministic equal-segment test below.)"""
     n = 256
     grid = spark.createDataFrame(
         [(x, y) for x in range(n) for y in range(n)], "a long, b long"
     )
-    hdir, zdir = str(tmp_path / "h"), str(tmp_path / "z")
+    hdir = str(tmp_path / "h")
     hilbert_layout(grid, "a", "b", num_files=16).write.parquet(hdir)
-    zorder_layout(grid, "a", "b", num_files=16).write.parquet(zdir)
     hs = _file_spans(hdir, ["a", "b"])
-    zs = _file_spans(zdir, ["a", "b"])
-    # a 10%-wide band on either dimension must prune most files, and the
-    # Hilbert split must not be worse than the Morton split on this grid
     for col in ("a", "b"):
-        h_hits = _hits(hs, col, 100, 125)
-        assert h_hits <= len(hs) // 2, f"{col}: hilbert pruned too little"
-        assert h_hits <= _hits(zs, col, 100, 125), f"{col}: worse than morton"
+        assert _hits(hs, col, 100, 125) <= len(hs) // 2, (
+            f"{col}: hilbert pruned too little"
+        )
+
+
+def test_hilbert_locality_beats_morton_on_equal_segments(spark):
+    """The actual locality theorem, measured deterministically: split each
+    curve into EQUAL code segments (no sampled boundaries) over the full
+    256x256 grid; the mean bounding-box half-perimeter of Hilbert segments
+    — what a file's footer min/max covers — must beat Morton's, and no
+    Hilbert segment's bbox may exceed the worst Morton bbox. The file
+    count is deliberately NOT a power of 4: at power-of-4 counts both
+    curves' segments are exact quadrant squares (identical bboxes) —
+    Hilbert wins where segment boundaries cut mid-quadrant and Morton's
+    cross-quadrant jumps fatten the box (measured here: mean 135 vs 170,
+    worst 156 vs 317)."""
+    from datapipelines_spark.operators.zorder import morton_code
+
+    n, files = 256, 24
+    seg = (n * n) // files
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "a long, b long"
+    )
+
+    def seg_of(code):
+        return F.least((code / seg).cast("int"), F.lit(files - 1))
+
+    coded = grid.select(
+        "a",
+        "b",
+        seg_of(hilbert_code(F.col("a"), F.col("b"), 8)).alias("hseg"),
+        seg_of(morton_code(F.col("a"), F.col("b"), 8)).alias("zseg"),
+    )
+
+    def half_perims(col):
+        rows = (
+            coded.groupBy(col)
+            .agg(
+                (F.max("a") - F.min("a") + F.max("b") - F.min("b")).alias("hp")
+            )
+            .collect()
+        )
+        return [r["hp"] for r in rows]
+
+    h, z = half_perims("hseg"), half_perims("zseg")
+    assert len(h) == files and len(z) == files
+    assert sum(h) / files < sum(z) / files, (sum(h), sum(z))
+    assert max(h) <= max(z), (max(h), max(z))
