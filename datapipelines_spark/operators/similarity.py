@@ -328,6 +328,8 @@ def knn_graph(
     n_cells: int = 4,
     kmeans_iters: int = 1,
     mutual: bool = True,
+    impl: str = "gemm",
+    shortlist_margin: int = 8,
 ) -> DataFrame:
     """Approximate kNN GRAPH over the corpus — the missing primitive
     between pairwise similarity search and graph analytics: every vector's
@@ -345,21 +347,35 @@ def knn_graph(
     (id, id, score) triples survive the ranking shuffle; vectors never
     leave their cell join.
 
-    Determinism: scoring uses the sequential-fold dot product
-    (operators/dedup.py:_dot) — the same summation order as the SQL
-    oracles' list_sum — and ranking breaks cosine ties by ascending
+    Determinism: FINAL scoring and ranking always use the sequential-fold
+    dot product (operators/dedup.py:_dot) — the same summation order as
+    the SQL oracles' list_sum — with cosine ties broken by ascending
     neighbor id, so the graph is bit-stable across engines and retries.
+    Under ``impl='gemm'`` (default, the scale path) the Σ|cell|² pair
+    sweep runs as one numpy GEMM per cell proposing a per-vector
+    shortlist of ``k + shortlist_margin`` candidates, and only shortlist
+    pairs are re-scored with the exact fold (the PQ re-rank discipline,
+    operators/pq.py) — the decisive numbers never come from BLAS, whose
+    pairwise summation differs from the fold in the last ulp; the margin
+    makes a fold-vs-GEMM rank disagreement at the shortlist boundary
+    irrelevant unless ``margin`` candidates sit within ~1e-13 of the
+    k-th cosine (equality-tested against ``impl='expr'``, the pure
+    Catalyst pair join that is exact by construction).
 
     Returns ``(src, dst, cosine)`` with cosine rounded to 6 decimals;
     under ``mutual=True`` each undirected edge appears once with
     ``src < dst``. Domain: callers filter NULL and zero-norm vectors
     upstream (no cosine direction), as all cosine paths here require.
     """
+    import pyspark.sql.types as T
+
     from datapipelines_spark.functions.caching import managed_persist
     from datapipelines_spark.functions.partitioning import parallelize_small
     from datapipelines_spark.operators.clustering import kmeans_assign, kmeans_fit
     from datapipelines_spark.operators.dedup import _dot, _norm
 
+    if impl not in ("gemm", "expr"):
+        raise ValueError(f"impl must be 'gemm' or 'expr', got {impl!r}")
     e = managed_persist(
         parallelize_small(
             df.select(
@@ -370,29 +386,82 @@ def knn_graph(
     )
     cents, _ = kmeans_fit(e, "v", "__id", k=n_cells, max_iter=kmeans_iters, tol=0.0)
     withv = e.join(kmeans_assign(e, "v", "__id", cents), "__id")
-    a = withv.select(
-        F.col("__id").alias("src"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "cluster",
-    )
-    b = withv.select(
-        F.col("__id").alias("dst"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "cluster",
-    )
-    scored = (
-        a.join(b, "cluster")
-        .where(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cos_raw"
+
+    if impl == "gemm":
+        m = k + int(shortlist_margin)
+
+        def cell_shortlist(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("__id", kind="mergesort")
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+            V = np.stack(pdf["v"].to_numpy())
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            out_src, out_dst = [], []
+            bs = 2048
+            for c0 in range(0, n, bs):
+                S = V[c0 : c0 + bs] @ V.T
+                rows = np.arange(c0, min(c0 + bs, n))
+                S[np.arange(len(rows)), rows] = -np.inf  # no self edge
+                top = min(m, n - 1)
+                idx = np.argpartition(-S, top - 1, axis=1)[:, :top]
+                out_src.append(np.repeat(ids[rows], top))
+                out_dst.append(ids[idx].ravel())
+            return pd.DataFrame(
+                {"src": np.concatenate(out_src), "dst": np.concatenate(out_dst)}
+            )
+
+        cand = withv.groupBy("cluster").applyInPandas(
+            lambda key, pdf: cell_shortlist(pdf),
+            T.StructType(
+                [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
             ),
         )
-    )
+        va = withv.select(
+            F.col("__id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        )
+        vb = withv.select(
+            F.col("__id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
+        scored = (
+            cand.join(va, "src")
+            .join(vb, "dst")
+            .select(
+                "src",
+                "dst",
+                (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                    "cos_raw"
+                ),
+            )
+        )
+    else:
+        a = withv.select(
+            F.col("__id").alias("src"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+            "cluster",
+        )
+        b = withv.select(
+            F.col("__id").alias("dst"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+            "cluster",
+        )
+        scored = (
+            a.join(b, "cluster")
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                    "cos_raw"
+                ),
+            )
+        )
     w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
     knn = (
         scored.withColumn("__rn", F.row_number().over(w))

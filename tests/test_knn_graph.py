@@ -81,3 +81,21 @@ def test_partitioning_invariant(spark):
     ea = sorted(map(tuple, knn_graph(a, "v", "id", k=3, n_cells=2).collect()))
     eb = sorted(map(tuple, knn_graph(b, "v", "id", k=3, n_cells=2).collect()))
     assert ea == eb
+
+
+def test_gemm_and_expr_paths_are_identical(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(913)
+    rows = _vecs(rng, 60, dim=16)
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    for mutual in (True, False):
+        g = sorted(
+            map(tuple, knn_graph(df, "v", "id", k=4, n_cells=3,
+                                 mutual=mutual, impl="gemm").collect())
+        )
+        x = sorted(
+            map(tuple, knn_graph(df, "v", "id", k=4, n_cells=3,
+                                 mutual=mutual, impl="expr").collect())
+        )
+        assert g == x, f"mutual={mutual}"
