@@ -169,7 +169,9 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R9 + CHANGED_R9 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+PENDING_FIRST_VERDICT: tuple[str, ...] = (
+    "sim_knn_components",  # added r9 after the r9 window was pinned
+)
 
 # r10 rotation plan (build the next PRIORITY_50 from this, in order):
 #   1. any query red or errored in CORRECTNESS_r09 (fix first, then pin);

@@ -864,10 +864,9 @@ def sample_oversample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_knn_graph",
-    oracle=f"""
-    WITH {_KMEANS4_CELLS_SQL},
+# within-cell top-5 ranking + reciprocal reduction, shared by sim_knn_graph
+# and sim_knn_components (the closure reads the same mutual edge set)
+_KNN_MUTUAL_SQL = f"""
     scored AS (
         SELECT ca.vec_id AS src, cb.vec_id AS dst,
                {_ivf_dot('ea.v', 'eb.v')} / (ea.nrm * eb.nrm) AS cos_raw,
@@ -881,11 +880,22 @@ def sample_oversample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN e ea ON ea.vec_id = ca.vec_id
         JOIN e eb ON eb.vec_id = cb.vec_id
     ),
-    knn AS (SELECT src, dst, cos_raw FROM scored WHERE rn <= 5)
-    SELECT a.src, a.dst, round(a.cos_raw, 6) AS cosine
-    FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
-    WHERE a.src < a.dst
-    ORDER BY a.src, a.dst
+    knn AS (SELECT src, dst, cos_raw FROM scored WHERE rn <= 5),
+    mutual AS (
+        SELECT a.src, a.dst, a.cos_raw
+        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+        WHERE a.src < a.dst
+    )"""
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH {_KMEANS4_CELLS_SQL},
+    {_KNN_MUTUAL_SQL}
+    SELECT src, dst, round(cos_raw, 6) AS cosine
+    FROM mutual
+    ORDER BY src, dst
     """,
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,3 +923,67 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(
         e, vec_col="embedding", id_col="vec_id", k=5, n_cells=4, mutual=True
     ).orderBy("src", "dst")
+
+
+@query(
+    "sim_knn_components",
+    oracle=f"""
+    WITH RECURSIVE {_KMEANS4_CELLS_SQL},
+    {_KNN_MUTUAL_SQL},
+    strong AS (SELECT src, dst FROM mutual WHERE cos_raw >= 0.5),
+    edges AS (SELECT src AS u, dst AS v FROM strong
+              UNION SELECT dst, src FROM strong),
+    closure(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT c.node, e.v FROM closure c JOIN edges e ON c.r = e.u
+    ),
+    clusters AS (SELECT node, MIN(r) AS cluster_id FROM closure GROUP BY node)
+    SELECT e.vec_id,
+           COALESCE(cl.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(cl.cluster_id, e.vec_id) = e.vec_id AS is_canonical
+    FROM e LEFT JOIN clusters cl ON cl.node = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based semantic clustering — the composition the mutual kNN
+    graph exists to feed (VERDICT r8 #5): mutual top-5 edges at cosine >=
+    0.5 close into connected components (min-label propagation,
+    operators/components.py), min-id canonical per cluster, singletons
+    self-canonical — a graph-based SemDeDup variant whose keep/drop
+    verdict follows the DUPLICATE GRAPH rather than per-cell pair sweeps
+    (cross-checked: kNN reciprocity already symmetrizes, so components
+    are well-defined without a direction convention). The oracle replays
+    the k-means cells, the within-cell ranking, the reciprocity join, the
+    threshold, and a recursive transitive-closure CTE."""
+    from datapipelines_spark.operators.components import duplicate_clusters
+    from datapipelines_spark.operators.similarity import knn_graph
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    e = e.where(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        > 0
+    )
+    edges = knn_graph(
+        e, vec_col="embedding", id_col="vec_id", k=5, n_cells=4, mutual=True
+    ).where(F.col("cosine") >= 0.5)
+    clusters = duplicate_clusters(edges, src="src", dst="dst")
+    return (
+        e.select(F.col("vec_id"))
+        .join(clusters, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            F.coalesce(F.col("vec_id") == F.col("cluster_id"), F.lit(True)).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,19 +1,27 @@
 """Stateful fuzz for the MOR upsert table (sinks/upsert.py): random
-upsert / delete / compact sequences must keep the merged snapshot equal to
-a dict replay at every step, and time travel must reproduce every
-pre-compaction historical snapshot."""
+upsert / delete / compact / vacuum sequences must keep the merged snapshot
+equal to a dict replay at every step, and time travel must reproduce every
+surviving historical snapshot (compaction drops all history; vacuum drops
+exactly the below-horizon prefix and must raise for reads under it)."""
 
+import pytest
 import pyspark.sql.functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from datapipelines_spark.sinks.upsert import compact, read_merged, upsert_write
+from datapipelines_spark.sinks.upsert import (
+    compact,
+    read_merged,
+    upsert_write,
+    vacuum,
+)
 
 _KEYS = list(range(1, 7))
 
-# an op is ("upsert", {key: val}), ("delete", [keys]) or ("compact", None);
-# batches are dicts so one key never appears twice inside a delta (within-
-# batch order is deliberately unspecified, like a table format's commit)
+# an op is ("upsert", {key: val}), ("delete", [keys]), ("compact", None) or
+# ("vacuum", retain_n); batches are dicts so one key never appears twice
+# inside a delta (within-batch order is deliberately unspecified, like a
+# table format's commit)
 _ops = st.lists(
     st.one_of(
         st.tuples(
@@ -27,6 +35,7 @@ _ops = st.lists(
             st.lists(st.sampled_from(_KEYS), min_size=1, max_size=3, unique=True),
         ),
         st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
     ),
     min_size=1,
     max_size=8,
@@ -46,6 +55,7 @@ def test_random_mutation_sequence_matches_dict_replay(spark, tmp_path_factory, o
     path = str(tmp_path_factory.mktemp("mor") / "tbl")
     model: dict[int, int] = {}
     history: list[tuple[int, dict[int, int]]] = []  # (version, model snapshot)
+    vacuumed: list[tuple[int, dict[int, int]]] = []  # below-horizon entries
     wrote_anything = False
     for op, arg in ops:
         if op == "upsert":
@@ -62,16 +72,35 @@ def test_random_mutation_sequence_matches_dict_replay(spark, tmp_path_factory, o
             v = upsert_write(df, path, delete=True)
             for k in arg:
                 model.pop(k, None)
+        elif op == "vacuum":
+            if not wrote_anything:
+                continue
+            cut = vacuum(spark, path, ["k"], retain_n=arg)
+            if cut is not None:
+                # exactly the below-horizon prefix of history is dropped;
+                # every retained snapshot (>= cut) must be unchanged
+                vacuumed.extend(h for h in history if h[0] < cut)
+                history = [h for h in history if h[0] >= cut]
+            assert _snapshot(spark, path) == model
+            continue  # vacuum adds no new version snapshot
         else:
             if not wrote_anything:
                 continue
             v = compact(spark, path, ["k"])
             history.clear()  # compaction drops pre-compaction history
+            vacuumed.clear()  # versions below the old horizon are renumbered
         history.append((v, dict(model)))
         assert _snapshot(spark, path) == model
     # time travel must reproduce every surviving historical snapshot
     for v, snap in history:
         assert _snapshot(spark, path, as_of=v) == snap
+    # and must REFUSE below the vacuum horizon (never silently partial);
+    # only versions older than every survivor are guaranteed unreadable
+    floor = min((v for v, _ in history), default=None)
+    for v, _ in vacuumed:
+        if floor is None or v < floor:
+            with pytest.raises(ValueError, match="vacuum horizon|no version"):
+                read_merged(spark, path, ["k"], as_of_version=v)
 
 
 # --- table_diff / SCD2 against the same dict replay --------------------------
