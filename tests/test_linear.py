@@ -62,3 +62,62 @@ def test_feature_hasher_domain(spark):
     # double space mints no empty-token grams: 'a  b' has 2 unigrams,
     # 1 bigram ('a b'), 1 bias
     assert sum(r["cnt"] for r in by_id[1]) == 4
+
+
+def _py_replay(docs, labels, buckets, epochs, lr):
+    """Literal Python replay of the epoch math (decimal weights, float
+    sigmoid, IEEE-double update) — the cross-engine contract the DuckDB
+    oracle also implements."""
+    import hashlib
+    from collections import Counter
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    feats = {}
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t != ""]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        c = Counter(h(g) % buckets for g in grams)
+        c[buckets] += 1  # bias
+        feats[i] = c
+    n = len(labels)
+    w = {b: 0.0 for b in range(buckets + 1)}
+    import math
+
+    for _ in range(epochs):
+        resid = {}
+        for i, c in feats.items():
+            z = sum(w[b] * cnt for b, cnt in c.items())
+            resid[i] = round(labels[i] - 1.0 / (1.0 + math.exp(-z)), 6)
+        # decimal-exact gradient: residuals are 6dp-exact, counts integer —
+        # accumulate in integer micros to mirror the exact decimal SUM
+        grad = {
+            b: sum(round(resid[i] * 1_000_000) * cnt for i, c in feats.items()
+                   for bb, cnt in c.items() if bb == b) / 1_000_000
+            for b in w
+        }
+        w = {b: round(w[b] + lr * grad[b] / n, 6) for b in w}
+    return w
+
+
+def test_trainer_matches_pure_python_replay(spark):
+    import random
+
+    rng = random.Random(914)
+    vocab = [f"w{j}" for j in range(9)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(18)
+    ]
+    labels = {i: rng.randint(0, 1) for i, _ in docs}
+    df = spark.createDataFrame(
+        [(i, t, labels[i]) for i, t in docs], "id long, text string, y int"
+    )
+    feats = hashed_ngram_features(df, "text", "id", buckets=16)
+    w = logreg_train(feats, df.select("id", "y"), "id", 16, 3, 0.5)
+    got = {r["bucket"]: float(r["weight"]) for r in w.collect()}
+    want = _py_replay(docs, labels, buckets=16, epochs=3, lr=0.5)
+    assert got.keys() == want.keys()
+    for b in got:
+        assert abs(got[b] - want[b]) < 1e-9, (b, got[b], want[b])
