@@ -171,6 +171,7 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R9 + CHANGED_R9 + (
 #: every query is either driver-verified, in the window, or listed here).
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "sim_knn_components",  # added r9 after the r9 window was pinned
+    "incremental_distinct_customers",
 )
 
 # r10 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -442,3 +442,62 @@ def incremental_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "incremental_distinct_customers",
+    oracle="""
+    SELECT month,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_custkey
+        FROM orders
+        WHERE NOT (o_orderdate < DATE '1997-01-01' AND o_orderkey % 13 = 0)
+    )
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def incremental_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT(DISTINCT) maintenance
+    (operators/incremental.py:distinct_state/distinct_view) — the classic
+    non-distributive aggregate, maintained EXACTLY by keeping signed
+    multiplicities per (month, customer): the pre-1997 slice builds the
+    auxiliary state, ONE delta inserts the 1997+ orders and retracts the
+    %13 pre-1997 orders (an upstream correction), and a customer's month
+    membership survives exactly while some order still supports it —
+    partially-retracted customers must NOT vanish, fully-retracted ones
+    must. The oracle recomputes distinct customers per month directly;
+    the merge never rescans the base slice and shuffles only
+    O(#surviving (month, customer) pairs)."""
+    from datapipelines_spark.operators.incremental import (
+        distinct_state,
+        distinct_view,
+        merge_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate"), "month").alias("month"),
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+    )
+    base = orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    state = distinct_state(base, ["month"], "o_custkey")
+    delta = (
+        orders.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .withColumn("__retract", F.lit(False))
+        .unionByName(
+            base.where(F.col("o_orderkey") % 13 == 0).withColumn(
+                "__retract", F.lit(True)
+            )
+        )
+    )
+    delta_state = distinct_state(delta, ["month"], "o_custkey", retract_col="__retract")
+    merged = merge_states(state, delta_state, ["month", "o_custkey"])
+    return (
+        distinct_view(merged, ["month"])
+        .select("month", F.col("n_distinct").alias("n_customers"))
+        .orderBy("month")
+    )

@@ -292,3 +292,52 @@ def test_metrics_sidecar_tracks_state_growth_and_redelivery(spark, tmp_path):
     assert [m["delta_groups"] for m in lines] == [2, 2, 1]
     assert [m["state_groups"] for m in lines] == [2, 3, 4]
     assert [m["epochs_behind"] for m in lines] == [0, 0, 1]
+
+
+def test_distinct_state_partial_vs_full_retraction(spark):
+    """A value retracted below its multiplicity must survive the distinct
+    view; a fully retracted value must vanish; a new value must appear."""
+    from datapipelines_spark.operators.incremental import (
+        distinct_state,
+        distinct_view,
+        merge_states,
+    )
+
+    base = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "c")], "k string, v string"
+    )
+    state = distinct_state(base, ["k"], "v")
+    delta = spark.createDataFrame(
+        [("g1", "a", True), ("g1", "b", True), ("g2", "d", False)],
+        "k string, v string, r boolean",
+    )
+    merged = merge_states(
+        state, distinct_state(delta, ["k"], "v", retract_col="r"), ["k", "v"]
+    )
+    got = {
+        r["k"]: r["n_distinct"] for r in distinct_view(merged, ["k"]).collect()
+    }
+    # g1: 'a' had multiplicity 2, one retraction leaves it; 'b' fully
+    # retracted and gone -> 1 distinct. g2: 'c' plus new 'd' -> 2.
+    assert got == {"g1": 1, "g2": 2}
+
+
+def test_distinct_merge_is_slice_order_independent(spark):
+    from datapipelines_spark.operators.incremental import (
+        distinct_state,
+        distinct_view,
+        merge_states,
+    )
+
+    rows = [(f"g{i % 2}", f"v{i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    full = {
+        r["k"]: r["n_distinct"]
+        for r in distinct_view(distinct_state(df, ["k"], "v"), ["k"]).collect()
+    }
+    s0 = distinct_state(spark.createDataFrame(rows[:11], "k string, v string"), ["k"], "v")
+    s1 = distinct_state(spark.createDataFrame(rows[11:], "k string, v string"), ["k"], "v")
+    for a, b in ((s0, s1), (s1, s0)):
+        m = merge_states(a, b, ["k", "v"])
+        got = {r["k"]: r["n_distinct"] for r in distinct_view(m, ["k"]).collect()}
+        assert got == full
