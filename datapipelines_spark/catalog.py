@@ -172,6 +172,7 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R9 + CHANGED_R9 + (
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "sim_knn_components",  # added r9 after the r9 window was pinned
     "incremental_distinct_customers",
+    "layout_hilbert3_orders",
 )
 
 # r10 rotation plan (build the next PRIORITY_50 from this, in order):

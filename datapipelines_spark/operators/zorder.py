@@ -159,3 +159,93 @@ def hilbert_layout(
     return coded.repartitionByRange(num_files, "hilbert").sortWithinPartitions(
         "hilbert"
     )
+
+
+# 3-D Hilbert as a 24-state transducer over MSB-first (x, y, z) bit triples
+# — the same compilation as the 2-D tables above, fitted from Skilling's
+# transpose algorithm ("Programming the Hilbert curve", AIP Conf. Proc. 707,
+# 2004 — public) and verified against it over the full 8^3 and 16^3 grids in
+# tests/test_hilbert.py. 24 orientations of the base curve are reachable
+# (of the cube's 48 signed permutations); input q = 4*bit(x) + 2*bit(y) +
+# bit(z), output = the 3-bit code digit. Locality at 3 dimensions is where
+# the Hilbert/Morton gap widens: a Morton segment that crosses an octant
+# seam spans the whole cube edge, while every Hilbert segment stays a
+# connected blob.
+_HILBERT3_OUT = [
+    0, 1, 3, 2, 7, 6, 4, 5, 2, 3, 1, 0, 5, 4, 6, 7, 6, 7, 5, 4, 1, 0, 2, 3,
+    4, 5, 7, 6, 3, 2, 0, 1, 0, 3, 1, 2, 7, 4, 6, 5, 2, 1, 3, 0, 5, 6, 4, 7,
+    6, 5, 7, 4, 1, 2, 0, 3, 4, 7, 5, 6, 3, 0, 2, 1, 0, 1, 7, 6, 3, 2, 4, 5,
+    2, 3, 5, 4, 1, 0, 6, 7, 6, 7, 1, 0, 5, 4, 2, 3, 4, 5, 3, 2, 7, 6, 0, 1,
+    0, 3, 7, 4, 1, 2, 6, 5, 2, 1, 5, 6, 3, 0, 4, 7, 6, 5, 1, 2, 7, 4, 0, 3,
+    4, 7, 3, 0, 5, 6, 2, 1, 0, 7, 1, 6, 3, 4, 2, 5, 2, 5, 3, 4, 1, 6, 0, 7,
+    6, 1, 7, 0, 5, 2, 4, 3, 4, 3, 5, 2, 7, 0, 6, 1, 0, 7, 3, 4, 1, 6, 2, 5,
+    2, 5, 1, 6, 3, 4, 0, 7, 6, 1, 5, 2, 7, 0, 4, 3, 4, 3, 7, 0, 5, 2, 6, 1,
+]
+_HILBERT3_NXT = [
+    16, 8, 22, 0, 19, 11, 20, 0, 1, 21, 10, 18, 1, 23, 9, 17, 10, 16, 2, 22,
+    9, 19, 2, 20, 21, 3, 18, 8, 23, 3, 17, 11, 8, 14, 16, 4, 11, 12, 19, 4,
+    5, 18, 13, 10, 5, 17, 15, 9, 18, 6, 8, 14, 17, 6, 11, 12, 13, 10, 7, 16,
+    15, 9, 7, 19, 20, 0, 23, 3, 18, 8, 16, 8, 9, 17, 9, 19, 2, 22, 1, 21,
+    2, 20, 1, 23, 10, 18, 10, 16, 17, 11, 19, 11, 22, 0, 21, 3, 0, 6, 3, 4,
+    20, 12, 23, 12, 13, 22, 13, 21, 5, 2, 7, 1, 22, 14, 21, 14, 0, 6, 3, 4,
+    5, 2, 7, 1, 15, 20, 15, 23, 12, 15, 4, 7, 10, 8, 16, 16, 17, 17, 9, 11,
+    6, 5, 14, 13, 6, 5, 12, 15, 18, 18, 10, 8, 9, 11, 19, 19, 14, 13, 4, 7,
+    4, 7, 2, 0, 12, 15, 20, 20, 21, 21, 14, 13, 1, 3, 6, 5, 14, 13, 22, 22,
+    4, 7, 2, 0, 1, 3, 6, 5, 23, 23, 12, 15,
+]
+
+
+def hilbert3_code(qa: Column, qb: Column, qc: Column, bits: int = 6) -> Column:
+    """3-D Hilbert index of three ``bits``-bit quantized columns — O(bits)
+    codegen table lookups, the 2-D ``hilbert_code`` machinery with the
+    24-state cube tables."""
+    out_arr = F.array(*[F.lit(v) for v in _HILBERT3_OUT])
+    nxt_arr = F.array(*[F.lit(v) for v in _HILBERT3_NXT])
+    st = F.lit(0).cast("bigint")
+    d = F.lit(0).cast("bigint")
+    for i in range(bits - 1, -1, -1):
+        q = (
+            F.shiftright(qa, i).bitwiseAND(F.lit(1)) * 4
+            + F.shiftright(qb, i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(qc, i).bitwiseAND(F.lit(1))
+        ).cast("bigint")
+        idx = (st * 8 + q).cast("int")
+        d = d * 8 + F.get(out_arr, idx).cast("bigint")
+        st = F.get(nxt_arr, idx).cast("bigint")
+    return d
+
+
+def hilbert3_codes(
+    df: DataFrame, a_col: str, b_col: str, c_col: str, bits: int = 6
+) -> DataFrame:
+    """Input plus ``hilbert3`` over three min/max-quantized integer
+    columns; one 3-dimension stats collect + one codegen stage."""
+    stats = df.agg(
+        F.min(a_col).cast("bigint").alias("amin"),
+        F.max(a_col).cast("bigint").alias("amax"),
+        F.min(b_col).cast("bigint").alias("bmin"),
+        F.max(b_col).cast("bigint").alias("bmax"),
+        F.min(c_col).cast("bigint").alias("cmin"),
+        F.max(c_col).cast("bigint").alias("cmax"),
+    ).collect()[0]
+    qa = _quantize(F.col(a_col), F.lit(stats["amin"]), F.lit(stats["amax"]), bits)
+    qb = _quantize(F.col(b_col), F.lit(stats["bmin"]), F.lit(stats["bmax"]), bits)
+    qc = _quantize(F.col(c_col), F.lit(stats["cmin"]), F.lit(stats["cmax"]), bits)
+    return df.withColumn("hilbert3", hilbert3_code(qa, qb, qc, bits))
+
+
+def hilbert3_layout(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    c_col: str,
+    num_files: int,
+    bits: int = 6,
+) -> DataFrame:
+    """Range-partition and sort by the 3-D Hilbert index: every written
+    file's footer stats cover a connected blob of (a, b, c) space, so
+    selective filters on ANY of the three columns prune files."""
+    coded = hilbert3_codes(df, a_col, b_col, c_col, bits)
+    return coded.repartitionByRange(num_files, "hilbert3").sortWithinPartitions(
+        "hilbert3"
+    )

@@ -748,3 +748,89 @@ def layout_hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "hilbert")
         .orderBy("o_orderkey")
     )
+
+
+def _hilbert3_sql(bits: int) -> str:
+    """DuckDB replay of the 3-D Hilbert FST (operators/zorder.py:
+    _HILBERT3_OUT/_HILBERT3_NXT) — one CTE per bit level over (qa, qb, qc)
+    bit triples."""
+    from datapipelines_spark.operators.zorder import _HILBERT3_NXT, _HILBERT3_OUT
+
+    out_l = "[" + ", ".join(map(str, _HILBERT3_OUT)) + "]"
+    nxt_l = "[" + ", ".join(map(str, _HILBERT3_NXT)) + "]"
+    ctes = [
+        "h0 AS (SELECT o_orderkey, qa, qb, qc, 0 AS st0,"
+        " CAST(0 AS BIGINT) AS d0 FROM q)"
+    ]
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        lvl += 1
+        idx = (
+            f"st{lvl-1} * 8 + ((qa >> {i}) & 1) * 4"
+            f" + ((qb >> {i}) & 1) * 2 + ((qc >> {i}) & 1) + 1"
+        )
+        ctes.append(
+            f"h{lvl} AS (SELECT o_orderkey, qa, qb, qc,"
+            f" ({nxt_l})[{idx}] AS st{lvl},"
+            f" d{lvl-1} * 8 + ({out_l})[{idx}] AS d{lvl}"
+            f" FROM h{lvl-1})"
+        )
+    return ",\n    ".join(ctes) + (
+        f"\n    SELECT o_orderkey, CAST(d{lvl} AS BIGINT) AS hilbert3 FROM h{lvl}"
+    )
+
+
+@query(
+    "layout_hilbert3_orders",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS days
+        FROM orders
+    ),
+    s AS (
+        SELECT MIN(o_custkey) AS amin, MAX(o_custkey) AS amax,
+               MIN(cents) AS bmin, MAX(cents) AS bmax,
+               MIN(days) AS cmin, MAX(days) AS cmax
+        FROM c
+    ),
+    q AS (
+        SELECT o_orderkey,
+               ((o_custkey - amin) * 64) // (amax - amin + 1) AS qa,
+               ((cents - bmin) * 64) // (bmax - bmin + 1) AS qb,
+               ((days - cmin) * 64) // (cmax - cmin + 1) AS qc
+        FROM c, s
+    ),
+    {_hilbert3_sql(6)}
+    ORDER BY o_orderkey
+    """,
+)
+def layout_hilbert3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-dimensional Hilbert clustering codes (operators/zorder.py:
+    hilbert3_code): orders quantized to 6 bits per dimension over
+    (o_custkey, price cents, order date as epoch days) and indexed on the
+    3-D Hilbert curve — where the curve choice actually bites: a Morton
+    segment crossing an octant seam spans a whole cube edge, while every
+    Hilbert segment stays one connected blob (equal-segment bbox metric
+    in tests/test_hilbert.py), so a layout can serve selective filters
+    on customer, price, AND date from footer stats. The 24-state cube
+    transducer is compiled from Skilling's public transpose algorithm
+    and verified against it on full grids; the oracle replays the state
+    machine one CTE per bit level."""
+    from datapipelines_spark.operators.zorder import hilbert3_codes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    return (
+        hilbert3_codes(orders, "o_custkey", "cents", "days", bits=6)
+        .select("o_orderkey", "hilbert3")
+        .orderBy("o_orderkey")
+    )

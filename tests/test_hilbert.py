@@ -148,3 +148,135 @@ def test_hilbert_locality_beats_morton_on_equal_segments(spark):
     assert len(h) == files and len(z) == files
     assert sum(h) / files < sum(z) / files, (sum(h), sum(z))
     assert max(h) <= max(z), (max(h), max(z))
+
+
+# --- 3-D ---------------------------------------------------------------
+
+
+def _skilling_d(coords, bits):
+    """Skilling's transpose algorithm (AIP Conf. Proc. 707, 2004) — the
+    public reference the 24-state tables were compiled from."""
+    n = len(coords)
+    X = list(coords)
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                tt = (X[0] ^ X[i]) & P
+                X[0] ^= tt
+                X[i] ^= tt
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    tt = 0
+    Q = M
+    while Q > 1:
+        if X[n - 1] & Q:
+            tt ^= Q - 1
+        Q >>= 1
+    for i in range(n):
+        X[i] ^= tt
+    d = 0
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            d = (d << 1) | ((X[i] >> b) & 1)
+    return d
+
+
+def test_hilbert3_fst_equals_skilling_reference_full_grid(spark):
+    from datapipelines_spark.operators.zorder import hilbert3_code
+
+    bits = 3
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y, z) for x in range(n) for y in range(n) for z in range(n)],
+        "x long, y long, z long",
+    )
+    got = {
+        (r["x"], r["y"], r["z"]): r["h"]
+        for r in grid.select(
+            "x", "y", "z",
+            hilbert3_code(F.col("x"), F.col("y"), F.col("z"), bits).alias("h"),
+        ).collect()
+    }
+    for (x, y, z), h in got.items():
+        assert h == _skilling_d([x, y, z], bits), (x, y, z)
+
+
+def test_hilbert3_consecutive_codes_are_adjacent_cells(spark):
+    from datapipelines_spark.operators.zorder import hilbert3_code
+
+    bits = 3
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y, z) for x in range(n) for y in range(n) for z in range(n)],
+        "x long, y long, z long",
+    )
+    pos = {
+        r["h"]: (r["x"], r["y"], r["z"])
+        for r in grid.select(
+            "x", "y", "z",
+            hilbert3_code(F.col("x"), F.col("y"), F.col("z"), bits).alias("h"),
+        ).collect()
+    }
+    assert sorted(pos) == list(range(n**3)), "codes must be a bijection"
+    for d in range(n**3 - 1):
+        a, b = pos[d], pos[d + 1]
+        assert sum(abs(i - j) for i, j in zip(a, b)) == 1, f"jump at {d}"
+
+
+def test_hilbert3_locality_beats_morton3_on_equal_segments(spark):
+    """3-D equal-segment bbox comparison at a non-power-of-8 file count:
+    a Morton segment crossing an octant seam spans a whole cube edge,
+    while every Hilbert segment stays connected."""
+    from datapipelines_spark.operators.zorder import hilbert3_code
+
+    bits, files = 3, 12
+    n = 1 << bits
+    seg = (n**3) // files
+    grid = spark.createDataFrame(
+        [(x, y, z) for x in range(n) for y in range(n) for z in range(n)],
+        "a long, b long, c long",
+    )
+
+    def morton3(x, y, z):
+        out = F.lit(0).cast("bigint")
+        for i in range(bits):
+            out = (
+                out.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 3 * i))
+                .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 3 * i + 1))
+                .bitwiseOR(F.shiftleft(F.shiftright(z, i).bitwiseAND(F.lit(1)), 3 * i + 2))
+            )
+        return out
+
+    def seg_of(code):
+        return F.least((code / seg).cast("int"), F.lit(files - 1))
+
+    coded = grid.select(
+        "a", "b", "c",
+        seg_of(hilbert3_code(F.col("a"), F.col("b"), F.col("c"), bits)).alias("hseg"),
+        seg_of(morton3(F.col("a"), F.col("b"), F.col("c"))).alias("zseg"),
+    )
+
+    def half_perims(col):
+        return [
+            r["hp"]
+            for r in coded.groupBy(col)
+            .agg(
+                (
+                    F.max("a") - F.min("a")
+                    + F.max("b") - F.min("b")
+                    + F.max("c") - F.min("c")
+                ).alias("hp")
+            )
+            .collect()
+        ]
+
+    h, z = half_perims("hseg"), half_perims("zseg")
+    assert len(h) == files and len(z) == files
+    assert sum(h) / files < sum(z) / files, (sum(h), sum(z))
+    assert max(h) <= max(z), (max(h), max(z))

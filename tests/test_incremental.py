@@ -341,3 +341,29 @@ def test_distinct_merge_is_slice_order_independent(spark):
         m = merge_states(a, b, ["k", "v"])
         got = {r["k"]: r["n_distinct"] for r in distinct_view(m, ["k"]).collect()}
         assert got == full
+
+
+def test_streaming_sink_composes_into_exact_distinct_view(spark, tmp_path):
+    """Streaming COUNT(DISTINCT) maintenance is a composition, not a new
+    sink: keying the state on (group, value) makes the crash-safe sink
+    maintain the distinct auxiliary state, and distinct_view reads the
+    exact per-group count — retractions included."""
+    from datapipelines_spark.operators.incremental import (
+        distinct_view,
+        incremental_state_sink,
+    )
+
+    state = str(tmp_path / "state")
+    sink = incremental_state_sink(state, ["k", "v"], [], retract_col="r")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v string, r boolean")
+
+    sink(batch([("g1", "a", False), ("g1", "a", False), ("g1", "b", False)]), 0)
+    sink(batch([("g2", "c", False), ("g1", "a", True)]), 1)  # partial retract
+    sink(batch([("g1", "b", True)]), 2)  # full retract
+    view = {
+        r["k"]: r["n_distinct"]
+        for r in distinct_view(spark.read.parquet(state), ["k"]).collect()
+    }
+    assert view == {"g1": 1, "g2": 1}
