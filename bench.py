@@ -121,14 +121,20 @@ HEADLINE = [
     "scd2_orders_history",
     "sim_hard_negatives",
     "text_pmi_collocations",
-    # r9 additions (same rule): variable-length substring dedup, in-plan
-    # logistic-regression quality gate, MOR schema evolution + vacuum,
-    # mutual kNN graph, Hilbert layout codes
+    # r9 additions (same rule): variable-length substring dedup (spans +
+    # applied removal), in-plan logistic-regression quality gate, MOR
+    # schema evolution + vacuum, mutual kNN graph (+ its component
+    # closure), 2-D and 3-D Hilbert layout codes, exact incremental
+    # COUNT(DISTINCT)
     "dedup_substring_spans",
+    "dedup_substring_removal",
     "quality_linear_classifier",
     "upsert_schema_evolution",
     "sim_knn_graph",
+    "sim_knn_components",
     "layout_hilbert_orders",
+    "layout_hilbert3_orders",
+    "incremental_distinct_customers",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an
