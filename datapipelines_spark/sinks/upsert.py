@@ -97,6 +97,11 @@ def _read_raw(
     commit (a column added later does not exist in the old snapshot)."""
     _recover_vacuum(path)
     versions = _versions(path)
+    if not versions:
+        raise ValueError(
+            f"no v=N version directories under {path} — not an upsert "
+            "table (or nothing committed yet)"
+        )
     if as_of_version is not None:
         versions = [v for v in versions if v <= as_of_version]
         if not versions:

@@ -168,3 +168,8 @@ def test_vacuum_crash_at_every_fs_step_never_loses_or_resurrects(
         assert _versions(t) == [2, 3]
         if not crashed:
             break  # fewer fs-ops than crash points: fully swept
+
+
+def test_reading_a_missing_table_raises_clearly(spark, tmp_path):
+    with pytest.raises(ValueError, match="not an upsert table"):
+        read_merged(spark, str(tmp_path / "nope"), ["k"])
