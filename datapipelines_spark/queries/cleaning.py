@@ -993,7 +993,13 @@ def _logreg_oracle_sql(buckets: int, epochs: int, lr: float) -> str:
     """Unrolled-epoch DuckDB replay of the fastText-recipe trainer
     (operators/linear.py): the oracle is GENERATED with the same epoch
     count, so every gradient step is string-identical SQL — the BPE/nbayes
-    replay precedent extended to an iterative model."""
+    replay precedent extended to an iterative model.
+
+    Portability (the round-9 driver red): the replay surface is BIGINT
+    micro-unit weights + the division-only rational sigmoid
+    0.5 + z/(2*(1+|z|)) + floor-scaled quantization — every double
+    primitive (abs/add/mul/div/floor) is IEEE-754 correctly rounded, so no
+    libm/build variance (exp's 1-ulp license) can flip a digit."""
     head = f"""
     WITH docs AS (
         SELECT doc_id,
@@ -1018,37 +1024,39 @@ def _logreg_oracle_sql(buckets: int, epochs: int, lr: float) -> str:
         SELECT doc_id, {buckets} AS bucket, 1 AS cnt FROM docs
     ),
     ntot AS (SELECT COUNT(*) AS n FROM docs),
-    w0 AS (SELECT r.range AS bucket, CAST(0 AS DECIMAL(18,6)) AS wt
+    w0 AS (SELECT r.range AS bucket, CAST(0 AS BIGINT) AS wt
            FROM range(0, {buckets + 1}) r)"""
     body = ""
     for e in range(1, epochs + 1):
         body += f""",
     z{e} AS (
-        SELECT f.doc_id, SUM(w.wt * f.cnt) AS z
+        SELECT f.doc_id, CAST(SUM(w.wt * f.cnt) AS BIGINT) AS zmu
         FROM feats f JOIN w{e - 1} w USING (bucket) GROUP BY f.doc_id
+    ),
+    zz{e} AS (
+        SELECT doc_id, CAST(zmu AS DOUBLE) / 1000000.0 AS zd FROM z{e}
     ),
     r{e} AS (
         SELECT d.doc_id,
-               CAST(ROUND(d.y - 1.0 / (1.0 + EXP(-CAST(z.z AS DOUBLE))), 6)
-                    AS DECIMAL(18,6)) AS r
-        FROM docs d JOIN z{e} z USING (doc_id)
+               CAST(FLOOR((d.y - (0.5 + z.zd / (2.0 * (1.0 + ABS(z.zd)))))
+                          * 1000000.0) AS BIGINT) AS r
+        FROM docs d JOIN zz{e} z USING (doc_id)
     ),
     g{e} AS (
-        SELECT f.bucket, SUM(r.r * f.cnt) AS g
+        SELECT f.bucket, CAST(SUM(r.r * f.cnt) AS BIGINT) AS g
         FROM feats f JOIN r{e} r USING (doc_id) GROUP BY f.bucket
     ),
     w{e} AS (
         SELECT w.bucket,
-               CAST(ROUND(CAST(w.wt AS DOUBLE)
-                          + {lr} * CAST(COALESCE(g.g, 0) AS DOUBLE) / n.n, 6)
-                    AS DECIMAL(18,6)) AS wt
+               w.wt + CAST(FLOOR({lr} * CAST(COALESCE(g.g, 0) AS DOUBLE)
+                                 / CAST(n.n AS DOUBLE)) AS BIGINT) AS wt
         FROM w{e - 1} w LEFT JOIN g{e} g USING (bucket), ntot n
     )"""
     tail = f"""
     SELECT f.doc_id,
            CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
-           CAST(SUM(w.wt * f.cnt) AS DECIMAL(28,6)) AS score,
-           SUM(w.wt * f.cnt) > 0 AS pred
+           CAST(SUM(w.wt * f.cnt) AS BIGINT) AS score_micro,
+           CAST(SUM(w.wt * f.cnt) AS BIGINT) > 0 AS pred
     FROM feats f JOIN w{epochs} w USING (bucket)
     GROUP BY f.doc_id
     ORDER BY f.doc_id
@@ -1065,10 +1073,13 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     label y = (lang = 'en'), then every document scored by the learned
     weights. Each epoch is one broadcast-join score pass + one per-bucket
     gradient aggregate (map-side combine = the per-partition gradient);
-    the corpus is never collected. Weights are DECIMAL(18,6) at every
-    epoch boundary (residuals rounded before the exact decimal gradient
-    sum; the update divides in IEEE double), so the oracle — generated
-    with the SAME epoch unrolling — replays training to the last digit."""
+    the corpus is never collected. Weights are BIGINT micro-units at every
+    epoch boundary, the squashing function is the division-only rational
+    sigmoid, and quantization is floor-scaled — every double primitive in
+    the loop is IEEE-correctly-rounded, so the oracle (generated with the
+    SAME epoch unrolling) replays training bit-identically on any
+    conforming engine, independent of libm build (the r9 driver red was
+    exp()'s 1-ulp cross-build license)."""
     from datapipelines_spark.operators.linear import (
         hashed_ngram_features,
         logreg_score,

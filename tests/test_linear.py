@@ -1,11 +1,16 @@
-"""In-plan logistic regression (operators/linear.py): the trained model
+"""In-plan linear classifier (operators/linear.py): the trained model
 must separate a separable corpus, training must be deterministic under
-different partitionings (the decimal-exact epoch discipline), and the
-feature hasher must honor its domain contract."""
+different partitionings (the bigint micro-unit epoch discipline), and the
+feature hasher must honor its domain contract. The trainer must match a
+literal Python replay EXACTLY (integer equality) — the replay surface is
+integers + correctly-rounded IEEE primitives, so there is no tolerance."""
+
+import math
 
 import pyspark.sql.functions as F
 
 from datapipelines_spark.operators.linear import (
+    MICRO,
     hashed_ngram_features,
     logreg_score,
     logreg_train,
@@ -39,8 +44,8 @@ def test_training_is_partitioning_invariant(spark):
     labels = d.select("id", "y")
     w1 = logreg_train(feats.repartition(1), labels, "id", 32, 2, 0.5)
     w8 = logreg_train(feats.repartition(8), labels, "id", 32, 2, 0.5)
-    a = {r["bucket"]: str(r["weight"]) for r in w1.collect()}
-    b = {r["bucket"]: str(r["weight"]) for r in w8.collect()}
+    a = {r["bucket"]: r["weight_micro"] for r in w1.collect()}
+    b = {r["bucket"]: r["weight_micro"] for r in w8.collect()}
     assert a == b
 
 
@@ -65,9 +70,10 @@ def test_feature_hasher_domain(spark):
 
 
 def _py_replay(docs, labels, buckets, epochs, lr):
-    """Literal Python replay of the epoch math (decimal weights, float
-    sigmoid, IEEE-double update) — the cross-engine contract the DuckDB
-    oracle also implements."""
+    """Literal Python replay of the epoch math (bigint micro-unit weights,
+    rational sigmoid, floor-scaled quantization) — the cross-engine
+    contract the DuckDB oracle also implements. Pure ints + IEEE doubles,
+    so equality with the Spark run is EXACT."""
     import hashlib
     from collections import Counter
 
@@ -82,22 +88,23 @@ def _py_replay(docs, labels, buckets, epochs, lr):
         c[buckets] += 1  # bias
         feats[i] = c
     n = len(labels)
-    w = {b: 0.0 for b in range(buckets + 1)}
-    import math
-
+    w = {b: 0 for b in range(buckets + 1)}  # micro-units, exact ints
     for _ in range(epochs):
         resid = {}
         for i, c in feats.items():
-            z = sum(w[b] * cnt for b, cnt in c.items())
-            resid[i] = round(labels[i] - 1.0 / (1.0 + math.exp(-z)), 6)
-        # decimal-exact gradient: residuals are 6dp-exact, counts integer —
-        # accumulate in integer micros to mirror the exact decimal SUM
+            z = sum(w[b] * cnt for b, cnt in c.items()) / float(MICRO)
+            s = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            resid[i] = math.floor((labels[i] - s) * float(MICRO))
         grad = {
-            b: sum(round(resid[i] * 1_000_000) * cnt for i, c in feats.items()
-                   for bb, cnt in c.items() if bb == b) / 1_000_000
+            b: sum(
+                resid[i] * cnt
+                for i, c in feats.items()
+                for bb, cnt in c.items()
+                if bb == b
+            )
             for b in w
         }
-        w = {b: round(w[b] + lr * grad[b] / n, 6) for b in w}
+        w = {b: w[b] + math.floor(lr * float(grad[b]) / float(n)) for b in w}
     return w
 
 
@@ -116,8 +123,21 @@ def test_trainer_matches_pure_python_replay(spark):
     )
     feats = hashed_ngram_features(df, "text", "id", buckets=16)
     w = logreg_train(feats, df.select("id", "y"), "id", 16, 3, 0.5)
-    got = {r["bucket"]: float(r["weight"]) for r in w.collect()}
+    got = {r["bucket"]: r["weight_micro"] for r in w.collect()}
     want = _py_replay(docs, labels, buckets=16, epochs=3, lr=0.5)
-    assert got.keys() == want.keys()
-    for b in got:
-        assert abs(got[b] - want[b]) < 1e-9, (b, got[b], want[b])
+    assert got == want
+
+
+def test_replay_surface_has_no_exp_or_round(spark):
+    """Regression guard for the r9 driver red: neither the trainer nor the
+    generated oracle may reintroduce exp() or round() on doubles — the two
+    primitives whose cross-build variance broke the digit-exact replay."""
+    import inspect
+
+    import datapipelines_spark.operators.linear as linear
+    from datapipelines_spark.queries.cleaning import _logreg_oracle_sql
+
+    src = inspect.getsource(linear)
+    assert "F.exp(" not in src and "F.round(" not in src
+    sql = _logreg_oracle_sql(8, 2, 0.5).upper()
+    assert "EXP(" not in sql and "ROUND(" not in sql
