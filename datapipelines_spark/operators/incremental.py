@@ -94,10 +94,16 @@ def distinct_state(
 
 def distinct_view(state: DataFrame, keys: list[str]) -> DataFrame:
     """(keys..., n_distinct) from the auxiliary state: surviving values
-    (multiplicity != 0 — merge_states already dropped the zeros) count
-    once each. One partial-aggregated shuffle over state rows."""
-    return state.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    (multiplicity != 0) count once each. The zero-multiplicity filter is
+    applied HERE, not assumed: merge_states output never carries zeros,
+    but a raw ``distinct_state`` delta can (an insert and a retraction of
+    the same (keys, value) pair in one batch), and counting that value as
+    present would be wrong (ADVICE r9). One partial-aggregated shuffle
+    over state rows."""
+    return (
+        state.where(F.col(CNT_COL) != 0)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
     )
 
 

@@ -367,3 +367,27 @@ def test_streaming_sink_composes_into_exact_distinct_view(spark, tmp_path):
         for r in distinct_view(spark.read.parquet(state), ["k"]).collect()
     }
     assert view == {"g1": 1, "g2": 1}
+
+
+def test_distinct_view_ignores_zero_multiplicity_rows(spark):
+    """distinct_view must be correct on ANY state table, not only
+    merge_states output (which drops zeros): a raw delta containing an
+    insert AND a retraction of the same (keys, value) in one batch nets to
+    multiplicity 0 and must not count as present (ADVICE r9)."""
+    from datapipelines_spark.operators.incremental import (
+        distinct_state,
+        distinct_view,
+    )
+
+    delta = spark.createDataFrame(
+        [
+            ("g1", "a", False),
+            ("g1", "a", True),  # same value inserted and retracted: net 0
+            ("g1", "b", False),
+            ("g2", "c", True),  # pure retraction: net -1, still "present"
+        ],
+        "k string, v string, r boolean",
+    )
+    state = distinct_state(delta, ["k"], "v", retract_col="r")
+    got = {r["k"]: r["n_distinct"] for r in distinct_view(state, ["k"]).collect()}
+    assert got == {"g1": 1, "g2": 1}

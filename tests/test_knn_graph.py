@@ -99,3 +99,49 @@ def test_gemm_and_expr_paths_are_identical(spark):
                                  mutual=mutual, impl="expr").collect())
         )
         assert g == x, f"mutual={mutual}"
+
+
+def test_skewed_cell_sub_blocking_produces_identical_edges(spark):
+    """A cell bigger than ``cell_block`` must split into block-pair tasks
+    (bounded per-task memory) and still produce exactly the single-task
+    edges — and the expr path's (VERDICT r9 next #4). n_cells=1 makes the
+    whole corpus one maximally-skewed cell."""
+    rng = np.random.default_rng(915)
+    rows = _vecs(rng, 90, dim=12)
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    blocked = sorted(
+        map(tuple, knn_graph(df, "v", "id", k=4, n_cells=1, cell_block=16).collect())
+    )
+    single = sorted(
+        map(tuple, knn_graph(df, "v", "id", k=4, n_cells=1, cell_block=10**6).collect())
+    )
+    exact = sorted(
+        map(tuple, knn_graph(df, "v", "id", k=4, n_cells=1, impl="expr").collect())
+    )
+    assert blocked == single == exact
+    assert len(blocked) > 0
+
+
+def test_shortlist_boundary_ties_cannot_drop_a_true_neighbor(spark):
+    """Adversarial boundary ties (ADVICE r9): far more than
+    ``shortlist_margin`` candidates with IDENTICAL cosine to the k-th best
+    — the eps-extended shortlist must keep them all in play so the exact
+    re-rank still returns the same edges as the exact expr path."""
+    # 40 copies of the same direction (cosine 1 with each other) plus a
+    # few distinct vectors: every copy's k-th score ties with 39 others
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, [x * (1.0 + 0.0) for x in base]) for i in range(40)]
+    rows += [(100 + j, [0.0, 1.0, float(j), 1.0]) for j in range(6)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    gemm = sorted(
+        map(
+            tuple,
+            knn_graph(
+                df, "v", "id", k=3, n_cells=1, impl="gemm", shortlist_margin=2
+            ).collect(),
+        )
+    )
+    exact = sorted(
+        map(tuple, knn_graph(df, "v", "id", k=3, n_cells=1, impl="expr").collect())
+    )
+    assert gemm == exact
