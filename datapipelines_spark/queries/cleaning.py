@@ -148,6 +148,177 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("kept", kept).orderBy("doc_id")
 
 
+def _clean_pipeline_v2_oracle() -> str:
+    """Staged SQL replay of the v2 pipeline: the planted corpus (the
+    dedup_substring fixtures' boilerplate construction), the Lee-et-al
+    substring cut, then quality/exact/near-dup stages — with the near-dup
+    shingles computed over the CLEANED text, which is the point of running
+    the cut before near-dedup."""
+    from datapipelines_spark.queries.dedup import _BP1, _BP2
+
+    return f"""
+    WITH RECURSIVE planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 8 = 0 THEN text || ' {_BP1} {_BP2}'
+                    WHEN doc_id % 4 = 0 THEN text || ' {_BP1}'
+                    ELSE text END AS text
+        FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(w, i + 1, i + 8), ' ') AS g
+        FROM toks, LATERAL unnest(generate_series(0, len(w) - 8)) AS x(i)
+        WHERE len(w) >= 8
+    ),
+    freq AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    flagged AS (SELECT doc_id, pos FROM grams JOIN freq USING (g)),
+    covered AS (
+        SELECT DISTINCT doc_id, cp
+        FROM flagged, LATERAL unnest(generate_series(pos, pos + 7)) AS y(cp)
+    ),
+    tokpos AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        FROM toks, LATERAL unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    keptt AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tokpos t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.pos = c.cp
+        WHERE c.cp IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM keptt GROUP BY doc_id
+    ),
+    nrem AS (SELECT doc_id, COUNT(*) AS n FROM covered GROUP BY doc_id),
+    cleaned AS (
+        SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    ),
+    cw AS (SELECT doc_id, string_split(clean_text, ' ') AS w FROM cleaned),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM cw, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rawpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM rawpairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    closure(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT c.node, e.v FROM closure c JOIN edges e ON c.r = e.u
+    ),
+    clusters AS (SELECT node, MIN(r) AS cluster_id FROM closure GROUP BY node),
+    quality AS (
+        SELECT doc_id,
+               len(w) >= 10
+               AND len(list_distinct(w)) * 1.0 / len(w) >= 0.2 AS passed_quality
+        FROM toks
+    ),
+    exact_canon AS (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS is_exact_canonical
+        FROM planted
+    )
+    SELECT p.doc_id,
+           q.passed_quality,
+           e.is_exact_canonical,
+           CAST(COALESCE(nrem.n, 0) AS BIGINT) AS n_removed_tokens,
+           COALESCE(cl.cluster_id, p.doc_id) AS near_cluster_id,
+           q.passed_quality AND e.is_exact_canonical
+               AND COALESCE(cl.cluster_id, p.doc_id) = p.doc_id AS kept
+    FROM planted p
+    JOIN quality q USING (doc_id)
+    JOIN exact_canon e USING (doc_id)
+    LEFT JOIN nrem USING (doc_id)
+    LEFT JOIN clusters cl ON cl.node = p.doc_id
+    ORDER BY p.doc_id
+    """
+
+
+@query("corpus_clean_pipeline_v2", oracle=_clean_pipeline_v2_oracle())
+def corpus_clean_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 composition with the Lee-et-al exact-substring cut
+    (operators/dedup.py:remove_duplicate_substrings) between the exact and
+    near-dup stages — the composition a training-data pipeline actually
+    runs (VERDICT r9 next #5): quality gate and exact-dup canonicalization
+    on the ingested text, then every duplicated >= 8-token substring
+    (corpus count >= 2) is cut, and NEAR-dup clustering runs over the
+    CLEANED text — so corpus-wide boilerplate can no longer manufacture
+    fake near-duplicates, which is why the cut goes in the middle. Input
+    is the planted-boilerplate corpus shared with the dedup_substring
+    queries (so the cut provably has work to do); output is one verdict
+    row per document: quality flag, exact-canonical flag, removed-token
+    count, near-dup cluster, and the final ``kept`` decision.
+
+    Plan shape: each stage is the operator already benchmarked alone —
+    the cut shuffles 8-byte window hashes + covered positions only, the
+    shingle join reads the rebuilt text directly (one localCheckpoint
+    materializes it for its two consumers), and the composition itself
+    adds only doc_id-keyed joins."""
+    from datapipelines_spark.queries.dedup import _planted_corpus
+
+    d = _planted_corpus(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    quality = d.select(
+        "doc_id",
+        (
+            (F.size(toks) >= 10)
+            & (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.2)
+        ).alias("passed_quality"),
+    )
+    w = Window.partitionBy(F.md5("text"))
+    exact = d.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_exact_canonical"),
+    )
+    cleaned = dd.remove_duplicate_substrings(
+        d, "text", "doc_id", min_len=8, min_count=2
+    ).localCheckpoint(eager=True)  # consumed by the shingle stage AND the output join
+    pairs = dd.ngram_jaccard_pairs(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+    )
+    clusters = duplicate_clusters(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster_id")
+    )
+    out = (
+        d.select("doc_id")
+        .join(quality, "doc_id")
+        .join(exact, "doc_id")
+        .join(cleaned.select("doc_id", "n_removed_tokens"), "doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("near_cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .drop("cluster_id")
+    )
+    kept = (
+        F.col("passed_quality")
+        & F.col("is_exact_canonical")
+        & (F.col("near_cluster_id") == F.col("doc_id"))
+    )
+    return out.withColumn("kept", kept).orderBy("doc_id")
+
+
 @query(
     "decontaminate_ngram_overlap",
     oracle="""

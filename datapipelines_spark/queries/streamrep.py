@@ -474,6 +474,99 @@ def stream_incremental_view_replay(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "stream_incremental_distinct_replay",
+    oracle="""
+    SELECT month,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_custkey
+        FROM orders
+        WHERE o_orderkey % 13 <> 0
+    )
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def stream_incremental_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact COUNT(DISTINCT) maintenance under retractions
+    (VERDICT r9 next #6): the orders fixture becomes a changelog stream —
+    one insert row per order plus a RETRACTION row for every
+    ``o_orderkey % 13 == 0`` order (an upstream correction) — staged as 8
+    files and replayed one per micro-batch through
+    ``incremental_state_sink`` keyed on (month, customer), i.e. the
+    signed-multiplicity auxiliary state of
+    ``operators/incremental.py:distinct_state``. ``distinct_view`` over
+    the final state is the exact per-month distinct-customer count.
+
+    The deliberately-exercised edge: a customer whose ONLY order in a
+    month is a %13 one is FULLY retracted — the (month, customer) pair's
+    multiplicity returns to zero and the customer must vanish from that
+    month's count (at sf0.01 this deletes hundreds of month-customer
+    pairs). Signed multiplicities make the fold independent of which
+    micro-batch an insert or its retraction lands in, so the
+    nondeterministic 8-way file split cannot change the view; the oracle
+    recomputes the surviving distinct count directly. Per-batch cost is
+    O(|state| + |batch|), never the stream's history."""
+    import os
+    import shutil
+
+    from datapipelines_spark.operators.incremental import (
+        distinct_view,
+        incremental_state_sink,
+    )
+    from datapipelines_spark.sources.parquet import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join("/tmp", f"spark_graft_ivmd_{tag}")
+    src = os.path.join(base, "src")
+    if not os.path.isdir(src):
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.trunc(F.col("o_orderdate"), "month").alias("month"),
+            "o_custkey",
+            "o_orderkey",
+        )
+        inserts = orders.select(
+            "month", "o_custkey", F.lit(False).alias("retract")
+        )
+        retractions = orders.where(F.col("o_orderkey") % 13 == 0).select(
+            "month", "o_custkey", F.lit(True).alias("retract")
+        )
+        (
+            inserts.unionByName(retractions)
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_state_sink(
+                state, ["month", "o_custkey"], [], retract_col="retract"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        distinct_view(spark.read.parquet(state), ["month"])
+        .select("month", F.col("n_distinct").alias("n_customers"))
+        .orderBy("month")
+    )
+
+
+@query(
     "stream_topk_types_replay",
     oracle="""
     WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
