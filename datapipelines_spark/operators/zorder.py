@@ -249,3 +249,106 @@ def hilbert3_layout(
     return coded.repartitionByRange(num_files, "hilbert3").sortWithinPartitions(
         "hilbert3"
     )
+
+
+def layout_advisor(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    bits: int = 8,
+    n_segments: int = 48,
+) -> DataFrame:
+    """Data-driven layout choice (Morton vs Hilbert vs single-sort): one
+    pass over the table reports, per candidate sort key, the min/max
+    footer rectangles an OPTIMIZE write under that key would produce — so
+    "which layout should this table use" is answered from the data
+    instead of folklore.
+
+    Per layout, the key's CODE RANGE is sliced into ``n_segments``
+    equal-width segments (the stand-in for files) and each nonempty
+    segment's bounding box over the quantized dims is aggregated:
+
+      layout         'sort_a' | 'morton' | 'hilbert'
+      n_nonempty     segments holding >= 1 row
+      sum_bbox_area  Σ (a_span+1)·(b_span+1) — expected footer hits of a
+                     uniform point lookup scale with this
+      sum_span_a     Σ (a_span+1) — segments a selective filter on ``a``
+                     cannot prune; ditto ``sum_span_b``
+
+    A single-sort layout minimizes sum_span_a but its b-spans cover the
+    whole domain; the curves trade a little of ``a`` for pruning on BOTH
+    — these three rows make the trade measurable per table.
+
+    Equal-CODE segments, not equal-count: per-file row counts under
+    ``repartitionByRange`` come from sampling and shift run to run, while
+    code-range segments are a pure function of the data — deterministic,
+    hence SQL-replayable. Pick ``n_segments`` that is NOT a power of
+    2^dims: at exact powers both curves tile identical quadrant cubes and
+    the comparison degenerates (the known equal-power identity).
+
+    Plan shape: one 1-row stats collect, one codegen map producing all
+    three keys (no extra scans — the union is three projections of the
+    same scan), ONE shuffle on (layout, segment) carrying five integer
+    columns, then a 3-row rollup. No window, no global sort; at 100 TB
+    run it on a uniform sample — the metric is occupancy-shape-relative,
+    not row-count-relative."""
+    stats = df.agg(
+        F.min(a_col).cast("bigint").alias("amin"),
+        F.max(a_col).cast("bigint").alias("amax"),
+        F.min(b_col).cast("bigint").alias("bmin"),
+        F.max(b_col).cast("bigint").alias("bmax"),
+    ).collect()[0]
+    qa = _quantize(F.col(a_col), F.lit(stats["amin"]), F.lit(stats["amax"]), bits)
+    qb = _quantize(F.col(b_col), F.lit(stats["bmin"]), F.lit(stats["bmax"]), bits)
+    q = df.select(qa.alias("qa"), qb.alias("qb"))
+
+    def seg(key: Column, domain_bits: int) -> Column:
+        # (key * S) // 2^domain_bits — exact while S * 2^domain_bits < 2^53
+        return F.floor(
+            (key * F.lit(int(n_segments))) / F.lit(1 << domain_bits)
+        ).cast("bigint")
+
+    keyed = (
+        q.select(
+            F.lit("sort_a").alias("layout"),
+            seg(F.col("qa"), bits).alias("seg"),
+            "qa",
+            "qb",
+        )
+        .unionByName(
+            q.select(
+                F.lit("morton").alias("layout"),
+                seg(morton_code(F.col("qa"), F.col("qb"), bits), 2 * bits).alias(
+                    "seg"
+                ),
+                "qa",
+                "qb",
+            )
+        )
+        .unionByName(
+            q.select(
+                F.lit("hilbert").alias("layout"),
+                seg(hilbert_code(F.col("qa"), F.col("qb"), bits), 2 * bits).alias(
+                    "seg"
+                ),
+                "qa",
+                "qb",
+            )
+        )
+    )
+    boxes = keyed.groupBy("layout", "seg").agg(
+        F.min("qa").alias("a0"),
+        F.max("qa").alias("a1"),
+        F.min("qb").alias("b0"),
+        F.max("qb").alias("b1"),
+    )
+    return boxes.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonempty"),
+        F.sum(
+            (F.col("a1") - F.col("a0") + 1) * (F.col("b1") - F.col("b0") + 1)
+        )
+        .cast("bigint")
+        .alias("sum_bbox_area"),
+        F.sum(F.col("a1") - F.col("a0") + 1).cast("bigint").alias("sum_span_a"),
+        F.sum(F.col("b1") - F.col("b0") + 1).cast("bigint").alias("sum_span_b"),
+    )

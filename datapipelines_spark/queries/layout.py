@@ -834,3 +834,91 @@ def layout_hilbert3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "hilbert3")
         .orderBy("o_orderkey")
     )
+
+
+def _hilbert_sql_qaqb(bits: int) -> str:
+    """The 2-D Hilbert FST replay over bare (qa, qb) rows (no key column)
+    — the advisor aggregates boxes, so rows need no identity."""
+    from datapipelines_spark.operators.zorder import _HILBERT_NXT, _HILBERT_OUT
+
+    out_l = "[" + ", ".join(map(str, _HILBERT_OUT)) + "]"
+    nxt_l = "[" + ", ".join(map(str, _HILBERT_NXT)) + "]"
+    ctes = ["h0 AS (SELECT qa, qb, 0 AS st0, CAST(0 AS BIGINT) AS d0 FROM q)"]
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        lvl += 1
+        idx = f"st{lvl-1} * 4 + ((qa >> {i}) & 1) * 2 + ((qb >> {i}) & 1) + 1"
+        ctes.append(
+            f"h{lvl} AS (SELECT qa, qb,"
+            f" ({nxt_l})[{idx}] AS st{lvl},"
+            f" d{lvl-1} * 4 + ({out_l})[{idx}] AS d{lvl}"
+            f" FROM h{lvl-1})"
+        )
+    ctes.append(f"hh AS (SELECT qa, qb, CAST(d{lvl} AS BIGINT) AS hkey FROM h{lvl})")
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "layout_advisor_orders",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        SELECT MIN(o_custkey) AS amin, MAX(o_custkey) AS amax,
+               MIN(cents) AS bmin, MAX(cents) AS bmax
+        FROM c
+    ),
+    q AS (
+        SELECT ((o_custkey - amin) * 256) // (amax - amin + 1) AS qa,
+               ((cents - bmin) * 256) // (bmax - bmin + 1) AS qb
+        FROM c, s
+    ),
+    m AS (SELECT qa, qb,
+                 CAST({_morton_sql("qa", "qb", 8)} AS BIGINT) AS mkey
+          FROM q),
+    {_hilbert_sql_qaqb(8)},
+    keyed AS (
+        SELECT 'sort_a' AS layout, (qa * 48) // 256 AS seg, qa, qb FROM q
+        UNION ALL
+        SELECT 'morton', (mkey * 48) // 65536, qa, qb FROM m
+        UNION ALL
+        SELECT 'hilbert', (hkey * 48) // 65536, qa, qb FROM hh
+    ),
+    boxes AS (
+        SELECT layout, seg,
+               MIN(qa) AS a0, MAX(qa) AS a1, MIN(qb) AS b0, MAX(qb) AS b1
+        FROM keyed GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+           CAST(SUM((a1 - a0 + 1) * (b1 - b0 + 1)) AS BIGINT) AS sum_bbox_area,
+           CAST(SUM(a1 - a0 + 1) AS BIGINT) AS sum_span_a,
+           CAST(SUM(b1 - b0 + 1) AS BIGINT) AS sum_span_b
+    FROM boxes GROUP BY layout
+    ORDER BY layout
+    """,
+)
+def layout_advisor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout ADVISOR (operators/zorder.py:layout_advisor, VERDICT r9
+    stretch #7): one pass over orders reports the footer rectangles a
+    single-sort, Morton, and Hilbert OPTIMIZE write would each produce
+    over (o_custkey, price cents) — 48 equal-code segments (not a power
+    of 4, so the curves do not degenerate to identical quadrant tiles),
+    per-layout Σ bbox area (point-lookup cost) and per-dimension span
+    sums (selective-filter pruning). Layout choice becomes a 3-row
+    measurement instead of folklore: sort_a should win sum_span_a but
+    forfeit b-pruning entirely; the curves should beat it on
+    sum_bbox_area. The oracle replays quantization, both curves, the
+    segment slicing, and the rollup in exact integer SQL."""
+    from datapipelines_spark.operators.zorder import layout_advisor
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return layout_advisor(
+        orders, "o_custkey", "cents", bits=8, n_segments=48
+    ).orderBy("layout")
