@@ -135,6 +135,12 @@ HEADLINE = [
     "layout_hilbert_orders",
     "layout_hilbert3_orders",
     "incremental_distinct_customers",
+    # r10 additions (same rule): the composed cleaning pipeline with the
+    # Lee-et-al substring cut, streaming exact distinct under retractions,
+    # and the layout advisor (both curves + rollup in one pass)
+    "corpus_clean_pipeline_v2",
+    "stream_incremental_distinct_replay",
+    "layout_advisor_orders",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

@@ -87,81 +87,90 @@ def all_queries() -> dict[str, QuerySpec]:
 # first, ties by name) — tests/test_catalog_order.py enforces it. That
 # closes the VERDICT r8 accounting escape where a hand-kept "r4-only" list
 # let scalar_string_funcs sit on its round-1 verdict for seven rounds.
-#
-# Round-9 window:
-#   (a) CORRECTNESS_r08 was 50/50 green — no reds to pin;
-#   (b) first driver verdicts: the 3 queries added in r8 after that window
-#       was pinned, then the 6 added in r9 (variable-length substring
-#       dedup spans + the applied removal, linear quality classifier, MOR
-#       schema evolution + vacuum, mutual kNN graph, Hilbert layout);
-#   (c) r9 behavior/plan changes re-confirmed: stream_incremental_view_
-#       replay (IVM sink gained the metrics sidecar + epoch-0 recovery
-#       fix), and the three MOR-read queries (reads now go through
-#       _read_raw with mergeSchema + explicit version lists);
-#   (d) the rest is the computed staleness queue verbatim:
-#       scalar_string_funcs (r1!), corpus_clean_pipeline (r4), then the r5
-#       cohort in name order — 35 fit, the remaining 15 r5 names lead r10.
+
+#: The round whose window PRIORITY_50 pins. The rotation accounting is
+#: computed from artifacts of rounds STRICTLY BELOW this (ADVICE r9: an
+#: unbounded artifact read made the round's own invariants false the
+#: moment the driver wrote CORRECTNESS_r{WINDOW_ROUND}.json — the window
+#: constants must stay valid before AND after the round lands).
+WINDOW_ROUND = 10
+
+# Round-10 window:
+#   (a) CORRECTNESS_r09 had ONE red — quality_linear_classifier (hash
+#       mismatch from exp()/round(double) oracle non-portability; replay
+#       surface rebuilt on integer micro-units + the rational sigmoid in
+#       r10, so it re-enters as a never-green first verdict and leads);
+#   (b) first driver verdicts: the 3 r9 additions that missed the r9
+#       window (kNN components, incremental distinct, 3-D Hilbert) and
+#       the 3 new r10 queries (cleaning pipeline v2 with the substring
+#       cut, streaming distinct under retractions, the layout advisor);
+#   (c) r10 behavior/plan changes re-confirmed: sim_knn_graph (gemm path
+#       rewritten: block-pair sub-blocking + eps-extended shortlist) and
+#       dedup_substring_removal (the rebuild now semi-join-probes covered
+#       docs and passes the clean majority through verbatim);
+#   (d) the rest is the computed staleness queue verbatim over r1..r9:
+#       the 15 r5-cohort leftovers, then the r6 cohort in name order.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
-FIRST_VERDICTS_R9: tuple[str, ...] = (
-    "multimodal_dhash_near_pairs",  # added r8 after the r8 window was pinned
-    "multimodal_audio_fp_pairs",
-    "multimodal_image_dedup_pipeline",
-    "dedup_substring_spans",  # added r9
-    "dedup_substring_removal",
-    "quality_linear_classifier",
-    "upsert_schema_evolution",
+FIRST_VERDICTS_R10: tuple[str, ...] = (
+    "quality_linear_classifier",  # r9 red, rebuilt — never green yet
+    "sim_knn_components",  # added r9 after the r9 window was pinned
+    "incremental_distinct_customers",
+    "layout_hilbert3_orders",
+    "corpus_clean_pipeline_v2",  # added r10
+    "stream_incremental_distinct_replay",
+    "layout_advisor_orders",
+)
+
+CHANGED_R10: tuple[str, ...] = (
     "sim_knn_graph",
-    "layout_hilbert_orders",
+    "dedup_substring_removal",
 )
 
-CHANGED_R9: tuple[str, ...] = (
-    "stream_incremental_view_replay",
-    "diff_orders_versions",
-    "scd2_orders_history",
-    "upsert_orders_snapshot",
-)
-
-PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R9 + CHANGED_R9 + (
+PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R10 + CHANGED_R10 + (
     # --- computed staleness queue (rotation.reconfirm_queue() prefix) ---
-    "scalar_string_funcs",
-    "corpus_clean_pipeline",
-    "agg_approx_distinct_parts",
-    "asof_join_last_order_before_event",
-    "batch_fixed_size_groups",
-    "decontaminate_ngram_overlap",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "epoch_repeat_cycle",
-    "filter_required_keys",
-    "filter_size_range",
-    "having_big_part_groups",
-    "join_anti_customers_without_orders",
-    "join_metadata_rename_collision",
-    "join_null_safe_segments",
-    "join_outer_order_counts",
-    "join_semi_customers_with_orders",
-    "jsonl_gz_roundtrip",
-    "mapper_rescale_embeddings",
-    "mix_weighted_sources",
-    "multimodal_binary_stats",
-    "multimodal_jpeg_decode",
-    "multimodal_mp4_probe",
-    "pack_sequences_budget",
-    "percentile_order_values",
-    "pivot_status_by_priority",
-    "q12_priority_shipping_split",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_orders_waiting",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "range_join_price_bands",
-    "rollup_order_totals",
+    "scalar_array_funcs",
+    "scalar_json_extract",
+    "setop_union_customer_supplier_nations",
+    "shuffle_deterministic_rank",
+    "sim_ivf_topk_probe2",
+    "sim_lsh_candidate_pairs",
+    "sql_grouping_sets_mixed",
+    "sql_lateral_top2_orders",
+    "stream_dedup_exact_replay",
+    "stream_tumbling_1h_replay",
+    "subquery_above_avg_orders",
+    "text_tfidf_top_terms",
+    "unpivot_lineitem_measures",
+    "window_range_frame_30d_spend",
+    "window_topk_parts_per_supplier",
+    "calendar_fill_monthly_orders",
+    "chunk_cdc_dedup",
+    "corr_discount_quantity",
+    "csv_roundtrip",
+    "decontaminate_bloom",
+    "events_funnel_conversion",
+    "events_interpolate_hourly",
+    "events_latest_per_user",
+    "events_session_windows",
+    "events_user_lifetime_stats",
+    "graph_pagerank_trade",
+    "multimodal_gif_decode",
+    "multimodal_ppm_decode",
+    "multimodal_spectral_features",
+    "multimodal_tiff_decode",
+    "orc_roundtrip",
+    "q10_returned_item_revenue",
+    "q11_important_part_value",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_high_volume_part_suppliers",
+    "q22_inactive_rich_customers",
 )
 
 
@@ -169,17 +178,12 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R9 + CHANGED_R9 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "sim_knn_components",  # added r9 after the r9 window was pinned
-    "incremental_distinct_customers",
-    "layout_hilbert3_orders",
-)
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 
-# r10 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r09 (fix first, then pin);
+# r11 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r10 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r10;
-#   4. rotation.reconfirm_queue() computed over CORRECTNESS_r01..r09,
-#      verbatim, for every remaining slot — after r9 lands, the queue
-#      starts with the 15 r5 names that did not fit this window, then the
-#      r6 cohort.
+#   3. queries whose plans/outputs change in r11;
+#   4. rotation.reconfirm_queue(before_round=11) verbatim for every
+#      remaining slot — after r10 lands, the queue starts with the ~23
+#      r6-cohort names that did not fit this window, then the r7 cohort.

@@ -1094,8 +1094,12 @@ def remove_duplicate_substrings(
     The subtraction is a per-document anti-membership filter over token
     positions (spans explode to covered positions, then one left-anti
     join keyed on (id, position) — both sides already partition by id),
-    so the rebuild shuffles token-position pairs for COVERED documents
-    only, never the clean majority of the corpus."""
+    and ONLY documents that actually have a span are exploded and rebuilt:
+    the clean majority of the corpus passes through with a semi-join probe
+    and never sheds a token row (tokenize + re-join with the same
+    delimiter is the identity, so pass-through equals rebuild verbatim) —
+    at 100 TB the rebuild shuffle is duplicate-density-sized, not
+    corpus-sized."""
     df = df.where(F.col(text_col).isNotNull())
     spans = duplicate_substring_spans(
         df, text_col, id_col, min_len=min_len, min_count=min_count
@@ -1108,7 +1112,8 @@ def remove_duplicate_substrings(
             )
         ).alias("pos"),
     )
-    toks = df.select(
+    covered_ids = covered.select(id_col).distinct()
+    toks = df.join(covered_ids, id_col, "left_semi").select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
     )
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
@@ -1125,12 +1130,18 @@ def remove_duplicate_substrings(
         F.count(F.lit(1)).cast("bigint").alias("n_removed_tokens")
     )
     return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
+        df.select(id_col, text_col)
         .join(n_removed, id_col, "left")
+        .join(rebuilt, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            # uncovered doc -> untouched text; covered doc -> the rebuild,
+            # which is '' when every token fell under a span
+            F.when(
+                F.col("n_removed_tokens").isNull(), F.col(text_col)
+            )
+            .otherwise(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
             F.coalesce("n_removed_tokens", F.lit(0))
             .cast("bigint")
             .alias("n_removed_tokens"),

@@ -37,16 +37,26 @@ def _is_green(verdict: dict) -> bool:
     )
 
 
-def latest_verdict_rounds(artifact_dir: str = _DEFAULT_DIR) -> dict[str, int]:
+def latest_verdict_rounds(
+    artifact_dir: str = _DEFAULT_DIR, before_round: int | None = None
+) -> dict[str, int]:
     """name -> highest round with a fully-green driver verdict, parsed from
     every ``CORRECTNESS_r*.json`` under ``artifact_dir``. Queries that only
-    ever appeared red/errored are absent (they have no green verdict)."""
+    ever appeared red/errored are absent (they have no green verdict).
+
+    ``before_round`` bounds the artifacts considered to rounds strictly
+    below it — pass ``catalog.WINDOW_ROUND`` so the accounting a window
+    was pinned FROM stays stable when the window's own round lands its
+    artifact (ADVICE r9: the unbounded read made the round-N invariants
+    false the moment CORRECTNESS_rN.json appeared)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         with open(path) as f:
             verdicts = json.load(f)
         for name, verdict in verdicts.items():
@@ -55,10 +65,13 @@ def latest_verdict_rounds(artifact_dir: str = _DEFAULT_DIR) -> dict[str, int]:
     return latest
 
 
-def reconfirm_queue(artifact_dir: str = _DEFAULT_DIR) -> list[str]:
+def reconfirm_queue(
+    artifact_dir: str = _DEFAULT_DIR, before_round: int | None = None
+) -> list[str]:
     """Every driver-verified query, stalest latest-green-verdict first
     (ties by name): the canonical order for the window's re-confirmation
     slots. Queries with no verdict yet are NOT here — they belong to the
-    first-verdict block at the head of the window."""
-    latest = latest_verdict_rounds(artifact_dir)
+    first-verdict block at the head of the window. ``before_round`` as in
+    ``latest_verdict_rounds``."""
+    latest = latest_verdict_rounds(artifact_dir, before_round)
     return sorted(latest, key=lambda n: (latest[n], n))
