@@ -141,6 +141,8 @@ HEADLINE = [
     "corpus_clean_pipeline_v2",
     "stream_incremental_distinct_replay",
     "layout_advisor_orders",
+    "url_parse_documents",
+    "domain_quota_sample_docs",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

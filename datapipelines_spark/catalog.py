@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QuerySpec]:
         breadth,
         streamrep,
         layout,
+        urls,
     )
 
     ordered: dict[str, QuerySpec] = {}
@@ -102,8 +103,9 @@ WINDOW_ROUND = 10
 #       r10, so it re-enters as a never-green first verdict and leads);
 #   (b) first driver verdicts: the 3 r9 additions that missed the r9
 #       window (kNN components, incremental distinct, 3-D Hilbert) and
-#       the 3 new r10 queries (cleaning pipeline v2 with the substring
-#       cut, streaming distinct under retractions, the layout advisor);
+#       the 5 new r10 queries (cleaning pipeline v2 with the substring
+#       cut, streaming distinct under retractions, the layout advisor,
+#       URL parse + domain blocklist, per-domain quota sampling);
 #   (c) r10 behavior/plan changes re-confirmed: sim_knn_graph (gemm path
 #       rewritten: block-pair sub-blocking + eps-extended shortlist) and
 #       dedup_substring_removal (the rebuild now semi-join-probes covered
@@ -121,6 +123,8 @@ FIRST_VERDICTS_R10: tuple[str, ...] = (
     "corpus_clean_pipeline_v2",  # added r10
     "stream_incremental_distinct_replay",
     "layout_advisor_orders",
+    "url_parse_documents",
+    "domain_quota_sample_docs",
 )
 
 CHANGED_R10: tuple[str, ...] = (
@@ -169,8 +173,6 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R10 + CHANGED_R10 + (
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q19_disjunctive_predicates",
-    "q20_high_volume_part_suppliers",
-    "q22_inactive_rich_customers",
 )
 
 

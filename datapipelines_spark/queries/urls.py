@@ -1,0 +1,178 @@
+"""URL-keyed corpus operations (operators/urls.py) as oracle-checked
+queries: parse + registrable domain + blocklist gating, and per-domain
+quota sampling. The documents fixture has no URL column, so each query
+plants a deterministic URL per document from doc_id alone (the planted-
+fixture precedent of the PII and substring-dedup queries) — userinfo,
+ports, compound co.uk suffixes, and mixed-case hosts are all exercised."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import query
+from datapipelines_spark.sources.parquet import load_table
+
+BLOCKLIST: tuple[str, ...] = ("spam.net", "malware.example")
+
+#: Shared oracle CTE chain: the planted URL, its parse, and the
+#: registrable domain — string-identical SQL across both URL queries.
+_URL_SQL = """
+    u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+               || '://'
+               || (CASE WHEN doc_id % 5 = 0 THEN 'user@' ELSE '' END)
+               || (CASE doc_id % 6
+                   WHEN 0 THEN 'news.example.com'
+                   WHEN 1 THEN 'shop.retail.co.uk'
+                   WHEN 2 THEN 'Example.Org'
+                   WHEN 3 THEN 'cdn.assets.example.com'
+                   WHEN 4 THEN 'tracker.spam.net'
+                   ELSE 'blog.spam.net' END)
+               || (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+               || '/p/' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0
+                   THEN '?q=' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END)
+                   AS url
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(
+                     regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                     '^(?:[^@]*@)?([^:]+)', 1)) AS host,
+               regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '[?]([^#]*)', 1) AS url_query
+        FROM u
+    ),
+    lab AS (SELECT *, string_split(host, '.') AS labels FROM p),
+    dom AS (
+        SELECT doc_id, scheme, host, path, url_query,
+               CASE WHEN len(labels) <= 1 THEN host
+                    WHEN len(labels) >= 3 AND labels[-2] IN
+                         ('co','com','net','org','ac','gov','edu')
+                    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                    ELSE labels[-2] || '.' || labels[-1] END AS domain
+        FROM lab
+    )"""
+
+
+def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    host = (
+        F.when(k % 6 == 0, "news.example.com")
+        .when(k % 6 == 1, "shop.retail.co.uk")
+        .when(k % 6 == 2, "Example.Org")
+        .when(k % 6 == 3, "cdn.assets.example.com")
+        .when(k % 6 == 4, "tracker.spam.net")
+        .otherwise("blog.spam.net")
+    )
+    url = F.concat(
+        F.when(k % 2 == 0, "https").otherwise("http"),
+        F.lit("://"),
+        F.when(k % 5 == 0, "user@").otherwise(""),
+        host,
+        F.when(k % 4 == 1, ":8080").otherwise(""),
+        F.lit("/p/"),
+        k.cast("string"),
+        F.when(k % 3 == 0, F.concat(F.lit("?q="), (k % 10).cast("string"))).otherwise(
+            ""
+        ),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+@query(
+    "url_parse_documents",
+    oracle=f"""
+    WITH {_URL_SQL}
+    SELECT doc_id, scheme, host, domain, path, url_query,
+           domain IN ('spam.net', 'malware.example') AS is_blocked
+    FROM dom
+    ORDER BY doc_id
+    """,
+)
+def url_parse_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + registrable domain + blocklist gate
+    (operators/urls.py): every planted URL — userinfo prefixes, :8080
+    ports, mixed-case hosts, compound co.uk suffixes — decomposes into
+    (scheme, host, domain, path, query) with the blocklist verdict on the
+    REGISTRABLE domain, so tracker.spam.net and blog.spam.net both gate on
+    spam.net. All anchored regexp_extract + label slicing: JVM codegen,
+    map-only, no shuffle at any corpus size. The oracle replays the URL
+    construction, both regex layers, the suffix rule, and the membership
+    test."""
+    from datapipelines_spark.operators.urls import (
+        domain_blocklist_flag,
+        parse_urls,
+        registrable_domain,
+    )
+
+    parsed = parse_urls(_planted_urls(spark, sf_dir), "url").withColumn(
+        "domain", registrable_domain(F.col("host"))
+    )
+    return (
+        domain_blocklist_flag(parsed, "domain", BLOCKLIST)
+        .select(
+            "doc_id",
+            "scheme",
+            "host",
+            "domain",
+            "path",
+            F.col("query").alias("url_query"),
+            "is_blocked",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "domain_quota_sample_docs",
+    oracle=f"""
+    WITH {_URL_SQL},
+    r AS (
+        SELECT doc_id, domain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY CAST('0x' || substr(
+                            md5('quota-' || CAST(doc_id AS VARCHAR)),
+                            1, 8) AS BIGINT),
+                            doc_id
+               ) AS quota_rank
+        FROM dom
+    )
+    SELECT doc_id, domain, CAST(quota_rank AS BIGINT) AS quota_rank
+    FROM r WHERE quota_rank <= 40
+    ORDER BY doc_id
+    """,
+)
+def domain_quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus quota (operators/urls.py:domain_quota_sample):
+    keep at most 40 documents per registrable domain, chosen by the
+    portable data hash inside each domain partition — the corpus-balance
+    pass that caps any one domain's share of a web crawl. Deterministic
+    by construction (hash of doc_id, ties by doc_id): retries,
+    partitioning, and the DuckDB replay all keep the SAME 40. One shuffle
+    keyed on domain."""
+    from datapipelines_spark.operators.urls import (
+        domain_quota_sample,
+        parse_urls,
+        registrable_domain,
+    )
+
+    parsed = parse_urls(_planted_urls(spark, sf_dir), "url").withColumn(
+        "domain", registrable_domain(F.col("host"))
+    )
+    return (
+        domain_quota_sample(parsed, "domain", "doc_id", cap=40)
+        .select(
+            "doc_id", "domain", F.col("quota_rank").cast("bigint").alias("quota_rank")
+        )
+        .orderBy("doc_id")
+    )

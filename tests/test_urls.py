@@ -1,0 +1,92 @@
+"""URL operators (operators/urls.py): parse edge cases, the registrable-
+domain suffix rule, blocklist gating on the registrable domain, and the
+quota sampler's determinism + cap contract."""
+
+import pyspark.sql.functions as F
+
+from datapipelines_spark.operators.urls import (
+    domain_blocklist_flag,
+    domain_quota_sample,
+    parse_urls,
+    registrable_domain,
+)
+
+
+def _parsed(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id long, url string")
+    return {
+        r["url"]: (r["scheme"], r["host"], r["path"], r["query"])
+        for r in parse_urls(df, "url").collect()
+    }
+
+
+def test_parse_components_and_edge_cases(spark):
+    got = _parsed(
+        spark,
+        [
+            "https://news.example.com/a/b?x=1",
+            "http://user:pw@Shop.Retail.CO.UK:8080/cart",
+            "HTTPS://EXAMPLE.ORG",  # no path, uppercase scheme+host
+            "ftp+ssh://host.net/file#frag",  # exotic scheme, fragment
+            "not a url at all",  # malformed -> all-empty parts
+        ],
+    )
+    assert got["https://news.example.com/a/b?x=1"] == (
+        "https", "news.example.com", "/a/b", "x=1",
+    )
+    assert got["http://user:pw@Shop.Retail.CO.UK:8080/cart"] == (
+        "http", "shop.retail.co.uk", "/cart", "",
+    )
+    assert got["HTTPS://EXAMPLE.ORG"] == ("https", "example.org", "", "")
+    assert got["ftp+ssh://host.net/file#frag"] == ("ftp+ssh", "host.net", "/file", "")
+    assert got["not a url at all"] == ("", "", "", "")
+
+
+def test_registrable_domain_suffix_rule(spark):
+    hosts = [
+        ("news.example.com", "example.com"),
+        ("a.b.c.example.com", "example.com"),
+        ("shop.retail.co.uk", "retail.co.uk"),
+        ("example.org", "example.org"),
+        ("co.uk", "co.uk"),  # 2 labels: never extended to 3
+        ("localhost", "localhost"),  # single label passes through
+    ]
+    df = spark.createDataFrame(hosts, "host string, want string")
+    rows = df.select("want", registrable_domain(F.col("host")).alias("got")).collect()
+    assert all(r["got"] == r["want"] for r in rows), rows
+
+
+def test_blocklist_gates_on_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [("tracker.spam.net",), ("blog.spam.net",), ("spam.net.example.com",)],
+        "host string",
+    )
+    out = domain_blocklist_flag(
+        df.withColumn("domain", registrable_domain(F.col("host"))),
+        "domain",
+        ("spam.net",),
+    )
+    got = {r["host"]: r["is_blocked"] for r in out.collect()}
+    # both spam.net subdomains gate; a spam.net PREFIX of another domain
+    # must not (its registrable domain is example.com)
+    assert got == {
+        "tracker.spam.net": True,
+        "blog.spam.net": True,
+        "spam.net.example.com": False,
+    }
+
+
+def test_quota_sample_cap_and_partitioning_invariance(spark):
+    rows = [(i, f"d{i % 3}") for i in range(100)]
+    a = spark.createDataFrame(rows, "id long, domain string").repartition(1)
+    b = spark.createDataFrame(rows, "id long, domain string").repartition(13)
+    ka = sorted((r["domain"], r["id"]) for r in domain_quota_sample(a, "domain", "id", 10).collect())
+    kb = sorted((r["domain"], r["id"]) for r in domain_quota_sample(b, "domain", "id", 10).collect())
+    assert ka == kb
+    per_dom = {}
+    for d, _ in ka:
+        per_dom[d] = per_dom.get(d, 0) + 1
+    assert per_dom == {"d0": 10, "d1": 10, "d2": 10}
+    # a domain under its cap keeps everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "id long, domain string")
+    assert domain_quota_sample(small, "domain", "id", 10).count() == 2
