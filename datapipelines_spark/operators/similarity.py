@@ -410,59 +410,80 @@ def knn_graph(
 
         m = k + int(shortlist_margin)
         eps = float(shortlist_eps)
-        # Per-cell counts size the sub-blocks: one bounded n_cells-row
-        # collect (the centroid-partials precedent), then every row learns
-        # its cell's block count through a broadcast map literal.
-        cell_counts = {
-            r["cluster"]: r["__n"]
-            for r in withv.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        }
-        n_blocks = {
-            c: max(1, math.ceil(n / int(cell_block)))
-            for c, n in cell_counts.items()
-        }
-        nb_map = F.create_map(
-            *[F.lit(x) for cn in n_blocks.items() for x in cn]
-        )
-        tagged = withv.withColumn(
-            "__nb", nb_map[F.col("cluster")].cast("int")
-        ).withColumn(
-            "__blk", F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int")
-        )
-        # Source side fans out to every candidate block of its cell;
-        # candidate side to every source block except its own (the
-        # diagonal task reuses its source rows as candidates).
-        s_tasks = F.transform(
-            F.sequence(F.lit(0), F.col("__nb") - 1),
-            lambda j: F.struct(
-                F.col("__blk").alias("bi"),
-                j.cast("int").alias("bj"),
+        # Sub-block sizing: if the WHOLE corpus fits one block (a count on
+        # the already-persisted cache — no assignment re-run), no cell can
+        # need splitting; only past that bound pay the per-cell counts
+        # aggregate (one bounded n_cells-row collect, the centroid-partials
+        # precedent) and teach each row its block count via a map literal.
+        if e.count() <= int(cell_block):
+            n_blocks = {}
+        else:
+            cell_counts = {
+                r["cluster"]: r["__n"]
+                for r in withv.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            }
+            n_blocks = {
+                c: max(1, math.ceil(n / int(cell_block)))
+                for c, n in cell_counts.items()
+            }
+        if all(nb == 1 for nb in n_blocks.values()):
+            # no cell needs splitting: skip the fan-out plumbing — one
+            # task per cell, sources double as candidates (diagonal task)
+            tasks = withv.select(
+                "__id",
+                "v",
+                "cluster",
+                F.lit(0).alias("bi"),
+                F.lit(0).alias("bj"),
                 F.lit("s").alias("side"),
-            ),
-        )
-        c_tasks = F.filter(
-            F.transform(
+            )
+        else:
+            nb_map = F.create_map(
+                *[F.lit(x) for cn in n_blocks.items() for x in cn]
+            )
+            tagged = withv.withColumn(
+                "__nb", nb_map[F.col("cluster")].cast("int")
+            ).withColumn(
+                "__blk",
+                F.pmod(F.xxhash64(F.col("__id")), F.col("__nb")).cast("int"),
+            )
+            # Source side fans out to every candidate block of its cell;
+            # candidate side to every source block except its own (the
+            # diagonal task reuses its source rows as candidates).
+            s_tasks = F.transform(
                 F.sequence(F.lit(0), F.col("__nb") - 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("bi"),
-                    F.col("__blk").alias("bj"),
-                    F.lit("c").alias("side"),
+                lambda j: F.struct(
+                    F.col("__blk").alias("bi"),
+                    j.cast("int").alias("bj"),
+                    F.lit("s").alias("side"),
                 ),
-            ),
-            lambda t: t["bi"] != F.col("__blk"),
-        )
-        tasks = tagged.select(
-            "__id", "v", "cluster", F.explode(F.concat(s_tasks, c_tasks)).alias("t")
-        ).select(
-            "__id",
-            "v",
-            "cluster",
-            F.col("t.bi").alias("bi"),
-            F.col("t.bj").alias("bj"),
-            F.col("t.side").alias("side"),
-        )
+            )
+            c_tasks = F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__nb") - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("bi"),
+                        F.col("__blk").alias("bj"),
+                        F.lit("c").alias("side"),
+                    ),
+                ),
+                lambda t: t["bi"] != F.col("__blk"),
+            )
+            tasks = tagged.select(
+                "__id",
+                "v",
+                "cluster",
+                F.explode(F.concat(s_tasks, c_tasks)).alias("t"),
+            ).select(
+                "__id",
+                "v",
+                "cluster",
+                F.col("t.bi").alias("bi"),
+                F.col("t.bj").alias("bj"),
+                F.col("t.side").alias("side"),
+            )
 
         def block_shortlist(key, pdf):
             import numpy as np
