@@ -143,6 +143,7 @@ HEADLINE = [
     "layout_advisor_orders",
     "url_parse_documents",
     "domain_quota_sample_docs",
+    "incremental_minmax_order_price",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

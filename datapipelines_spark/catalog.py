@@ -103,9 +103,10 @@ WINDOW_ROUND = 10
 #       r10, so it re-enters as a never-green first verdict and leads);
 #   (b) first driver verdicts: the 3 r9 additions that missed the r9
 #       window (kNN components, incremental distinct, 3-D Hilbert) and
-#       the 5 new r10 queries (cleaning pipeline v2 with the substring
+#       the 6 new r10 queries (cleaning pipeline v2 with the substring
 #       cut, streaming distinct under retractions, the layout advisor,
-#       URL parse + domain blocklist, per-domain quota sampling);
+#       URL parse + domain blocklist, per-domain quota sampling,
+#       incremental MIN/MAX under retractions);
 #   (c) r10 behavior/plan changes re-confirmed: sim_knn_graph (gemm path
 #       rewritten: block-pair sub-blocking + eps-extended shortlist) and
 #       dedup_substring_removal (the rebuild now semi-join-probes covered
@@ -125,6 +126,7 @@ FIRST_VERDICTS_R10: tuple[str, ...] = (
     "layout_advisor_orders",
     "url_parse_documents",
     "domain_quota_sample_docs",
+    "incremental_minmax_order_price",
 )
 
 CHANGED_R10: tuple[str, ...] = (
@@ -172,7 +174,6 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R10 + CHANGED_R10 + (
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
 )
 
 

@@ -107,6 +107,29 @@ def distinct_view(state: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def extreme_view(state: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """(keys..., min_<v>, max_<v>) from the SAME signed-multiplicity
+    auxiliary state ``distinct_state`` maintains — exact incremental
+    MIN/MAX under retractions, the other classically non-distributive
+    pair (Gupta/Mumick): a deleted extreme cannot be "un-maxed" from a
+    scalar accumulator, but the per-(keys, value) multiplicity table
+    knows the runner-up, so the view is one aggregate over surviving
+    values. Zero-multiplicity rows are filtered here for the same
+    raw-delta correctness as ``distinct_view``.
+
+    State size is O(#distinct (keys, value) pairs) — the irreducible
+    cost of exact extremes under deletion (no sketch supports it);
+    bucket/quantize the value upstream when that is too much state."""
+    return (
+        state.where(F.col(CNT_COL) != 0)
+        .groupBy(*keys)
+        .agg(
+            F.min(value_col).alias(f"min_{value_col}"),
+            F.max(value_col).alias(f"max_{value_col}"),
+        )
+    )
+
+
 _APPLIED_PREFIX = "_applied-"  # underscore-prefixed: ignored by parquet readers
 
 

@@ -501,3 +501,58 @@ def incremental_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFram
         .select("month", F.col("n_distinct").alias("n_customers"))
         .orderBy("month")
     )
+
+
+@query(
+    "incremental_minmax_order_price",
+    oracle="""
+    SELECT month,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+        WHERE NOT (o_orderdate < DATE '1997-01-01' AND o_orderkey % 13 = 0)
+    )
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def incremental_minmax_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental MIN/MAX under retractions
+    (operators/incremental.py:extreme_view) — the other classically
+    non-distributive aggregate: a scalar max cannot forget a deleted
+    extreme, but the signed-multiplicity (month, price) state knows the
+    runner-up. Same construction as incremental_distinct_customers: the
+    pre-1997 slice builds the state, ONE delta inserts 1997+ orders and
+    retracts the %13 pre-1997 orders; months whose extreme order was
+    retracted must fall back to the surviving runner-up. The oracle
+    recomputes extremes directly; the merge shuffles O(#surviving
+    (month, price) pairs), never the base slice."""
+    from datapipelines_spark.operators.incremental import (
+        distinct_state,
+        extreme_view,
+        merge_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate"), "month").alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+    )
+    base = orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    state = distinct_state(base, ["month"], "cents")
+    delta = (
+        orders.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .withColumn("__retract", F.lit(False))
+        .unionByName(
+            base.where(F.col("o_orderkey") % 13 == 0).withColumn(
+                "__retract", F.lit(True)
+            )
+        )
+    )
+    delta_state = distinct_state(delta, ["month"], "cents", retract_col="__retract")
+    merged = merge_states(state, delta_state, ["month", "cents"])
+    return extreme_view(merged, ["month"], "cents").orderBy("month")

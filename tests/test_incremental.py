@@ -391,3 +391,35 @@ def test_distinct_view_ignores_zero_multiplicity_rows(spark):
     state = distinct_state(delta, ["k"], "v", retract_col="r")
     got = {r["k"]: r["n_distinct"] for r in distinct_view(state, ["k"]).collect()}
     assert got == {"g1": 1, "g2": 1}
+
+
+def test_extreme_view_falls_back_to_runner_up_after_retraction(spark):
+    """Exact MIN/MAX under deletion: retracting a group's maximum must
+    surface the runner-up (the scalar-accumulator impossibility the
+    multiplicity state exists to solve); a value retracted below its
+    multiplicity must survive; zero-multiplicity rows in a raw delta
+    must be ignored."""
+    from datapipelines_spark.operators.incremental import (
+        distinct_state,
+        extreme_view,
+        merge_states,
+    )
+
+    base = spark.createDataFrame(
+        [("g", 10), ("g", 10), ("g", 50), ("g", 99)], "k string, v int"
+    )
+    state = distinct_state(base, ["k"], "v")
+    delta = spark.createDataFrame(
+        [
+            ("g", 99, True),  # the max: fully retracted
+            ("g", 10, True),  # multiplicity 2 -> 1: must survive as min
+            ("g", 70, False),
+            ("g", 70, True),  # net-zero insert+retract in one delta
+        ],
+        "k string, v int, r boolean",
+    )
+    merged = merge_states(
+        state, distinct_state(delta, ["k"], "v", retract_col="r"), ["k", "v"]
+    )
+    row = extreme_view(merged, ["k"], "v").collect()[0]
+    assert (row["min_v"], row["max_v"]) == (10, 50)
