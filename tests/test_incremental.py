@@ -423,3 +423,24 @@ def test_extreme_view_falls_back_to_runner_up_after_retraction(spark):
     )
     row = extreme_view(merged, ["k"], "v").collect()[0]
     assert (row["min_v"], row["max_v"]) == (10, 50)
+
+
+def test_streaming_sink_composes_into_exact_extreme_view(spark, tmp_path):
+    """The crash-safe sink keyed on (group, value) also serves MIN/MAX:
+    after a batch retracts a group's maximum, extreme_view over the sink
+    state must surface the runner-up."""
+    from datapipelines_spark.operators.incremental import (
+        extreme_view,
+        incremental_state_sink,
+    )
+
+    state = str(tmp_path / "state")
+    sink = incremental_state_sink(state, ["k", "v"], [], retract_col="r")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v int, r boolean")
+
+    sink(batch([("g", 5, False), ("g", 9, False), ("g", 2, False)]), 0)
+    sink(batch([("g", 9, True)]), 1)  # retract the max
+    row = extreme_view(spark.read.parquet(state), ["k"], "v").collect()[0]
+    assert (row["min_v"], row["max_v"]) == (2, 5)

@@ -90,3 +90,36 @@ def test_quota_sample_cap_and_partitioning_invariance(spark):
     # a domain under its cap keeps everything
     small = spark.createDataFrame([(1, "x"), (2, "x")], "id long, domain string")
     assert domain_quota_sample(small, "domain", "id", 10).count() == 2
+
+
+def test_parse_agrees_with_urllib_reference(spark):
+    """Property check against the public stdlib reference: for generated
+    well-formed URLs, parse_urls must agree with urllib.parse.urlsplit on
+    scheme, host (urlsplit.hostname lowercases and strips userinfo/port),
+    path, and query."""
+    from urllib.parse import urlsplit
+
+    import itertools
+
+    schemes = ["http", "HTTPS", "ftp+ssh"]
+    auths = [
+        "example.com",
+        "User@Example.COM",
+        "a.b.co.uk:8443",
+        "u:p@Host.Net:80",
+    ]
+    paths = ["", "/", "/a/b.html", "/p%20q"]
+    queries = ["", "?x=1&y=2", "?q="]
+    urls = [
+        f"{s}://{a}{p}{q}"
+        for s, a, p, q in itertools.product(schemes, auths, paths, queries)
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id long, url string")
+    rows = {r["url"]: r for r in parse_urls(df, "url").collect()}
+    for u in urls:
+        ref = urlsplit(u)
+        got = rows[u]
+        assert got["scheme"] == ref.scheme.lower(), u
+        assert got["host"] == (ref.hostname or ""), u
+        assert got["path"] == ref.path, u
+        assert got["query"] == ref.query, u
