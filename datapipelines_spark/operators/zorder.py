@@ -308,34 +308,32 @@ def layout_advisor(
             (key * F.lit(int(n_segments))) / F.lit(1 << domain_bits)
         ).cast("bigint")
 
-    keyed = (
-        q.select(
-            F.lit("sort_a").alias("layout"),
-            seg(F.col("qa"), bits).alias("seg"),
-            "qa",
-            "qb",
-        )
-        .unionByName(
-            q.select(
-                F.lit("morton").alias("layout"),
-                seg(morton_code(F.col("qa"), F.col("qb"), bits), 2 * bits).alias(
-                    "seg"
+    # all three keys from ONE scan: each row explodes into its three
+    # (layout, segment) assignments — a narrow op, not three table reads
+    keyed = q.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sort_a").alias("layout"),
+                    seg(F.col("qa"), bits).alias("seg"),
                 ),
-                "qa",
-                "qb",
-            )
-        )
-        .unionByName(
-            q.select(
-                F.lit("hilbert").alias("layout"),
-                seg(hilbert_code(F.col("qa"), F.col("qb"), bits), 2 * bits).alias(
-                    "seg"
+                F.struct(
+                    F.lit("morton").alias("layout"),
+                    seg(
+                        morton_code(F.col("qa"), F.col("qb"), bits), 2 * bits
+                    ).alias("seg"),
                 ),
-                "qa",
-                "qb",
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    seg(
+                        hilbert_code(F.col("qa"), F.col("qb"), bits), 2 * bits
+                    ).alias("seg"),
+                ),
             )
-        )
-    )
+        ).alias("t"),
+        "qa",
+        "qb",
+    ).select(F.col("t.layout").alias("layout"), F.col("t.seg").alias("seg"), "qa", "qb")
     boxes = keyed.groupBy("layout", "seg").agg(
         F.min("qa").alias("a0"),
         F.max("qa").alias("a1"),
