@@ -136,10 +136,14 @@ HEADLINE = [
     "layout_hilbert3_orders",
     "incremental_distinct_customers",
     # r10 additions (same rule): the composed cleaning pipeline with the
-    # Lee-et-al substring cut, streaming exact distinct under retractions,
-    # and the layout advisor (both curves + rollup in one pass)
+    # Lee-et-al substring cut, the layout advisor (both curves + rollup in
+    # one pass), URL ops, and incremental MIN/MAX. The streaming replay
+    # queries stay out, as all stream_*_replay always have: their wall is
+    # N sequential micro-batch state swaps by construction, so a ratio
+    # against one batch aggregate measures the protocol, not the operator
+    # (stream_incremental_distinct_replay pseudo-ratio was 210x while its
+    # 4x-scaled run was FASTER than base — pure floor).
     "corpus_clean_pipeline_v2",
-    "stream_incremental_distinct_replay",
     "layout_advisor_orders",
     "url_parse_documents",
     "domain_quota_sample_docs",
