@@ -1,9 +1,11 @@
 """End-to-end training-corpus preparation: the 100 TB workflow at toy scale.
 
-quality filter (heuristic + Gopher rule bundle + compression-ratio
+URL governance (parse -> registrable-domain blocklist -> per-domain quota)
+-> quality filter (heuristic + Gopher rule bundle + compression-ratio
 + learned NB gate + bigram-LM perplexity gate + per-language length
 winsorization report)
--> exact dedup -> near-dup dedup (MinHash+LSH clusters)
+-> exact dedup -> variable-length exact-substring cut (Lee et al.)
+-> near-dup dedup (MinHash+LSH clusters)
 -> repeated-span report (corpus-frequent 5-grams)
 -> winnowing local-match audit -> embedding near-dup (IVF-prefiltered GEMM)
 -> SemDeDup (k-means cells + within-cell cosine)
@@ -50,6 +52,36 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
+
+    # 0. URL governance: parse each document's source URL, drop blocklisted
+    #    registrable domains, and cap any single domain's share (the fixture
+    #    has no URL column, so plant one deterministically from doc_id —
+    #    swap for the real column in production)
+    from datapipelines_spark.operators.urls import (
+        domain_blocklist_flag,
+        domain_quota_sample,
+        parse_urls,
+        registrable_domain,
+    )
+
+    hosts = ["news.example.com", "shop.retail.co.uk", "cdn.mirror.net",
+             "blog.spam.net", "docs.example.org", "tracker.spam.net"]
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in hosts]), (F.col("doc_id") % 6 + 1).cast("int")
+    )
+    with_url = docs.withColumn(
+        "url", F.concat(F.lit("https://"), host, F.lit("/d/"), F.col("doc_id"))
+    )
+    parsed = parse_urls(with_url, "url").withColumn(
+        "domain", registrable_domain(F.col("host"))
+    )
+    gated = domain_blocklist_flag(parsed, "domain", ("spam.net",)).where(
+        ~F.col("is_blocked")
+    )
+    docs = domain_quota_sample(gated, "domain", "doc_id", cap=150).select(
+        docs.columns
+    )
+    n0a = docs.count()
 
     # 1. quality gate: length/punctuation/stopword heuristics
     quality = quality_score(docs, text_col="text", id_col="doc_id")
@@ -105,6 +137,26 @@ def main() -> None:
     # 2. exact dedup (content hash, min-id survivor)
     docs = drop_exact_duplicates(docs, text_col="text", id_col="doc_id")
     n2 = docs.count()
+
+    # 2b. the Lee-et-al cut: remove every substring of >= 8 tokens that
+    #     occurs >= 2 times corpus-wide (variable-length exact-substring
+    #     dedup) BEFORE near-dup, so shared boilerplate cannot manufacture
+    #     fake near-duplicates downstream
+    from datapipelines_spark.operators.dedup import remove_duplicate_substrings
+
+    cut = remove_duplicate_substrings(
+        docs, text_col="text", id_col="doc_id", min_len=8, min_count=2
+    )
+    n_cut_tokens = cut.agg(F.sum("n_removed_tokens")).collect()[0][0]
+    docs = (
+        docs.drop("text")
+        .join(cut.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .where(F.col("text") != "")
+        # every downstream stage re-reads the corpus several times; cut the
+        # window-heavy span lineage off here (materialize-before-multiconsumer)
+        .localCheckpoint(eager=True)
+    )
+    n2b = docs.count()
 
     # 3. near-dup dedup: MinHash+LSH pairs -> connected components -> keep
     #    the canonical (min-id) member of each cluster
@@ -226,6 +278,7 @@ def main() -> None:
     n_packs = summary.count()
 
     print(f"documents:        {n0}")
+    print(f"after URL gate:   {n0a} (blocklist + per-domain quota)")
     print(f"after quality:    {n1}")
     print(f"after gopher:     {n1a} (length outliers flagged: {n_len_outliers})")
     print(f"after ratio+NB:   {n1b} (NB-scored: {scores.count()})")
@@ -233,6 +286,7 @@ def main() -> None:
     print(f"embedding pairs:  {n_emb_pairs} (IVF-prefiltered)")
     print(f"local-match pairs:{n_local_pairs} (winnowing)")
     print(f"after exact dedup:{n2}")
+    print(f"after substr cut: {n2b} ({n_cut_tokens} duplicated tokens removed)")
     print(f"after near-dup:   {n3}")
     print(f"after span sweep: {n3a} (SemDeDup would drop {n_sem_dropped} vecs)")
     print(f"after decontam:   {n4}")
