@@ -148,6 +148,8 @@ HEADLINE = [
     "url_parse_documents",
     "domain_quota_sample_docs",
     "incremental_minmax_order_price",
+    "c4_line_clean_documents",
+    "dedup_normalized_exact",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

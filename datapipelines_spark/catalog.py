@@ -103,10 +103,11 @@ WINDOW_ROUND = 10
 #       r10, so it re-enters as a never-green first verdict and leads);
 #   (b) first driver verdicts: the 3 r9 additions that missed the r9
 #       window (kNN components, incremental distinct, 3-D Hilbert) and
-#       the 6 new r10 queries (cleaning pipeline v2 with the substring
+#       the 8 new r10 queries (cleaning pipeline v2 with the substring
 #       cut, streaming distinct under retractions, the layout advisor,
 #       URL parse + domain blocklist, per-domain quota sampling,
-#       incremental MIN/MAX under retractions);
+#       incremental MIN/MAX under retractions, C4 line cleaning,
+#       normalized exact dedup);
 #   (c) r10 behavior/plan changes re-confirmed: sim_knn_graph (gemm path
 #       rewritten: block-pair sub-blocking + eps-extended shortlist) and
 #       dedup_substring_removal (the rebuild now semi-join-probes covered
@@ -127,6 +128,8 @@ FIRST_VERDICTS_R10: tuple[str, ...] = (
     "url_parse_documents",
     "domain_quota_sample_docs",
     "incremental_minmax_order_price",
+    "c4_line_clean_documents",
+    "dedup_normalized_exact",
 )
 
 CHANGED_R10: tuple[str, ...] = (
@@ -172,8 +175,6 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R10 + CHANGED_R10 + (
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
 )
 
 

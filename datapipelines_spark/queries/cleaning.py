@@ -320,6 +320,108 @@ def corpus_clean_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c4_line_clean_documents",
+    oracle="""
+    WITH toksq AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                               t -> t <> '') AS w
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE len(w) >= 1
+    ),
+    chunks AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ')
+               || CASE (doc_id + i) % 3
+                  WHEN 0 THEN '.' WHEN 1 THEN '' ELSE '!' END AS line
+        FROM toksq,
+             LATERAL unnest(generate_series(
+                 0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    extras AS (
+        SELECT doc_id, 1000000 AS i,
+               'var config = { javascript tracking }' AS line
+        FROM toksq WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, 1000001, 'click here.' FROM toksq WHERE doc_id % 5 = 0
+    ),
+    alllines AS (SELECT * FROM chunks UNION ALL SELECT * FROM extras),
+    kept AS (
+        SELECT doc_id, i, line FROM alllines
+        WHERE regexp_matches(line, '[.!?]$')
+          AND len(list_filter(string_split(line, ' '), t -> t <> '')) >= 3
+          AND NOT contains(lower(line), 'javascript')
+          AND NOT contains(lower(line), 'lorem ipsum')
+          AND NOT contains(lower(line), '{')
+    ),
+    nl AS (SELECT doc_id, COUNT(*) AS n FROM alllines GROUP BY doc_id),
+    nk AS (
+        SELECT doc_id, COUNT(*) AS n,
+               string_agg(line, chr(10) ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(nl.n, 0) AS BIGINT) AS n_lines,
+           CAST(COALESCE(nk.n, 0) AS BIGINT) AS n_kept_lines,
+           COALESCE(nk.n, 0) >= 3 AS passes,
+           COALESCE(nk.clean_text, '') AS clean_text
+    FROM toksq t
+    LEFT JOIN nl USING (doc_id)
+    LEFT JOIN nk USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def c4_line_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/text.py:c4_line_filter — the
+    Raffel et al. 2020 §2.2 recipe): keep lines ending in terminal
+    punctuation with >= 3 words and no boilerplate markers; gate the
+    document on >= 3 surviving lines. The fixture's documents are
+    single-line, so each is re-lined deterministically (10-token chunks,
+    terminal mark cycling present/absent by (doc_id + line) % 3) and
+    salted with the paper's own boilerplate shapes — a javascript/brace
+    config line (doc_id %4) and a too-short call-to-action (doc_id %5) —
+    which the filter must drop while counting them in n_lines. Pure array
+    expressions, one map stage, no shuffle; the oracle rebuilds the lines
+    relationally and re-applies every rule.
+
+    Planting domain: documents with at least one token, any embedded
+    newline flattened to a space first — array_join/split then invert
+    exactly, so the operator sees precisely the constructed lines (an
+    all-empty doc would otherwise read back as one empty line)."""
+    from datapipelines_spark.operators.text import c4_line_filter
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.translate(F.col("text"), "\n", " "), " "), lambda t: t != ""
+    )
+    d = d.where(F.size(toks) >= 1)
+    k = F.col("doc_id")
+    nch = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    term = lambda i: (  # noqa: E731
+        F.when((k + i) % 3 == 0, ".").when((k + i) % 3 == 1, "").otherwise("!")
+    )
+    chunk_lines = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)), term(i)
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        chunk_lines,
+        F.when(
+            k % 4 == 0, F.array(F.lit("var config = { javascript tracking }"))
+        ).otherwise(empty),
+        F.when(k % 5 == 0, F.array(F.lit("click here."))).otherwise(empty),
+    )
+    planted = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return c4_line_filter(
+        planted, "text", "doc_id", min_words=3, min_kept_lines=3
+    ).orderBy("doc_id")
+
+
+@query(
     "decontaminate_ngram_overlap",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -634,3 +634,49 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=8,
         min_count=2,
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_normalized_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 1000000,
+               upper(text) || '  !! ' AS text
+        FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+    ),
+    normed AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS norm_md5
+        FROM corpus
+    )
+    SELECT doc_id, norm_md5,
+           doc_id = MIN(doc_id) OVER (PARTITION BY norm_md5)
+               AS is_norm_canonical
+    FROM normed
+    ORDER BY doc_id
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after NORMALIZATION (operators/text.py:
+    normalized_exact_dedup — the RefinedWeb/CCNet fuzzy-exact
+    canonicalization): lowercase, strip non-alphanumerics, collapse
+    whitespace, then min-id per content hash. The corpus is salted with a
+    mutated copy of every 10th document (uppercased, punctuation and
+    space runs appended) under doc_id + 1e6 — byte-level DISTINCT calls
+    each mutation unique, but normalization must collapse every mutated
+    copy onto its original (the original, having the smaller id, stays
+    canonical). Same plan as plain exact dedup: one window over the
+    normalized hash; only (id, hash) pairs shuffle."""
+    from datapipelines_spark.operators.text import normalized_exact_dedup
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    mutated = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  !! ")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    return normalized_exact_dedup(corpus, "text", "doc_id").orderBy("doc_id")
