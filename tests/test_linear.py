@@ -141,3 +141,42 @@ def test_replay_surface_has_no_exp_or_round(spark):
     assert "F.exp(" not in src and "F.round(" not in src
     sql = _logreg_oracle_sql(8, 2, 0.5).upper()
     assert "EXP(" not in sql and "ROUND(" not in sql
+
+
+def test_trainer_replay_across_configs_and_degenerate_labels(spark):
+    """The bit-portability contract must hold at every hyperparameter
+    corner, not just the catalog query's config: odd lr (not a power of
+    two), single epoch, many epochs, tiny bucket space, all-one labels
+    (every residual negative after step one), and a single-document
+    corpus. Exact integer equality against the literal Python replay."""
+    import random
+
+    cases = [
+        dict(buckets=8, epochs=1, lr=1.0, n=7, seed=21),
+        dict(buckets=8, epochs=4, lr=0.25, n=12, seed=22),
+        dict(buckets=32, epochs=2, lr=0.3, n=15, seed=23),
+        dict(buckets=4, epochs=3, lr=0.5, n=1, seed=24),  # single doc
+    ]
+    for case in cases:
+        rng = random.Random(case["seed"])
+        vocab = [f"w{j}" for j in range(7)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+            for i in range(case["n"])
+        ]
+        labels = {i: rng.randint(0, 1) for i, _ in docs}
+        if case["seed"] == 22:
+            labels = {i: 1 for i, _ in docs}  # degenerate: all positive
+        df = spark.createDataFrame(
+            [(i, t, labels[i]) for i, t in docs], "id long, text string, y int"
+        )
+        feats = hashed_ngram_features(df, "text", "id", buckets=case["buckets"])
+        w = logreg_train(
+            feats, df.select("id", "y"), "id",
+            case["buckets"], case["epochs"], case["lr"],
+        )
+        got = {r["bucket"]: r["weight_micro"] for r in w.collect()}
+        want = _py_replay(
+            docs, labels, case["buckets"], case["epochs"], case["lr"]
+        )
+        assert got == want, case
