@@ -182,7 +182,10 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R10 + CHANGED_R10 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+PENDING_FIRST_VERDICT: tuple[str, ...] = (
+    "stream_incremental_minmax_replay",
+    "agg_theta_sketch_distinct",
+)
 
 # r11 rotation plan (build the next PRIORITY_50 from this, in order):
 #   1. any query red or errored in CORRECTNESS_r10 (fix first, then pin);

@@ -292,6 +292,46 @@ def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_theta_sketch_distinct",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(DISTINCT CASE
+                   WHEN CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+                        AS BIGINT) < 536870912
+                   THEN l_partkey END) AS n_sampled,
+               COUNT(DISTINCT l_partkey) AS exact_distinct
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n_sampled,
+           CAST(floor(n_sampled * 8 / 1) AS BIGINT) AS est_distinct,
+           CAST(floor(abs(CAST(floor(n_sampled * 8 / 1) AS BIGINT)
+                          - exact_distinct) * 10000 / exact_distinct)
+                AS BIGINT) AS rel_err_pct_x100,
+           exact_distinct
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def agg_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts per return flag via the θ=1/8 hash-sample sketch
+    (operators/sketch.py:theta_sampled_distinct — the fixed-threshold
+    KMV/Theta family): the map-side hash filter means only ~1/8 of the
+    distinct keys ever shuffle, the survivor count is exact integer data,
+    and the estimate is integer arithmetic — so unlike the HLL query above
+    (engine-private registers, accuracy-flag contract) this sketch is
+    oracle-checked BIT-EXACT, estimate and achieved error included."""
+    from datapipelines_spark.operators.sketch import theta_sampled_distinct
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return theta_sampled_distinct(
+        l, ["l_returnflag"], "l_partkey", theta_num=1, theta_den=8
+    ).orderBy("l_returnflag")
+
+
+@query(
     "rollup_order_totals",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -567,6 +567,117 @@ def stream_incremental_distinct_replay(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "stream_incremental_minmax_replay",
+    oracle="""
+    WITH ranked AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_totalprice, o_orderkey,
+               row_number() OVER (PARTITION BY date_trunc('month', o_orderdate)
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+                   AS rn
+        FROM orders
+    )
+    SELECT month,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM ranked
+    WHERE rn <> 1 AND o_orderkey % 13 <> 0
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def stream_incremental_minmax_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact MIN/MAX maintenance under retractions: the orders
+    fixture becomes a changelog — one insert per order plus a RETRACTION
+    for (a) every ``o_orderkey % 13 == 0`` order and (b) each month's
+    single highest-priced order (ties broken by orderkey; an order in
+    both sets is retracted once) — staged as 8 files and replayed one per
+    micro-batch through ``incremental_state_sink`` keyed on
+    (month, price), i.e. the signed-multiplicity state of
+    ``operators/incremental.py``. ``extreme_view`` over the final state
+    is the exact per-month min/max.
+
+    The deliberately-exercised edge is the one a scalar accumulator
+    cannot survive: retraction (b) deletes EVERY month's current maximum,
+    so the view must fall back to the runner-up price — only the
+    per-(keys, value) multiplicity table knows it. Signed multiplicities
+    make the fold independent of the nondeterministic 8-way file split
+    (an insert and its retraction may land in any micro-batch order); the
+    oracle recomputes min/max over the surviving orders directly.
+    Retractions (a) and (b) are built as ONE predicate over the ranked
+    changelog so an order matching both is never double-retracted (a -1
+    multiplicity would wrongly re-enter the ``cnt != 0`` view). Doubles
+    are only compared, never arithmetic'd, so the replay is bit-portable.
+    Per-batch cost is O(|state| + |batch|), never the stream's history."""
+    import os
+    import shutil
+
+    from datapipelines_spark.operators.incremental import (
+        extreme_view,
+        incremental_state_sink,
+    )
+    from datapipelines_spark.sources.parquet import load_table
+    from pyspark.sql import Window
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join("/tmp", f"spark_graft_ivmx_{tag}")
+    src = os.path.join(base, "src")
+    if not os.path.isdir(src):
+        wmax = Window.partitionBy("month").orderBy(
+            F.desc("price"), F.asc("o_orderkey")
+        )
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.trunc(F.col("o_orderdate"), "month").alias("month"),
+                F.col("o_totalprice").alias("price"),
+                "o_orderkey",
+            )
+            .withColumn("__rn", F.row_number().over(wmax))
+        )
+        inserts = orders.select("month", "price", F.lit(False).alias("retract"))
+        retractions = orders.where(
+            (F.col("__rn") == 1) | (F.col("o_orderkey") % 13 == 0)
+        ).select("month", "price", F.lit(True).alias("retract"))
+        (
+            inserts.unionByName(retractions)
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_state_sink(
+                state, ["month", "price"], [], retract_col="retract"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        extreme_view(spark.read.parquet(state), ["month"], "price")
+        .select(
+            "month",
+            F.col("min_price").alias("min_price"),
+            F.col("max_price").alias("max_price"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
     "stream_topk_types_replay",
     oracle="""
     WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),

@@ -64,3 +64,90 @@ def test_empty_branch_schema_matches_nonempty(spark):
         f.dataType for f in nonempty.schema.fields
     ]
     assert empty.unionByName(nonempty).count() == nonempty.count()
+
+
+# ---------------------------------------------------------------------------
+# theta_sampled_distinct (fixed-θ KMV/theta-sketch family)
+
+
+def _py_portable_hash(v) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def test_theta_sample_matches_literal_python_replay(spark):
+    """n_sampled / est_distinct / rel_err are a pure function of the data
+    and the portable hash — replay the whole sketch in literal Python."""
+    from datapipelines_spark.operators.sketch import theta_sampled_distinct
+
+    rows = [("g%d" % (i % 3), i % 700) for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        r["grp"]: (
+            r["n_sampled"],
+            r["est_distinct"],
+            r["rel_err_pct_x100"],
+            r["exact_distinct"],
+        )
+        for r in theta_sampled_distinct(df, ["grp"], "v", 1, 8).collect()
+    }
+    cutoff = (1 << 32) // 8
+    for g in ("g0", "g1", "g2"):
+        values = {v for grp, v in rows if grp == g}
+        sampled = {v for v in values if _py_portable_hash(v) < cutoff}
+        est = len(sampled) * 8
+        rel = abs(est - len(values)) * 10_000 // len(values)
+        assert got[g] == (len(sampled), est, rel, len(values))
+
+
+def test_theta_estimate_within_5_sigma_on_large_uniform(spark):
+    """Accuracy on a 20k-distinct uniform corpus: SE ≈ sqrt(D·θ(1-θ))/θ;
+    the fixed fixture makes this deterministic, the 5σ budget makes it a
+    real accuracy statement rather than a tautology."""
+    from datapipelines_spark.operators.sketch import theta_sampled_distinct
+
+    d = 20_000
+    df = spark.range(d).selectExpr("'all' AS grp", "id AS v")
+    row = theta_sampled_distinct(df, ["grp"], "v", 1, 8).collect()[0]
+    theta = 1 / 8
+    se = (d * theta * (1 - theta)) ** 0.5 / theta
+    assert abs(row["est_distinct"] - d) <= 5 * se
+    assert row["exact_distinct"] == d
+
+
+def test_theta_sample_is_partitioning_invariant(spark):
+    """Hash-sampled survivors are data-derived: any physical layout gives
+    the identical sketch (SURVEY §7.6 risk 2 discipline)."""
+    from datapipelines_spark.operators.sketch import theta_sampled_distinct
+
+    df = spark.createDataFrame(
+        [("g", i * 37 % 911) for i in range(4000)], "grp string, v long"
+    )
+    a = theta_sampled_distinct(df.repartition(1), ["grp"], "v").collect()
+    b = theta_sampled_distinct(df.repartition(16, "v"), ["grp"], "v").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_theta_duplicates_do_not_inflate_sample(spark):
+    """The sketch counts DISTINCT survivors: replicating every row 7×
+    changes nothing."""
+    from datapipelines_spark.operators.sketch import theta_sampled_distinct
+
+    base = [("g", i) for i in range(1000)]
+    df1 = spark.createDataFrame(base, "grp string, v long")
+    df7 = spark.createDataFrame(base * 7, "grp string, v long")
+    assert (
+        theta_sampled_distinct(df1, ["grp"], "v").collect()
+        == theta_sampled_distinct(df7, ["grp"], "v").collect()
+    )
+
+
+def test_theta_invalid_fraction_rejected(spark):
+    from datapipelines_spark.operators.sketch import theta_sampled_distinct
+
+    df = spark.createDataFrame([("g", 1)], "grp string, v long")
+    with pytest.raises(ValueError):
+        theta_sampled_distinct(df, ["grp"], "v", 8, 8)
+    with pytest.raises(ValueError):
+        theta_sampled_distinct(df, ["grp"], "v", 0, 8)
