@@ -185,6 +185,7 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R10 + CHANGED_R10 + (
 PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "stream_incremental_minmax_replay",
     "agg_theta_sketch_distinct",
+    "sim_sq8_rerank_topk",
 )
 
 # r11 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -719,6 +719,114 @@ def sim_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _sq8_oracle(dim: int = 64, shortlist: int = 20, top_k: int = 5) -> str:
+    """DuckDB replay of the SQ8 pipeline (operators/sq.py): L2
+    normalization (fold-ordered norm, correctly-rounded sqrt/divide),
+    per-dimension min/max fit, byte quantization with the identical
+    clamp(floor((x-min)*255/span)) arithmetic, INTEGER code-L2 shortlist
+    (associative — no summation-order discipline needed), exact cosine
+    re-rank."""
+    r = f"range(1, {dim + 1})"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+    ),
+    en AS (
+        SELECT vec_id, v, nrm,
+               list_transform(v, x -> x / nrm) AS u
+        FROM e
+    ),
+    stats AS (
+        SELECT i.range AS d, MIN(u[i.range]) AS mn, MAX(u[i.range]) AS mx
+        FROM en, {r} i GROUP BY 1
+    ),
+    arrs AS (
+        SELECT array_agg(mn ORDER BY d) AS mins,
+               array_agg(mx ORDER BY d) AS maxs
+        FROM stats
+    ),
+    codes AS (
+        SELECT vec_id,
+               list_transform({r}, i -> CAST(
+                   CASE WHEN maxs[i] = mins[i] THEN 0
+                        ELSE least(255.0, greatest(0.0,
+                            floor((u[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]))))
+                   END AS BIGINT)) AS c
+        FROM en, arrs
+    ),
+    qc AS (SELECT vec_id AS query_id, c AS q FROM codes WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT qc.query_id, codes.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform({r}, i ->
+                    (qc.q[i] - codes.c[i]) * (qc.q[i] - codes.c[i])))
+                    AS BIGINT) AS iscore
+        FROM qc CROSS JOIN codes
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY iscore ASC, neighbor_id ASC)
+                       AS rn
+            FROM scored
+        ) WHERE rn <= {shortlist}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               list_sum(list_transform({r}, i -> q.v[i] * n.v[i]))
+                   / (q.nrm * n.nrm) AS cos_raw
+        FROM short s
+        JOIN e q ON q.vec_id = s.query_id
+        JOIN e n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+    FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC)
+                   AS rank
+        FROM rer
+    )
+    WHERE rank <= {top_k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_sq8_rerank_topk", oracle=_sq8_oracle())
+def sim_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/sq.py): vectors L2-normalized,
+    each dimension affine-mapped to one byte from the corpus min/max
+    (zero training, 4x memory cut), candidates shortlisted by the INTEGER
+    code-space squared L2 — on unit vectors L2 order is cosine order, the
+    per-dim affine offset cancels in differences, and integer scores are
+    associative, so numpy GEMM order, partial per-batch top-C cuts, and
+    the SQL replay agree with no float-order discipline — then the
+    20-deep shortlist re-ranked by exact cosine against the true vectors
+    for the final top-5. Completes the quantization family next to IVF
+    (cell pruning) and PQ (codebook compression)."""
+    from datapipelines_spark.operators.sq import sq8_adc_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    e = e.where(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        > 0
+    )
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    return sq8_adc_rerank_topk(
+        e, queries, "embedding", "vec_id", shortlist=20, top_k=5
+    ).orderBy("query_id", "rank")
+
+
 # k-means training + assignment replay shared with sim_ivf_kmeans_topk's
 # oracle (kept as literal text in both — oracle strings are frozen against
 # refactors on purpose): c0 = k lowest-id vectors, one Lloyd iteration to
