@@ -186,6 +186,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "stream_incremental_minmax_replay",
     "agg_theta_sketch_distinct",
     "sim_sq8_rerank_topk",
+    "dedup_incremental_batch",
 )
 
 # r11 rotation plan (build the next PRIORITY_50 from this, in order):

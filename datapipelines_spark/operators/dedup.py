@@ -1230,3 +1230,89 @@ def semantic_dedup(
             F.col("__dropped").isNull().alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+
+
+def incremental_dedup_verdicts(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    config: MinHashConfig = MinHashConfig(),
+    threshold: float = 0.5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Ingest-time dedup verdicts: one row per ``batch`` document deciding
+    whether it survives against an already-ingested ``corpus`` AND against
+    the rest of its own batch — the shape a 100 TB pipeline actually runs
+    (nobody re-dedups the full corpus per ingest; the new slice is probed
+    against the standing index and itself).
+
+    Output: ``(id, verdict, match_id)`` with verdict one of
+
+    - ``exact_corpus`` — byte-identical to a corpus doc (md5 equality);
+    - ``exact_batch``  — byte-identical to a LOWER-id batch doc;
+    - ``near_corpus``  — minhash-LSH match (jaccard >= ``threshold``) to a
+      corpus doc;
+    - ``near_batch``   — near match to a lower-id batch doc;
+    - ``keep``         — none of the above (the doc enters the corpus).
+
+    Precedence is the listed order (an exact dup is also a near dup; the
+    strongest reason wins); ``match_id`` is the smallest matching partner
+    id of the winning stage, NULL for ``keep`` — deterministic, so the
+    whole decision table is SQL-replayable.
+
+    Scale shape: the corpus NEVER self-joins and never shuffles its text —
+    it pays one md5 scan (32-byte keys) and one signature scan, both of
+    which a production deployment would persist as the standing index; the
+    batch side broadcasts (minhash_lsh_join's corpus-vs-eval asymmetry).
+    Within-batch work is the ordinary banded LSH on the batch alone."""
+    bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    ch = corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+        F.min(id_col).alias("exact_corpus")
+    )
+    exact = bh.join(ch, "__h", "left")
+    # exact within batch: the smallest STRICTLY-earlier id sharing the hash
+    w = (
+        Window.partitionBy("__h")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exact = exact.withColumn("exact_batch", F.min(id_col).over(w)).select(
+        id_col, "exact_corpus", "exact_batch"
+    )
+    near_c = (
+        minhash_lsh_join(
+            corpus, batch, text_col, id_col, config, threshold, impl
+        )
+        .groupBy(F.col("doc_b").alias(id_col))
+        .agg(F.min("doc_a").alias("near_corpus"))
+    )
+    near_b = (
+        minhash_lsh_pairs(
+            batch, text_col, id_col, config, threshold, impl=impl
+        )
+        .groupBy(F.col("doc_b").alias(id_col))
+        .agg(F.min("doc_a").alias("near_batch"))
+    )
+    verdict = (
+        F.when(F.col("exact_corpus").isNotNull(), F.lit("exact_corpus"))
+        .when(F.col("exact_batch").isNotNull(), F.lit("exact_batch"))
+        .when(F.col("near_corpus").isNotNull(), F.lit("near_corpus"))
+        .when(F.col("near_batch").isNotNull(), F.lit("near_batch"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        exact.join(near_c, id_col, "left")
+        .join(near_b, id_col, "left")
+        .select(
+            id_col,
+            verdict.alias("verdict"),
+            F.coalesce(
+                "exact_corpus", "exact_batch", "near_corpus", "near_batch"
+            ).alias("match_id"),
+        )
+    )

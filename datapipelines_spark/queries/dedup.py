@@ -680,3 +680,173 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.select("doc_id", "text").unionByName(mutated)
     return normalized_exact_dedup(corpus, "text", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+
+
+def _incremental_oracle() -> str:
+    """DuckDB replay of incremental_dedup_verdicts over the staged corpus:
+    the identical duplicate planting (exact/near x corpus/batch), md5
+    equality, minhash signatures, band buckets, exact-jaccard
+    verification, and verdict precedence."""
+    h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    mins = ",\n            ".join(
+        f"MIN(({a} * {h} + {b}) % {ops.MERSENNE_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH.coefficients())
+    )
+    band_rows = _MINHASH.num_hashes // _MINHASH.bands
+    band_exprs = []
+    for b in range(_MINHASH.bands):
+        cols = " || '-' || ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(b * band_rows, (b + 1) * band_rows)
+        )
+        band_exprs.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig"
+        )
+    bands = "\n        UNION ALL\n        ".join(band_exprs)
+    return f"""
+    WITH staged AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 20 = 0 THEN COALESCE(c1.text, d.text)
+                    WHEN d.doc_id % 40 = 24 THEN COALESCE(p.text, d.text)
+                    WHEN d.doc_id % 20 = 8
+                         THEN COALESCE(c1.text || ' qq zz xw', d.text)
+                    WHEN d.doc_id % 40 = 32
+                         THEN COALESCE(p.text || ' qq zz xw', d.text)
+                    ELSE d.text END AS text
+        FROM documents d
+        LEFT JOIN documents c1 ON c1.doc_id = d.doc_id + 1
+        LEFT JOIN documents p ON p.doc_id = d.doc_id - 20
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM staged),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sig AS (
+        SELECT doc_id,
+            {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    ch AS (
+        SELECT md5(text) AS hh, MIN(doc_id) AS ec
+        FROM staged WHERE doc_id % 4 <> 0 GROUP BY 1
+    ),
+    bh AS (
+        SELECT doc_id, md5(text) AS hh FROM staged WHERE doc_id % 4 = 0
+    ),
+    exact AS (
+        SELECT bh.doc_id, ch.ec AS exact_corpus,
+               MIN(bh.doc_id) OVER (
+                   PARTITION BY bh.hh ORDER BY bh.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS exact_batch
+        FROM bh LEFT JOIN ch ON bh.hh = ch.hh
+    ),
+    nc_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+    ),
+    nb_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
+    ),
+    nc AS (
+        SELECT v.doc_b AS doc_id, MIN(v.doc_a) AS near_corpus
+        FROM (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM nc_cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY 1, 2
+        ) v
+        JOIN sizes sa ON v.doc_a = sa.doc_id
+        JOIN sizes sb ON v.doc_b = sb.doc_id
+        WHERE v.n_common * 1.0 / (sa.n + sb.n - v.n_common) >= 0.5
+        GROUP BY 1
+    ),
+    nb AS (
+        SELECT v.doc_b AS doc_id, MIN(v.doc_a) AS near_batch
+        FROM (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM nb_cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY 1, 2
+        ) v
+        JOIN sizes sa ON v.doc_a = sa.doc_id
+        JOIN sizes sb ON v.doc_b = sb.doc_id
+        WHERE v.n_common * 1.0 / (sa.n + sb.n - v.n_common) >= 0.5
+        GROUP BY 1
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.exact_corpus IS NOT NULL THEN 'exact_corpus'
+                WHEN e.exact_batch IS NOT NULL THEN 'exact_batch'
+                WHEN nc.near_corpus IS NOT NULL THEN 'near_corpus'
+                WHEN nb.near_batch IS NOT NULL THEN 'near_batch'
+                ELSE 'keep' END AS verdict,
+           COALESCE(e.exact_corpus, e.exact_batch,
+                    nc.near_corpus, nb.near_batch) AS match_id
+    FROM exact e
+    LEFT JOIN nc ON nc.doc_id = e.doc_id
+    LEFT JOIN nb ON nb.doc_id = e.doc_id
+    ORDER BY e.doc_id
+    """
+
+
+@query("dedup_incremental_batch", oracle=_incremental_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup verdicts (operators/dedup.py:
+    incremental_dedup_verdicts): the fixture is split into an
+    already-ingested corpus (doc_id % 4 != 0) and a new batch (% 4 == 0),
+    and the batch is salted with every duplicate class the verdict table
+    distinguishes — exact copies of a corpus neighbor (% 20 == 0), exact
+    copies of an earlier batch doc (% 40 == 24), near copies of each with
+    a planted tail (% 20 == 8 / % 40 == 32). Every batch doc gets
+    (verdict, match_id) with exact > near and corpus > batch precedence.
+
+    The 100 TB point: per ingest, the corpus pays one md5 scan and one
+    signature scan (both persistable as a standing index) and ZERO
+    self-join work — candidate generation is the batch's band keys
+    broadcast against the corpus index; within-batch dedup is the banded
+    LSH on the (small) batch alone."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__t1"))
+    p = d.select((F.col("doc_id") + 20).alias("doc_id"), F.col("text").alias("__tp"))
+    tail = F.lit(" qq zz xw")
+    staged = (
+        d.join(c1, "doc_id", "left")
+        .join(p, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 20 == 0, F.coalesce("__t1", "text"))
+            .when(F.col("doc_id") % 40 == 24, F.coalesce("__tp", "text"))
+            .when(
+                F.col("doc_id") % 20 == 8,
+                F.coalesce(F.concat(F.col("__t1"), tail), F.col("text")),
+            )
+            .when(
+                F.col("doc_id") % 40 == 32,
+                F.coalesce(F.concat(F.col("__tp"), tail), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    corpus = staged.where(F.col("doc_id") % 4 != 0)
+    batch = staged.where(F.col("doc_id") % 4 == 0)
+    return ops.incremental_dedup_verdicts(
+        corpus, batch, "text", "doc_id", _MINHASH, threshold=0.5
+    ).orderBy("doc_id")

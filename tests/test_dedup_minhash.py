@@ -106,3 +106,48 @@ def test_simhash_near_pairs_exact_under_pigeonhole(spark, texts):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup verdicts
+
+
+def test_incremental_verdicts_precedence_and_match_ids(spark):
+    """Hand-built corpus/batch hitting every verdict class and the
+    precedence rules (exact > near, corpus > batch, min partner id)."""
+    from datapipelines_spark.operators.dedup import (
+        MinHashConfig,
+        incremental_dedup_verdicts,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content with no overlap whatsoever here"
+    third = "a third unique document about entirely unrelated matters now"
+    corpus = spark.createDataFrame(
+        [(1, base), (3, base), (5, other)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy of corpus 1 AND 3
+            (12, base),                      # also exact batch copy of 10
+            (14, other + " tail tail"),      # near copy of corpus 5
+            (16, third),                     # first of a batch pair -> keep
+            (18, third + " x y"),            # near copy of batch 16
+            (20, "nothing like anything else at all in this corpus thing"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = MinHashConfig(num_hashes=16, bands=8, ngram=2)
+    got = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in incremental_dedup_verdicts(
+            corpus, batch, "text", "doc_id", cfg, threshold=0.4
+        ).collect()
+    }
+    assert got[10] == ("exact_corpus", 1)      # min corpus partner (1 < 3)
+    assert got[12] == ("exact_corpus", 1)      # corpus beats batch partner 10
+    assert got[14] == ("near_corpus", 5)
+    assert got[16] == ("keep", None)           # earlier doc of the pair stays
+    assert got[18] == ("near_batch", 16)
+    assert got[20] == ("keep", None)
+    assert len(got) == 6
