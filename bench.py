@@ -150,6 +150,12 @@ HEADLINE = [
     "incremental_minmax_order_price",
     "c4_line_clean_documents",
     "dedup_normalized_exact",
+    # late-r10 additions (same rule; stream_incremental_minmax_replay stays
+    # out with the other stream_*_replay): the theta distinct sketch, SQ8
+    # quantized ANN, and ingest-time incremental dedup
+    "agg_theta_sketch_distinct",
+    "sim_sq8_rerank_topk",
+    "dedup_incremental_batch",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

@@ -11,7 +11,9 @@ winsorization report)
 -> SemDeDup (k-means cells + within-cell cosine)
 -> benchmark decontamination (Bloom bitmap, the beyond-broadcast path)
 -> heavy-hitter token report -> length-weighted budget subsample
--> token-budget best-first selection -> sequence packing -> summary.
+-> token-budget best-first selection -> sequence packing -> summary
+-> day-2 ingest: incremental dedup verdicts for a new batch probed against
+the standing corpus (nobody re-dedups 100 TB per ingest).
 
 Every stage is a composable DataFrame operator from datapipelines_spark
 (the same ones the oracle-checked catalog queries use), so this script is
@@ -277,6 +279,34 @@ def main() -> None:
     summary = pack_summary(packed, "n_tokens", ("source",))
     n_packs = summary.count()
 
+    # 6. day-2 ingest: new documents are NOT deduped by re-running the whole
+    #    pipeline over corpus+batch — the batch is probed against the
+    #    standing corpus (exact md5 + minhash bands, both persistable as an
+    #    index) and against itself, and only `keep` rows enter. Here the
+    #    "new batch" is synthesized from the corpus so every verdict class
+    #    fires: exact copies, near copies (tail appended), and fresh docs.
+    from datapipelines_spark.operators.dedup import incremental_dedup_verdicts
+
+    from pyspark.sql import Window as W
+
+    ranked_docs = docs.limit(200).withColumn(
+        "__rn", F.row_number().over(W.orderBy("doc_id"))
+    )
+    batch = ranked_docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.when(F.col("__rn") % 3 == 0, F.col("text"))  # exact corpus dup
+        .when(F.col("__rn") % 3 == 1, F.concat(F.col("text"), F.lit(" qq zz")))
+        .otherwise(F.concat(F.lit("fresh "), F.reverse(F.col("text"))))
+        .alias("text"),
+    )
+    verdicts = incremental_dedup_verdicts(
+        docs, batch, "text", "doc_id", MinHashConfig(), threshold=0.5
+    )
+    ingest_counts = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+
     print(f"documents:        {n0}")
     print(f"after URL gate:   {n0a} (blocklist + per-domain quota)")
     print(f"after quality:    {n1}")
@@ -294,6 +324,7 @@ def main() -> None:
     print(f"after subsample:  {n4b} (length-weighted)")
     print(f"after budget cut: {n4d} (best-first, {budget} tokens)")
     print(f"packs (2048 tok): {n_packs}")
+    print(f"day-2 ingest:     {ingest_counts} (only `keep` rows enter)")
     summary.orderBy("source", "pack_id").show(10, truncate=False)
 
 
