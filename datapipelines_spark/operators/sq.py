@@ -68,18 +68,29 @@ def _normalized_vec(df: DataFrame, vec_col: str, normalize: bool) -> DataFrame:
 
 def sq8_fit(df: DataFrame, vec_col: str, normalize: bool = True) -> tuple[list[float], list[float]]:
     """Per-dimension (mins, maxs) over the (normalized) corpus, as
-    driver-side floats. One aggregate, 2·D scalar outputs; the corpus
-    never shuffles."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if not first:
+    driver-side floats.
+
+    ONE posexplode + per-dimension aggregate: map-side partials mean only
+    D (min, max) pairs per partition shuffle — the corpus never moves. (A
+    flat 2·D-expression ``agg`` was 4x slower even at fixture scale:
+    Catalyst does no common-subexpression elimination ACROSS aggregate
+    children, so each of the 128 aggregates re-evaluated the interpreted
+    normalize transform per row.)"""
+    nd = _normalized_vec(df, vec_col, normalize)
+    rows = (
+        nd.select(F.posexplode(F.col("__v")).alias("__d", "__x"))
+        .groupBy("__d")
+        .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
+        .collect()
+    )
+    if not rows:
         raise ValueError("sq8_fit: empty input")
-    dim = first[0]["d"]
-    row = _normalized_vec(df, vec_col, normalize).agg(
-        *[F.min(F.col("__v")[i]).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(F.col("__v")[i]).alias(f"mx{i}") for i in range(dim)],
-    ).collect()[0]
-    mins = [float(row[f"mn{i}"]) for i in range(dim)]
-    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    byd = {r["__d"]: (r["mn"], r["mx"]) for r in rows}
+    dim = len(byd)
+    if sorted(byd) != list(range(dim)):
+        raise ValueError("sq8_fit: ragged vector lengths")
+    mins = [float(byd[i][0]) for i in range(dim)]
+    maxs = [float(byd[i][1]) for i in range(dim)]
     return mins, maxs
 
 
