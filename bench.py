@@ -156,6 +156,7 @@ HEADLINE = [
     "agg_theta_sketch_distinct",
     "sim_sq8_rerank_topk",
     "dedup_incremental_batch",
+    "layout_hilbert4_orders",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

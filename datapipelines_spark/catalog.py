@@ -187,6 +187,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "agg_theta_sketch_distinct",
     "sim_sq8_rerank_topk",
     "dedup_incremental_batch",
+    "layout_hilbert4_orders",
 )
 
 # r11 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -350,3 +350,198 @@ def layout_advisor(
         F.sum(F.col("a1") - F.col("a0") + 1).cast("bigint").alias("sum_span_a"),
         F.sum(F.col("b1") - F.col("b0") + 1).cast("bigint").alias("sum_span_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# generic d-dimensional Hilbert: the 2-D (4-state) and 3-D (24-state) tables
+# above are hand-fitted instances of one construction — every sub-cube of
+# the Skilling curve is a SIGNED-PERMUTATION copy of the base curve (axis
+# permutation + per-axis complement), so the transducer for ANY dimension
+# can be fitted mechanically: find each top cell's sub-transform by search
+# over the hyperoctahedral group, then BFS-close the reachable orientation
+# set. Fitted tables are cached per dimension and verified against the
+# Skilling reference on full grids in tests/test_hilbert.py.
+
+
+def _skilling_transpose(coords: list[int], bits: int) -> int:
+    """Skilling's transpose algorithm (AIP Conf. Proc. 707, 2004 — public):
+    the d-dimensional Hilbert index of ``coords`` at ``bits`` per axis.
+    Reference implementation, used only at FIT time (never in a plan)."""
+    n = len(coords)
+    X = list(coords)
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    Q = M
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    d = 0
+    for b in range(bits - 1, -1, -1):
+        for i in range(n):
+            d = (d << 1) | ((X[i] >> b) & 1)
+    return d
+
+
+def _sp_apply(perm: tuple, flip: int, coords: list[int], width: int) -> list[int]:
+    """Apply the signed permutation (axis perm + per-axis complement) at the
+    given bit width. Complement over w bits splits per level, which is the
+    property that lets ONE (perm, flip) describe a sub-curve at every
+    depth."""
+    m = (1 << width) - 1
+    return [
+        coords[perm[i]] ^ (m if (flip >> i) & 1 else 0)
+        for i in range(len(perm))
+    ]
+
+
+def _fit_hilbert_fst(n: int) -> tuple[list[int], list[int], int]:
+    """(OUT, NXT, n_states) for the n-dimensional Hilbert transducer.
+
+    Top-digit map D and per-cell sub-transforms S are extracted from the
+    Skilling reference at 3 bits (1 top level + a full 2-level sub-grid to
+    identify S uniquely); the state set is the orientations reachable from
+    the identity under T -> S(T(q)) ∘ T. A cell whose sub-curve is NOT a
+    signed-perm copy of the base would fail the search loudly — it cannot
+    happen for the Skilling construction, and the fitted tables are grid-
+    verified anyway."""
+    import itertools
+
+    bf = 3
+    m = 1 << (bf - 1)
+    radix = 1 << n
+    top_shift = n * (bf - 1)
+    cells = list(itertools.product(range(2), repeat=n))
+    d_map = {
+        c: _skilling_transpose([ci * m for ci in c], bf) >> top_shift
+        for c in cells
+    }
+    sub_grid = list(itertools.product(range(m), repeat=n))
+    base_sub = {y: _skilling_transpose(list(y), bf - 1) for y in sub_grid}
+    cands = [
+        (perm, flip)
+        for perm in itertools.permutations(range(n))
+        for flip in range(radix)
+    ]
+    probes = sub_grid[:: max(1, len(sub_grid) // 5)][:5]
+    s_map = {}
+    for c in cells:
+        offset = d_map[c] << top_shift
+        g = {
+            y: _skilling_transpose([c[i] * m + y[i] for i in range(n)], bf)
+            - offset
+            for y in sub_grid
+        }
+        for perm, flip in cands:
+            if any(
+                g[y] != base_sub[tuple(_sp_apply(perm, flip, list(y), bf - 1))]
+                for y in probes
+            ):
+                continue
+            if all(
+                g[y] == base_sub[tuple(_sp_apply(perm, flip, list(y), bf - 1))]
+                for y in sub_grid
+            ):
+                s_map[c] = (perm, flip)
+                break
+        else:
+            raise AssertionError(
+                f"hilbert fit: no signed-perm sub-transform for cell {c}"
+            )
+    ident = (tuple(range(n)), 0)
+    states: dict[tuple, int] = {ident: 0}
+    order = [ident]
+    out: list[int] = []
+    nxt: list[int] = []
+    i = 0
+    while i < len(order):
+        perm, flip = order[i]
+        for q in range(radix):
+            qbits = [(q >> (n - 1 - j)) & 1 for j in range(n)]
+            c = tuple(_sp_apply(perm, flip, qbits, 1))
+            sp, sf = s_map[c]
+            # S(c) ∘ T: x -> S(c)(T(x))
+            nperm = tuple(perm[sp[j]] for j in range(n))
+            nflip = 0
+            for j in range(n):
+                nflip |= (((sf >> j) & 1) ^ ((flip >> sp[j]) & 1)) << j
+            nt = (nperm, nflip)
+            if nt not in states:
+                states[nt] = len(order)
+                order.append(nt)
+            out.append(d_map[c])
+            nxt.append(states[nt])
+        i += 1
+    return out, nxt, len(order)
+
+
+_HILBERT_FST_CACHE: dict[int, tuple[list[int], list[int], int]] = {}
+
+
+def hilbert_fst_tables(n_dims: int) -> tuple[list[int], list[int], int]:
+    """Fitted (OUT, NXT, n_states) for ``n_dims``, cached per dimension
+    (fit is pure Python, runs once per process, and is deterministic — the
+    SQL oracles inline the same tables)."""
+    if not 2 <= n_dims <= 6:
+        raise ValueError("hilbert_fst_tables supports 2..6 dimensions")
+    if n_dims not in _HILBERT_FST_CACHE:
+        _HILBERT_FST_CACHE[n_dims] = _fit_hilbert_fst(n_dims)
+    return _HILBERT_FST_CACHE[n_dims]
+
+
+def hilbertd_code(qcols: list[Column], bits: int) -> Column:
+    """d-dimensional Hilbert index of ``len(qcols)`` quantized columns —
+    the same O(bits) codegen table-lookup chain as the 2-D/3-D forms, with
+    mechanically fitted tables."""
+    n = len(qcols)
+    out, nxt, _ = hilbert_fst_tables(n)
+    out_arr = F.array(*[F.lit(v) for v in out])
+    nxt_arr = F.array(*[F.lit(v) for v in nxt])
+    radix = 1 << n
+    st = F.lit(0).cast("bigint")
+    d = F.lit(0).cast("bigint")
+    for i in range(bits - 1, -1, -1):
+        q = F.lit(0).cast("bigint")
+        for j, qc in enumerate(qcols):
+            q = q + F.shiftright(qc, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (n - 1 - j)
+            )
+        idx = (st * radix + q).cast("int")
+        d = d * radix + F.get(out_arr, idx).cast("bigint")
+        st = F.get(nxt_arr, idx).cast("bigint")
+    return d
+
+
+def hilbertd_codes(df: DataFrame, cols: list[str], bits: int = 4) -> DataFrame:
+    """Input plus ``hilbertd`` over d min/max-quantized integer columns —
+    one d-dimension stats collect + one codegen stage."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("bigint").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("bigint").alias(f"{c}__max"))
+    stats = df.agg(*aggs).collect()[0]
+    qcols = [
+        _quantize(
+            F.col(c),
+            F.lit(stats[f"{c}__min"]),
+            F.lit(stats[f"{c}__max"]),
+            bits,
+        )
+        for c in cols
+    ]
+    return df.withColumn("hilbertd", hilbertd_code(qcols, bits))

@@ -922,3 +922,95 @@ def layout_advisor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_advisor(
         orders, "o_custkey", "cents", bits=8, n_segments=48
     ).orderBy("layout")
+
+
+def _hilbert4_sql(bits: int) -> str:
+    """DuckDB replay of the mechanically-fitted 4-D Hilbert FST
+    (operators/zorder.py:hilbert_fst_tables(4), 192 states): the tables
+    are inlined ONCE in a `tabs` CTE (3072 entries each) and every bit
+    level cross-joins the single-row table — unlike the 2-D/3-D replays,
+    which could afford to inline their small tables per level."""
+    from datapipelines_spark.operators.zorder import hilbert_fst_tables
+
+    out, nxt, _ = hilbert_fst_tables(4)
+    out_l = "[" + ", ".join(map(str, out)) + "]"
+    nxt_l = "[" + ", ".join(map(str, nxt)) + "]"
+    ctes = [
+        f"tabs AS (SELECT {out_l} AS fo, {nxt_l} AS fx)",
+        "h0 AS (SELECT o_orderkey, qa, qb, qc, qd, 0 AS st0,"
+        " CAST(0 AS BIGINT) AS d0 FROM q)",
+    ]
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        lvl += 1
+        idx = (
+            f"st{lvl-1} * 16 + ((qa >> {i}) & 1) * 8 + ((qb >> {i}) & 1) * 4"
+            f" + ((qc >> {i}) & 1) * 2 + ((qd >> {i}) & 1) + 1"
+        )
+        ctes.append(
+            f"h{lvl} AS (SELECT o_orderkey, qa, qb, qc, qd,"
+            f" fx[{idx}] AS st{lvl},"
+            f" d{lvl-1} * 16 + fo[{idx}] AS d{lvl}"
+            f" FROM h{lvl-1}, tabs)"
+        )
+    return ",\n    ".join(ctes) + (
+        f"\n    SELECT o_orderkey, CAST(d{lvl} AS BIGINT) AS hilbertd FROM h{lvl}"
+    )
+
+
+@query(
+    "layout_hilbert4_orders",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS days
+        FROM orders
+    ),
+    s AS (
+        SELECT MIN(prio) AS amin, MAX(prio) AS amax,
+               MIN(o_custkey) AS bmin, MAX(o_custkey) AS bmax,
+               MIN(cents) AS cmin, MAX(cents) AS cmax,
+               MIN(days) AS dmin, MAX(days) AS dmax
+        FROM c
+    ),
+    q AS (
+        SELECT o_orderkey,
+               ((prio - amin) * 16) // (amax - amin + 1) AS qa,
+               ((o_custkey - bmin) * 16) // (bmax - bmin + 1) AS qb,
+               ((cents - cmin) * 16) // (cmax - cmin + 1) AS qc,
+               ((days - dmin) * 16) // (dmax - dmin + 1) AS qd
+        FROM c, s
+    ),
+    {_hilbert4_sql(4)}
+    ORDER BY o_orderkey
+    """,
+)
+def layout_hilbert4_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-dimensional Hilbert clustering codes via the GENERIC fitted
+    transducer (operators/zorder.py:hilbertd_code — the 2-D/4-state and
+    3-D/24-state tables generalize mechanically; 4-D discovers the
+    192-state orientation set): orders quantized to 4 bits per dimension
+    over (priority rank, o_custkey, price cents, order date) so one
+    OPTIMIZE layout serves selective footer pruning on all four columns.
+    The fitter is verified against Skilling's transpose reference on full
+    grids (tests/test_hilbert.py); the oracle replays the fitted state
+    machine one CTE per bit level with the tables inlined once."""
+    from datapipelines_spark.operators.zorder import hilbertd_codes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("bigint").alias("prio"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    return (
+        hilbertd_codes(orders, ["prio", "o_custkey", "cents", "days"], bits=4)
+        .select("o_orderkey", "hilbertd")
+        .orderBy("o_orderkey")
+    )

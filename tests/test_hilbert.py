@@ -280,3 +280,100 @@ def test_hilbert3_locality_beats_morton3_on_equal_segments(spark):
     assert len(h) == files and len(z) == files
     assert sum(h) / files < sum(z) / files, (sum(h), sum(z))
     assert max(h) <= max(z), (max(h), max(z))
+
+
+# ---------------------------------------------------------------------------
+# generic d-dimensional FST (mechanically fitted from the Skilling curve)
+
+
+def _fst_code_py(out, nxt, n, coords, bits):
+    radix = 1 << n
+    st = d = 0
+    for i in range(bits - 1, -1, -1):
+        q = 0
+        for j in range(n):
+            q = q * 2 + ((coords[j] >> i) & 1)
+        idx = st * radix + q
+        d = d * radix + out[idx]
+        st = nxt[idx]
+    return d
+
+
+def test_fitted_fst_equals_skilling_full_grid_d2_to_d5():
+    """The mechanical fitter must reproduce the Skilling curve exactly at
+    every dimension — and rediscover the canonical orientation counts
+    (4, 24, 192, 1920: the reachable subset of the hyperoctahedral
+    group)."""
+    import itertools
+
+    from datapipelines_spark.operators.zorder import (
+        _skilling_transpose,
+        hilbert_fst_tables,
+    )
+
+    expected_states = {2: 4, 3: 24, 4: 192, 5: 1920}
+    for n, bits in ((2, 5), (3, 4), (4, 3), (5, 2)):
+        out, nxt, ns = hilbert_fst_tables(n)
+        assert ns == expected_states[n]
+        side = 1 << bits
+        for c in itertools.product(range(side), repeat=n):
+            assert _fst_code_py(out, nxt, n, list(c), bits) == _skilling_transpose(
+                list(c), bits
+            ), (n, c)
+
+
+def test_hilbertd_spark_expression_matches_reference_4d(spark):
+    from datapipelines_spark.operators.zorder import hilbertd_code
+
+    bits = 2
+    side = 1 << bits
+    rows = [
+        (a, b, c, d)
+        for a in range(side)
+        for b in range(side)
+        for c in range(side)
+        for d in range(side)
+    ]
+    grid = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    got = {
+        (r["a"], r["b"], r["c"], r["d"]): r["h"]
+        for r in grid.select(
+            "a", "b", "c", "d",
+            hilbertd_code(
+                [F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits
+            ).alias("h"),
+        ).collect()
+    }
+    for coords, h in got.items():
+        assert h == _skilling_d(list(coords), bits), coords
+
+
+def test_hilbertd_consecutive_codes_are_adjacent_cells_4d():
+    """The defining Hilbert property at 4 dimensions: consecutive indices
+    differ by exactly 1 in exactly one axis."""
+    from datapipelines_spark.operators.zorder import hilbert_fst_tables
+
+    import itertools
+
+    n, bits = 4, 3
+    out, nxt, _ = hilbert_fst_tables(n)
+    side = 1 << bits
+    by_code = {}
+    for c in itertools.product(range(side), repeat=n):
+        by_code[_fst_code_py(out, nxt, n, list(c), bits)] = c
+    assert len(by_code) == side**n  # bijective
+    for k in range(len(by_code) - 1):
+        a, b = by_code[k], by_code[k + 1]
+        diffs = [abs(x - y) for x, y in zip(a, b)]
+        assert sum(diffs) == 1, (a, b)
+
+
+def test_hilbertd_rejects_unsupported_dims():
+    import pytest as _pytest
+
+    from datapipelines_spark.operators.zorder import hilbert_fst_tables
+
+    with _pytest.raises(ValueError):
+        hilbert_fst_tables(1)
+    with _pytest.raises(ValueError):
+        hilbert_fst_tables(7)
