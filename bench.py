@@ -157,6 +157,7 @@ HEADLINE = [
     "sim_sq8_rerank_topk",
     "dedup_incremental_batch",
     "layout_hilbert4_orders",
+    "sim_ivf_sq8_topk",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

@@ -188,6 +188,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "sim_sq8_rerank_topk",
     "dedup_incremental_batch",
     "layout_hilbert4_orders",
+    "sim_ivf_sq8_topk",
 )
 
 # r11 rotation plan (build the next PRIORITY_50 from this, in order):

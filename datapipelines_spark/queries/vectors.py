@@ -1095,3 +1095,195 @@ def sim_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _ivf_sq8_oracle(dim: int = 64, shortlist: int = 20, top_k: int = 5) -> str:
+    """DuckDB replay of the COMPOSED ANN plan: IVF coarse quantization
+    (the sim_ivf_topk_probe2 fragment — fixed cells, probe 2) bounds the
+    candidate set, the SQ8 integer code-L2 (the sim_sq8_rerank_topk
+    fragment) shortlists within it, exact cosine re-ranks."""
+    r = f"range(1, {dim + 1})"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+    ),
+    cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+    ranked AS (
+        SELECT e.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_ivf_dot('e.v', 'c.cv')} / (e.nrm * c.cn) DESC,
+                                           c.cell_id) AS rn
+        FROM e JOIN cents c ON true
+    ),
+    corpus_cells AS (SELECT vec_id AS c_id, cell_id FROM ranked WHERE rn = 1),
+    probe_cells AS (SELECT vec_id AS q_id, cell_id FROM ranked
+                    WHERE rn <= 2 AND vec_id % 100 = 0),
+    cand AS (
+        SELECT DISTINCT q_id, c_id
+        FROM probe_cells JOIN corpus_cells USING (cell_id)
+        WHERE q_id <> c_id
+    ),
+    en AS (SELECT vec_id, v, nrm, list_transform(v, x -> x / nrm) AS u FROM e),
+    stats AS (
+        SELECT i.range AS d, MIN(u[i.range]) AS mn, MAX(u[i.range]) AS mx
+        FROM en, {r} i GROUP BY 1
+    ),
+    arrs AS (
+        SELECT array_agg(mn ORDER BY d) AS mins,
+               array_agg(mx ORDER BY d) AS maxs
+        FROM stats
+    ),
+    codes AS (
+        SELECT vec_id,
+               list_transform({r}, i -> CAST(
+                   CASE WHEN maxs[i] = mins[i] THEN 0
+                        ELSE least(255.0, greatest(0.0,
+                            floor((u[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]))))
+                   END AS BIGINT)) AS c
+        FROM en, arrs
+    ),
+    scored AS (
+        SELECT cand.q_id, cand.c_id,
+               CAST(list_sum(list_transform({r}, i ->
+                    (qc.c[i] - cc.c[i]) * (qc.c[i] - cc.c[i])))
+                    AS BIGINT) AS iscore
+        FROM cand
+        JOIN codes qc ON qc.vec_id = cand.q_id
+        JOIN codes cc ON cc.vec_id = cand.c_id
+    ),
+    short AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY iscore ASC, c_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {shortlist}
+    ),
+    rer AS (
+        SELECT s.q_id AS query_id, s.c_id AS neighbor_id,
+               {_ivf_dot('q.v', 'n.v')} / (q.nrm * n.nrm) AS cos_raw
+        FROM short s
+        JOIN e q ON q.vec_id = s.q_id
+        JOIN e n ON n.vec_id = s.c_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+    FROM (
+        SELECT query_id, neighbor_id, cos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id ASC)
+                   AS rank
+        FROM rer
+    )
+    WHERE rank <= {top_k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_ivf_sq8_topk", oracle=_ivf_sq8_oracle())
+def sim_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-vector ANN plan: IVF cell pruning bounds the
+    candidate set (corpus x probes/cells pairs, never corpus x queries),
+    the SQ8 INTEGER code-space L2 shortlists inside it from one-byte
+    codes (the float vector is never touched at scan time), and exact
+    cosine re-ranks the 20-deep shortlist — how sim_sq8_rerank_topk's
+    whole-corpus scan composes at 10^9 vectors, the same IVF+SQ layering
+    FAISS deploys. Because IVF already bounds candidates, the integer
+    scoring runs JVM-side (codegen fold over int arrays) — no Arrow pass
+    needed. All quantized arithmetic is integer, so every stage replays
+    bit-exact in the oracle."""
+    from datapipelines_spark.functions.partitioning import parallelize_small
+    from datapipelines_spark.operators.dedup import _dot, _norm
+    from datapipelines_spark.operators.sq import sq8_encode, sq8_fit
+
+    e = (
+        parallelize_small(
+            load_table(spark, sf_dir, "embeddings").where(
+                F.col("embedding").isNotNull()
+            )
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+    )
+    e = managed_persist(e)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("cell_id"))
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell_id",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias(
+                "cos_raw"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    ranked = managed_persist(ranked)
+    corpus_cells = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("c_id"), "cell_id"
+    )
+    probe_cells = ranked.where(
+        (F.col("rn") <= 2) & (F.col("vec_id") % 100 == 0)
+    ).select(F.col("vec_id").alias("q_id"), "cell_id")
+    cand = (
+        F.broadcast(probe_cells)
+        .join(corpus_cells, "cell_id")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    mins, maxs = sq8_fit(e, "v")
+    codes = managed_persist(sq8_encode(e, "v", "vec_id", mins, maxs))
+    qcodes = codes.select(F.col("vec_id").alias("q_id"), F.col("codes").alias("qc"))
+    ccodes = codes.select(F.col("vec_id").alias("c_id"), F.col("codes").alias("cc"))
+    iscore = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("iscore"), F.asc("c_id"))
+    short = (
+        cand.join(F.broadcast(qcodes), "q_id")
+        .join(ccodes, "c_id")
+        .withColumn("iscore", iscore)
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= 20)
+        .select("q_id", "c_id")
+    )
+    qv = e.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    nv = e.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("nv2"), F.col("nrm").alias("nn2")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(short)
+        .join(nv, "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("nv2")) / (F.col("qn") * F.col("nn2"))).alias(
+                "cos_raw"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
