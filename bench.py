@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "layout_hilbert4_orders",
     "sim_ivf_sq8_topk",
+    "multimodal_qoi_decode",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

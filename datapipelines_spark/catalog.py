@@ -189,6 +189,7 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
     "dedup_incremental_batch",
     "layout_hilbert4_orders",
     "sim_ivf_sq8_topk",
+    "multimodal_qoi_decode",
 )
 
 # r11 rotation plan (build the next PRIORITY_50 from this, in order):

@@ -159,6 +159,10 @@ def decode_array(payload: bytes):
         except ValueError:
             # arithmetic-coded/12-bit streams fall through to PIL if present
             pass
+    if payload[:4] == b"qoif":
+        from datapipelines_spark.operators.qoicodec import decode_qoi
+
+        return decode_qoi(payload)  # lossless; all six ops in-repo
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from datapipelines_spark.operators.pngcodec import decode_png
 

@@ -1745,3 +1745,76 @@ def profile_observed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_seen"], m["null_o_orderstatus"], m["null_o_orderpriority"])],
         "rows_seen bigint, null_o_orderstatus bigint, null_o_orderpriority bigint",
     )
+
+
+@query(
+    "multimodal_qoi_decode",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS w,
+               3 + doc_id % 4 AS h,
+               substr(repeat(md5(text), 5), 1,
+                      CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 - 24 AS INT))
+                   || repeat('A', 24) AS px
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, w AS width, h AS height, 3 AS n_channels,
+           round(list_aggregate(list_transform(range(1, len(px) + 1),
+                 i -> ascii(substr(px, i, 1))), 'avg') / 255.0, 6) AS mean_pixel
+    FROM b ORDER BY doc_id
+    """,
+)
+def multimodal_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, QOI edition (operators/qoicodec.py —
+    the public qoiformat.org spec): each document's md5-derived raster,
+    tailed with 8 solid pixels so the encoder must emit RUN ops on every
+    image (hex-char pixels already force RGB/DIFF/LUMA/INDEX), is encoded
+    to QOI bytes in an Arrow pandas UDF and decoded back by the pure-
+    Python decoder inside the mapInPandas stage (routed by the ``qoif``
+    magic, per-call E4 timeout armed). QOI is LOSSLESS, so unlike the
+    JPEG query's tolerance contract the oracle predicts the decoded mean
+    pixel exactly from the raster formula — the roundtrip must be
+    bit-perfect or the hash fails."""
+    import pandas as pd
+
+    from datapipelines_spark.operators.multimodal import decode_images, real_decode
+
+    @F.pandas_udf("binary")
+    def make_qoi(w, h, raster):
+        import numpy as np
+
+        from datapipelines_spark.operators.qoicodec import encode_qoi
+
+        out = []
+        for wi, hi, rs in zip(w, h, raster):
+            px = np.frombuffer(rs.encode("utf-8"), dtype=np.uint8)
+            out.append(encode_qoi(px.reshape(int(hi), int(wi), 3)))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 4).cast("int")
+    n_px = (w * h * 3).cast("int")
+    raster = F.concat(
+        F.expr(
+            "substring(repeat(md5(text), 5), 1, "
+            "int((4 + doc_id % 5) * (3 + doc_id % 4) * 3 - 24))"
+        ),
+        F.repeat(F.lit("A"), 24),
+    )
+    framed = d.select(
+        F.col("doc_id").cast("string").alias("__key__"),
+        make_qoi(w, h, raster).alias("qoi"),
+    )
+    decoded = decode_images(
+        framed, payload_col="qoi", key_col="__key__",
+        decode_fn=real_decode, on_error="fail", timeout_s=10.0,
+    )
+    return decoded.select(
+        F.col("__key__").cast("bigint").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_channels").cast("bigint").alias("n_channels"),
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    ).orderBy("doc_id")
