@@ -102,6 +102,25 @@ def main(sf_dir: str) -> None:
         f"({hit / max(len(exact), 1):.1%}) at m=16, k=16 "
         f"(8 code bytes vs {64 * 4} float bytes = 32x index compression)"
     )
+
+    # 5) SQ8: the zero-training quantizer — one byte per dimension from the
+    #    corpus min/max, integer code-space L2 shortlist, exact cosine
+    #    re-rank (how sim_sq8_rerank_topk runs; at 10^9 vectors it layers
+    #    under the IVF cells exactly like PQ — sim_ivf_sq8_topk)
+    from datapipelines_spark.operators.sq import sq8_adc_rerank_topk
+
+    sq_top = sq8_adc_rerank_topk(
+        e, e.where(F.col("vec_id") % 100 == 0),
+        "embedding", "vec_id", shortlist=25, top_k=5,
+    )
+    sq_pairs = {(r["query_id"], r["neighbor_id"]) for r in sq_top.collect()}
+    hit = len(exact & sq_pairs)
+    print(
+        f"SQ8 rerank recall@5 vs exact: {hit}/{len(exact)} "
+        f"({hit / max(len(exact), 1):.1%}) at 1 byte/dim "
+        f"(64 code bytes vs {64 * 4} float bytes = 4x index compression, "
+        f"no codebook training)"
+    )
     spark.stop()
 
 
