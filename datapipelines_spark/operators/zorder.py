@@ -510,8 +510,14 @@ def hilbertd_code(qcols: list[Column], bits: int) -> Column:
     mechanically fitted tables."""
     n = len(qcols)
     out, nxt, _ = hilbert_fst_tables(n)
-    out_arr = F.array(*[F.lit(v) for v in out])
-    nxt_arr = F.array(*[F.lit(v) for v in nxt])
+    # The tables ride as HEX STRING literals (digit = 1 char, state = 2
+    # chars) looked up with substr+conv: one tiny plan node each. An array
+    # literal here is a trap twice over — PySpark expands lit(list) /
+    # array(*lits) into a CreateArray with one py4j `lit` call PER ELEMENT
+    # (2 tables x 3072 entries ~ 5 s of DRIVER time per plan build at 4-D),
+    # and the 6144-child expression then bloats analysis/codegen.
+    out_str = F.lit("".join(f"{v:x}" for v in out))
+    nxt_str = F.lit("".join(f"{v:02x}" for v in nxt))
     radix = 1 << n
     st = F.lit(0).cast("bigint")
     d = F.lit(0).cast("bigint")
@@ -521,9 +527,13 @@ def hilbertd_code(qcols: list[Column], bits: int) -> Column:
             q = q + F.shiftright(qc, i).bitwiseAND(F.lit(1)) * F.lit(
                 1 << (n - 1 - j)
             )
-        idx = (st * radix + q).cast("int")
-        d = d * radix + F.get(out_arr, idx).cast("bigint")
-        st = F.get(nxt_arr, idx).cast("bigint")
+        idx = (st * radix + q).cast("bigint")
+        d = d * radix + F.conv(
+            out_str.substr(idx + 1, F.lit(1)), 16, 10
+        ).cast("bigint")
+        st = F.conv(
+            nxt_str.substr(idx * 2 + 1, F.lit(2)), 16, 10
+        ).cast("bigint")
     return d
 
 
