@@ -199,3 +199,10 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = (
 #   4. rotation.reconfirm_queue(before_round=11) verbatim for every
 #      remaining slot — after r10 lands, the queue starts with the ~23
 #      r6-cohort names that did not fit this window, then the r7 cohort.
+#
+# r11 candidate (plan-only change, values identical): port the 2-D/3-D
+# Hilbert FSTs to the hex-string-table lookup the 4-D path uses —
+# lit(list)/array(*lits) cost one py4j call per element at plan-build time
+# (the 4-D fix measured 4.3 s -> 0.85 s; the 192-entry 3-D tables lose
+# ~0.3 s the same way). If done, layout_hilbert_orders /
+# layout_hilbert3_orders / layout_advisor_orders enter block 3.
