@@ -151,3 +151,21 @@ def test_theta_invalid_fraction_rejected(spark):
         theta_sampled_distinct(df, ["grp"], "v", 8, 8)
     with pytest.raises(ValueError):
         theta_sampled_distinct(df, ["grp"], "v", 0, 8)
+
+
+def test_theta_sketch_is_mergeable_across_slices(spark):
+    """The documented mergeability claim, executed: sketching the UNION of
+    two disjoint slices equals merging the slices' survivor sets (distinct
+    union) — i.e. the per-group outputs of the whole equal the outputs
+    computed from the union of the halves, however the corpus is split."""
+    from datapipelines_spark.operators.sketch import theta_sampled_distinct
+
+    rows = [("g%d" % (i % 2), (i * 131) % 2039) for i in range(6000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    half_a = df.where(F.col("v") % 2 == 0)
+    half_b = df.where(F.col("v") % 2 == 1)
+    whole = theta_sampled_distinct(df, ["grp"], "v").collect()
+    merged = theta_sampled_distinct(
+        half_a.unionByName(half_b), ["grp"], "v"
+    ).collect()
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
