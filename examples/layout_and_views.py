@@ -45,7 +45,9 @@ def main(sf_dir: str) -> None:
         "o_totalprice",
     )
     z_dir = os.path.join(work, "orders_zorder")
-    zorder_layout(orders, "o_custkey", "cents", num_files=16).write.parquet(z_dir)
+    zorder_layout(orders, "o_custkey", "cents", num_files=16).write.partitionBy(
+        "zorder_seg"
+    ).parquet(z_dir)
     print(f"z-ordered {spark.read.parquet(z_dir).count()} orders into {z_dir}")
 
     # --- 2. Materialized monthly revenue as mergeable state

@@ -66,7 +66,11 @@ def test_consecutive_codes_are_adjacent_cells(spark):
 
 def _file_spans(path, cols):
     spans = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    files = sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+        + glob.glob(os.path.join(path, "*", "*.parquet"))
+    )
+    for f in files:
         md = pq.ParquetFile(f).metadata
         mins = {c: None for c in cols}
         maxs = {c: None for c in cols}
@@ -86,23 +90,27 @@ def _hits(spans, col, lo, hi):
 
 
 def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path):
-    """Written-layout smoke: under a 16-way Hilbert range split, a
-    10%-wide band on EITHER dimension prunes most files from footer stats
-    alone. (No vs-Morton assertion here: repartitionByRange boundaries
-    come from sampling and shift run to run, so per-file comparisons
-    between the two curves are not stable — the locality comparison lives
-    in the deterministic equal-segment test below.)"""
+    """Written-layout check, now exact: a 16-way EQUAL-CODE Hilbert split
+    of the full 256x256 grid makes each file one level-2 quadrant (a
+    64x64 square — 4096 consecutive codes ARE one quadrant on a Hilbert
+    curve), so a [100, 125] band sits inside the [64, 127] strip and hits
+    exactly 4 of the 16 files on either dimension. Deterministic because
+    the segments are equal CODE ranges, not sampled row-count ranges."""
     n = 256
     grid = spark.createDataFrame(
         [(x, y) for x in range(n) for y in range(n)], "a long, b long"
     )
     hdir = str(tmp_path / "h")
-    hilbert_layout(grid, "a", "b", num_files=16).write.parquet(hdir)
+    hilbert_layout(grid, "a", "b", num_files=16).write.partitionBy(
+        "hilbert_seg"
+    ).parquet(hdir)
     hs = _file_spans(hdir, ["a", "b"])
+    assert len(hs) == 16
+    for s in hs:
+        (a0, a1), (b0, b1) = s["a"], s["b"]
+        assert (a0 % 64, b0 % 64) == (0, 0) and (a1 - a0, b1 - b0) == (63, 63), s
     for col in ("a", "b"):
-        assert _hits(hs, col, 100, 125) <= len(hs) // 2, (
-            f"{col}: hilbert pruned too little"
-        )
+        assert _hits(hs, col, 100, 125) == 4, f"{col}: expected exactly 1 strip"
 
 
 def test_hilbert_locality_beats_morton_on_equal_segments(spark):
@@ -344,6 +352,31 @@ def test_hilbertd_spark_expression_matches_reference_4d(spark):
             ).alias("h"),
         ).collect()
     }
+    for coords, h in got.items():
+        assert h == _skilling_d(list(coords), bits), coords
+
+
+def test_hilbertd_spark_expression_matches_reference_5d(spark):
+    """5-D is where fixed hex widths broke (out digits reach 31 = 2 hex
+    chars, states 1919 = 3 chars — ADVICE r10 #1): the Spark expression
+    must match Skilling with the per-table computed widths."""
+    from datapipelines_spark.operators.zorder import hilbertd_code
+
+    bits = 2
+    side = 1 << bits
+    import itertools
+
+    rows = [tuple(c) for c in itertools.product(range(side), repeat=5)]
+    grid = spark.createDataFrame(rows, "a long, b long, c long, d long, e long")
+    cols = ["a", "b", "c", "d", "e"]
+    got = {
+        tuple(r[c] for c in cols): r["h"]
+        for r in grid.select(
+            *cols,
+            hilbertd_code([F.col(c) for c in cols], bits).alias("h"),
+        ).collect()
+    }
+    assert len(got) == side**5
     for coords, h in got.items():
         assert h == _skilling_d(list(coords), bits), coords
 

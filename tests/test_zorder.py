@@ -16,9 +16,15 @@ N_FILES = 16
 
 
 def _file_ranges(path, cols):
-    """[(min, max) per col] for each data file, from parquet footers only."""
+    """[(min, max) per col] for each data file, from parquet footers only.
+    Recurses one level so ``partitionBy``-written layouts (dir per
+    segment) and flat writes both work."""
     out = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    files = sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+        + glob.glob(os.path.join(path, "*", "*.parquet"))
+    )
+    for f in files:
         md = pq.ParquetFile(f).metadata
         mins = {c: None for c in cols}
         maxs = {c: None for c in cols}
@@ -56,18 +62,23 @@ def test_morton_code_reference_values(spark):
 
 
 def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
-    # deterministic full 256x256 grid: under a perfect 16-way z-range split
-    # each file is a 64x64 square, so a 10%-wide band on either dimension
-    # overlaps ~half the files; range-boundary sampling blurs that a little,
-    # hence the <= 3/4 bar. The single-column sort layout, by contrast,
-    # cannot prune the other dimension AT ALL.
+    # deterministic full 256x256 grid under a 16-way EQUAL-CODE split:
+    # segment = top 4 Morton bits = (b[7], a[7], b[6], a[6]), so each
+    # written file is EXACTLY one 64x64 tile — input-determined (no
+    # sampled range boundaries), hence the rectangles and hit counts are
+    # asserted exactly. A [115, 140] band crosses the 64-tile boundary at
+    # 128, overlapping 2 of the 4 strips on either dimension = 8 of 16
+    # files; the single-column sort layout cannot prune the other
+    # dimension AT ALL.
     grid = spark.range(256 * 256).select(
         F.col("id"),
         (F.col("id") % 256).alias("a"),
         (F.col("id") / 256).cast("bigint").alias("b"),
     )
     z_path = str(tmp_path / "zorder")
-    zorder_layout(grid, "a", "b", N_FILES).write.parquet(z_path)
+    zorder_layout(grid, "a", "b", N_FILES).write.partitionBy(
+        "zorder_seg"
+    ).parquet(z_path)
     lin_path = str(tmp_path / "bya")
     grid.repartitionByRange(N_FILES, "a").sortWithinPartitions("a").write.parquet(
         lin_path
@@ -75,20 +86,20 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
 
     z_ranges = _file_ranges(z_path, ["a", "b"])
     lin_ranges = _file_ranges(lin_path, ["a", "b"])
-    assert len(z_ranges) > N_FILES // 2 and len(lin_ranges) > N_FILES // 2
+    assert len(z_ranges) == N_FILES
+    assert len(lin_ranges) > N_FILES // 2
+    # every file is exactly a 64x64 tile aligned to the 64-grid
+    for r in z_ranges:
+        (a0, a1), (b0, b1) = r["a"], r["b"]
+        assert (a0 % 64, b0 % 64) == (0, 0) and (a1 - a0, b1 - b0) == (63, 63), r
 
     lo, hi = 115, 140  # ~10% band
-    # second dimension: the a-sorted layout reads EVERY file; z-order skips
-    lin_hit = _files_overlapping(lin_ranges, "b", lo, hi)
-    z_hit_b = _files_overlapping(z_ranges, "b", lo, hi)
-    assert lin_hit == len(lin_ranges)
-    assert z_hit_b <= len(z_ranges) * 3 // 4
-    # first dimension still prunes under z-order (rectangles, not stripes)
-    z_hit_a = _files_overlapping(z_ranges, "a", lo, hi)
-    assert z_hit_a <= len(z_ranges) * 3 // 4
-    # and the skipped fraction is substantial on at least one dimension
-    # (sampled range boundaries leave ragged squares: measured 9-10/16)
-    assert min(z_hit_a, z_hit_b) <= len(z_ranges) * 5 // 8
+    # second dimension: the a-sorted layout reads EVERY file; z-order
+    # reads exactly the 2 overlapping strips (8 of 16 tiles)
+    assert _files_overlapping(lin_ranges, "b", lo, hi) == len(lin_ranges)
+    assert _files_overlapping(z_ranges, "b", lo, hi) == 8
+    # first dimension prunes identically (rectangles, not stripes)
+    assert _files_overlapping(z_ranges, "a", lo, hi) == 8
 
 
 def test_zorder_codes_plan_is_one_codegen_stage(spark, sf_dir):
