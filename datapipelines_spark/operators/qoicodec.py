@@ -116,6 +116,23 @@ def decode_qoi(payload: bytes) -> np.ndarray:
     if payload[13] not in (0, 1):
         raise ValueError(f"unsupported QOI colorspace {payload[13]}")
     n = w * h
+    # Plausibility gate BEFORE the allocation: a corrupt/hostile header
+    # with w=h=2^32-1 would otherwise attempt a ~64 GB np.empty. Cap at
+    # the reference decoder's bound (qoi.h QOI_PIXELS_MAX = 400M) AND at
+    # what the stream could possibly encode — each data byte expands to at
+    # most 62 pixels (a QOI_OP_RUN byte).
+    _QOI_PIXELS_MAX = 400_000_000
+    if n > _QOI_PIXELS_MAX:
+        raise ValueError(
+            f"implausible QOI dimensions {w}x{h}: exceeds the "
+            f"{_QOI_PIXELS_MAX} pixel cap"
+        )
+    max_encodable = max(0, len(payload) - 14 - 8) * 62
+    if n > max_encodable:
+        raise ValueError(
+            f"truncated QOI stream: {n} pixels cannot be encoded in "
+            f"{max(0, len(payload) - 22)} data bytes"
+        )
     out = np.empty((n, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r, g, b, a = 0, 0, 0, 255

@@ -122,16 +122,21 @@ def theta_sampled_distinct(
     # floor cannot straddle a boundary (unlike cast, whose tie rule differs
     # across engines).
     est = F.floor(F.col("n_sampled") * theta_den / theta_num).cast("bigint")
-    return agg.select(
-        *keys,
-        "n_sampled",
-        est.alias("est_distinct"),
+    # A group whose value_col is all NULL has exact_distinct = 0
+    # (countDistinct ignores NULLs); guard the division so the error is a
+    # defined 0 (estimate is also 0) instead of Spark-NULL-vs-DuckDB-error
+    # divergence (ADVICE r10 #3).
+    rel_err = F.when(F.col("exact_distinct") == 0, F.lit(0)).otherwise(
         F.floor(
             F.abs(est - F.col("exact_distinct"))
             * 10_000
             / F.col("exact_distinct")
         )
-        .cast("bigint")
-        .alias("rel_err_pct_x100"),
+    )
+    return agg.select(
+        *keys,
+        "n_sampled",
+        est.alias("est_distinct"),
+        rel_err.cast("bigint").alias("rel_err_pct_x100"),
         "exact_distinct",
     )

@@ -80,7 +80,11 @@ def sq8_fit(df: DataFrame, vec_col: str, normalize: bool = True) -> tuple[list[f
     rows = (
         nd.select(F.posexplode(F.col("__v")).alias("__d", "__x"))
         .groupBy("__d")
-        .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
+        .agg(
+            F.min("__x").alias("mn"),
+            F.max("__x").alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
         .collect()
     )
     if not rows:
@@ -89,6 +93,16 @@ def sq8_fit(df: DataFrame, vec_col: str, normalize: bool = True) -> tuple[list[f
     dim = len(byd)
     if sorted(byd) != list(range(dim)):
         raise ValueError("sq8_fit: ragged vector lengths")
+    # Vectors SHORTER than the longest still produce contiguous 0..D-1
+    # positions (the check above passes) but would later break the code
+    # matrix stacking with an opaque numpy error (ADVICE r10 #4): a short
+    # vector under-contributes to the tail dimensions, so per-dimension
+    # row counts diverge exactly when lengths are ragged.
+    if len({r["cnt"] for r in rows}) != 1:
+        raise ValueError(
+            "sq8_fit: ragged vector lengths (per-dimension counts differ — "
+            "all vectors must share one fixed dimension)"
+        )
     mins = [float(byd[i][0]) for i in range(dim)]
     maxs = [float(byd[i][1]) for i in range(dim)]
     return mins, maxs
@@ -137,6 +151,7 @@ def sq8_adc_rerank_topk(
     shortlist: int = 20,
     top_k: int = 5,
     max_queries: int = 10_000,
+    max_corpus: int = 10_000_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): integer code-L2 shortlist
     over the SQ8 index + exact cosine re-rank against the true vectors.
@@ -146,9 +161,27 @@ def sq8_adc_rerank_topk(
     as one int64 matrix. Candidates including the query itself are scored
     — callers filter self-pairs when unwanted (the PQ family convention).
     Corpus vectors must be nonzero (cosine needs a direction); filter
-    zero-norm rows upstream."""
+    zero-norm rows upstream.
+
+    SCALE GUARD: the shortlist stage scans the ENTIRE code table per
+    query batch — linear in corpus size by design (FAISS
+    ``IndexScalarQuantizer`` semantics; measured ``growth_class: linear``
+    in BENCH_r10). That is the right shape for small corpora and re-rank
+    stages, and the wrong one past ~10^7 rows — the composed IVF+SQ8
+    path (query ``sim_ivf_sq8_topk``, queries/vectors.py: IVF cell
+    prefilter + SQ8 codes within probed cells) restricts the scan to
+    probed cells and is the corpus-scale default. Raise ``max_corpus``
+    explicitly to accept the flat scan anyway."""
     if shortlist < top_k:
         raise ValueError("shortlist must be >= top_k")
+    n_corpus = corpus_df.select(F.lit(1)).limit(max_corpus + 1).count()
+    if n_corpus > max_corpus:
+        raise ValueError(
+            f"sq8_adc_rerank_topk: corpus exceeds max_corpus={max_corpus}; "
+            "the flat SQ8 scan is linear in corpus size — use the IVF+SQ8 "
+            "composition (sim_ivf_sq8_topk) at this scale, "
+            "or raise max_corpus to accept the flat scan explicitly"
+        )
     mins, maxs = sq8_fit(corpus_df, vec_col)
     codes = sq8_encode(corpus_df, vec_col, id_col, mins, maxs)
 

@@ -307,9 +307,10 @@ def agg_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            n_sampled,
            CAST(floor(n_sampled * 8 / 1) AS BIGINT) AS est_distinct,
-           CAST(floor(abs(CAST(floor(n_sampled * 8 / 1) AS BIGINT)
-                          - exact_distinct) * 10000 / exact_distinct)
-                AS BIGINT) AS rel_err_pct_x100,
+           CAST(CASE WHEN exact_distinct = 0 THEN 0
+                ELSE floor(abs(CAST(floor(n_sampled * 8 / 1) AS BIGINT)
+                               - exact_distinct) * 10000 / exact_distinct)
+                END AS BIGINT) AS rel_err_pct_x100,
            exact_distinct
     FROM s
     ORDER BY l_returnflag

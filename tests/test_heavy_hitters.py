@@ -101,6 +101,25 @@ def test_theta_sample_matches_literal_python_replay(spark):
         assert got[g] == (len(sampled), est, rel, len(values))
 
 
+def test_theta_all_null_group_yields_zero_error_not_null(spark):
+    """countDistinct ignores NULLs, so an all-NULL group has
+    exact_distinct = 0 — the relative error must be a defined 0, not a
+    Spark-NULL / DuckDB-divide-by-zero portability break (ADVICE r10 #3)."""
+    from datapipelines_spark.operators.sketch import theta_sampled_distinct
+
+    df = spark.createDataFrame(
+        [("nulls", None), ("nulls", None), ("vals", 1), ("vals", 2)],
+        "grp string, v long",
+    )
+    got = {
+        r["grp"]: r for r in theta_sampled_distinct(df, ["grp"], "v", 1, 2).collect()
+    }
+    assert got["nulls"]["exact_distinct"] == 0
+    assert got["nulls"]["est_distinct"] == 0
+    assert got["nulls"]["rel_err_pct_x100"] == 0
+    assert got["vals"]["exact_distinct"] == 2
+
+
 def test_theta_estimate_within_5_sigma_on_large_uniform(spark):
     """Accuracy on a 20k-distinct uniform corpus: SE ≈ sqrt(D·θ(1-θ))/θ;
     the fixed fixture makes this deterministic, the 5σ budget makes it a

@@ -186,3 +186,16 @@ def test_guards(spark):
         )
     with pytest.raises(ValueError, match="empty"):
         sq8_fit(df.where(F.lit(False)), "embedding")
+    with pytest.raises(ValueError, match="max_corpus"):
+        sq8_adc_rerank_topk(
+            df, df, "embedding", "vec_id", shortlist=5, top_k=5, max_corpus=9
+        )
+
+
+def test_fit_rejects_ragged_vector_lengths(spark):
+    # a vector SHORTER than the rest yields contiguous 0..D-1 positions,
+    # so only the per-dimension count check can catch it (ADVICE r10 #4)
+    rows = [(0, [0.1, 0.2, 0.3]), (1, [0.4, 0.5, 0.6]), (2, [0.7, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="ragged"):
+        sq8_fit(df, "embedding")
