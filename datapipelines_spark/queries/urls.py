@@ -11,24 +11,32 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipelines_spark.catalog import query
+from datapipelines_spark.operators.urls import PUBLIC_SUFFIXES_2LD
 from datapipelines_spark.sources.parquet import load_table
 
 BLOCKLIST: tuple[str, ...] = ("spam.net", "malware.example")
 
+#: The oracle's suffix membership test is GENERATED from the operator's
+#: vendored PSL slice, so the two sides cannot drift.
+_SUFFIX_IN = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2LD)
+
 #: Shared oracle CTE chain: the planted URL, its parse, and the
 #: registrable domain — string-identical SQL across both URL queries.
-_URL_SQL = """
+#: The host mix exercises the PSL slice beyond the old heuristic's reach:
+#: gob.mx is a real compound suffix no second-level-label rule matched.
+_URL_SQL = f"""
     u AS (
         SELECT doc_id,
                (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
                || '://'
                || (CASE WHEN doc_id % 5 = 0 THEN 'user@' ELSE '' END)
-               || (CASE doc_id % 6
+               || (CASE doc_id % 7
                    WHEN 0 THEN 'news.example.com'
                    WHEN 1 THEN 'shop.retail.co.uk'
                    WHEN 2 THEN 'Example.Org'
                    WHEN 3 THEN 'cdn.assets.example.com'
                    WHEN 4 THEN 'tracker.spam.net'
+                   WHEN 5 THEN 'portal.datos.gob.mx'
                    ELSE 'blog.spam.net' END)
                || (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
                || '/p/' || CAST(doc_id AS VARCHAR)
@@ -54,8 +62,8 @@ _URL_SQL = """
     dom AS (
         SELECT doc_id, scheme, host, path, url_query,
                CASE WHEN len(labels) <= 1 THEN host
-                    WHEN len(labels) >= 3 AND labels[-2] IN
-                         ('co','com','net','org','ac','gov','edu')
+                    WHEN len(labels) >= 3 AND
+                         (labels[-2] || '.' || labels[-1]) IN ({_SUFFIX_IN})
                     THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
                     ELSE labels[-2] || '.' || labels[-1] END AS domain
         FROM lab
@@ -66,11 +74,12 @@ def _planted_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     k = F.col("doc_id")
     host = (
-        F.when(k % 6 == 0, "news.example.com")
-        .when(k % 6 == 1, "shop.retail.co.uk")
-        .when(k % 6 == 2, "Example.Org")
-        .when(k % 6 == 3, "cdn.assets.example.com")
-        .when(k % 6 == 4, "tracker.spam.net")
+        F.when(k % 7 == 0, "news.example.com")
+        .when(k % 7 == 1, "shop.retail.co.uk")
+        .when(k % 7 == 2, "Example.Org")
+        .when(k % 7 == 3, "cdn.assets.example.com")
+        .when(k % 7 == 4, "tracker.spam.net")
+        .when(k % 7 == 5, "portal.datos.gob.mx")
         .otherwise("blog.spam.net")
     )
     url = F.concat(

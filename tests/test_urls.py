@@ -50,10 +50,56 @@ def test_registrable_domain_suffix_rule(spark):
         ("example.org", "example.org"),
         ("co.uk", "co.uk"),  # 2 labels: never extended to 3
         ("localhost", "localhost"),  # single label passes through
+        # PSL-slice entries the old second-level-label heuristic missed:
+        ("portal.datos.gob.mx", "datos.gob.mx"),
+        ("www.city.or.jp", "city.or.jp"),
+        ("shop.site.com.au", "site.com.au"),
+        ("x.y.ne.kr", "y.ne.kr"),
+        # ...and invented pairs it over-matched (net.de is NOT a suffix):
+        ("a.net.de", "net.de"),
+        ("b.co.com", "co.com"),
     ]
     df = spark.createDataFrame(hosts, "host string, want string")
     rows = df.select("want", registrable_domain(F.col("host")).alias("got")).collect()
     assert all(r["got"] == r["want"] for r in rows), rows
+
+
+def test_registrable_domain_property_vs_python_reference(spark):
+    """Property check: for generated hosts over a label alphabet that
+    includes every suffix-forming label, the Spark expression must agree
+    with a direct Python implementation of the published PSL rule (longest
+    listed suffix + one label) restricted to the vendored 2-label slice."""
+    import itertools
+
+    from datapipelines_spark.operators.urls import PUBLIC_SUFFIXES_2LD
+
+    sfx = set(PUBLIC_SUFFIXES_2LD)
+
+    def ref(host):
+        labels = host.split(".")
+        if len(labels) <= 1:
+            return host
+        if len(labels) >= 3 and ".".join(labels[-2:]) in sfx:
+            return ".".join(labels[-3:])
+        return ".".join(labels[-2:])
+
+    alphabet = ["co", "uk", "com", "au", "gob", "mx", "example", "www", "x"]
+    hosts = [
+        ".".join(t)
+        for n in (1, 2, 3, 4)
+        for t in itertools.product(alphabet, repeat=n)
+    ]
+    # dedupe while keeping deterministic order
+    hosts = list(dict.fromkeys(hosts))
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == ref(h), h
 
 
 def test_blocklist_gates_on_registrable_domain(spark):
