@@ -68,6 +68,8 @@ def all_queries() -> dict[str, QuerySpec]:
         streamrep,
         layout,
         urls,
+        ingest,
+        recall,
     )
 
     ordered: dict[str, QuerySpec] = {}
@@ -94,87 +96,85 @@ def all_queries() -> dict[str, QuerySpec]:
 #: unbounded artifact read made the round's own invariants false the
 #: moment the driver wrote CORRECTNESS_r{WINDOW_ROUND}.json — the window
 #: constants must stay valid before AND after the round lands).
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
-# Round-10 window:
-#   (a) CORRECTNESS_r09 had ONE red — quality_linear_classifier (hash
-#       mismatch from exp()/round(double) oracle non-portability; replay
-#       surface rebuilt on integer micro-units + the rational sigmoid in
-#       r10, so it re-enters as a never-green first verdict and leads);
-#   (b) first driver verdicts: the 3 r9 additions that missed the r9
-#       window (kNN components, incremental distinct, 3-D Hilbert) and
-#       the 8 new r10 queries (cleaning pipeline v2 with the substring
-#       cut, streaming distinct under retractions, the layout advisor,
-#       URL parse + domain blocklist, per-domain quota sampling,
-#       incremental MIN/MAX under retractions, C4 line cleaning,
-#       normalized exact dedup);
-#   (c) r10 behavior/plan changes re-confirmed: sim_knn_graph (gemm path
-#       rewritten: block-pair sub-blocking + eps-extended shortlist) and
-#       dedup_substring_removal (the rebuild now semi-join-probes covered
-#       docs and passes the clean majority through verbatim);
-#   (d) the rest is the computed staleness queue verbatim over r1..r9:
-#       the 15 r5-cohort leftovers, then the r6 cohort in name order.
+# Round-11 window:
+#   (a) CORRECTNESS_r10 was 50/50 green — no red block;
+#   (b) first driver verdicts: the 7 late-r10 additions that missed the
+#       r10 window (theta KMV sketch, incremental-batch dedup verdicts,
+#       4-D Hilbert, QOI decode, IVF+SQ8 and flat-SQ8 ANN, streaming
+#       min/max under retractions) plus the 2 new r11 queries — the
+#       composed URL-governance + incremental-dedup ingest pipeline
+#       (queries/ingest.py) and the ANN recall@5 harness across the four
+#       quantization families (queries/recall.py);
+#   (c) r11 behavior/plan changes re-confirmed: the URL pair (registrable
+#       domain now runs against the vendored PSL 2-label slice and the
+#       planted fixture gained a gob.mx host) and the Hilbert trio
+#       (2-D/3-D FSTs ported to the hex-string-table lookup — values
+#       pinned identical by tests/test_hilbert.py, plans rebuilt);
+#   (d) the rest is the computed staleness queue verbatim over r1..r10:
+#       the 29 r6-cohort names, then the r7 cohort in name order.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
-FIRST_VERDICTS_R10: tuple[str, ...] = (
-    "quality_linear_classifier",  # r9 red, rebuilt — never green yet
-    "sim_knn_components",  # added r9 after the r9 window was pinned
-    "incremental_distinct_customers",
-    "layout_hilbert3_orders",
-    "corpus_clean_pipeline_v2",  # added r10
-    "stream_incremental_distinct_replay",
-    "layout_advisor_orders",
+FIRST_VERDICTS_R11: tuple[str, ...] = (
+    "agg_theta_sketch_distinct",
+    "dedup_incremental_batch",
+    "layout_hilbert4_orders",
+    "multimodal_qoi_decode",
+    "sim_ivf_sq8_topk",
+    "sim_sq8_rerank_topk",
+    "stream_incremental_minmax_replay",
+    "corpus_ingest_pipeline",  # new r11
+    "sim_recall_harness",  # new r11
+)
+
+CHANGED_R11: tuple[str, ...] = (
     "url_parse_documents",
     "domain_quota_sample_docs",
-    "incremental_minmax_order_price",
-    "c4_line_clean_documents",
-    "dedup_normalized_exact",
+    "layout_hilbert_orders",
+    "layout_hilbert3_orders",
+    "layout_advisor_orders",
 )
 
-CHANGED_R10: tuple[str, ...] = (
-    "sim_knn_graph",
-    "dedup_substring_removal",
-)
-
-PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R10 + CHANGED_R10 + (
+PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R11 + CHANGED_R11 + (
     # --- computed staleness queue (rotation.reconfirm_queue() prefix) ---
-    "scalar_array_funcs",
-    "scalar_json_extract",
-    "setop_union_customer_supplier_nations",
-    "shuffle_deterministic_rank",
-    "sim_ivf_topk_probe2",
-    "sim_lsh_candidate_pairs",
-    "sql_grouping_sets_mixed",
-    "sql_lateral_top2_orders",
-    "stream_dedup_exact_replay",
-    "stream_tumbling_1h_replay",
-    "subquery_above_avg_orders",
-    "text_tfidf_top_terms",
-    "unpivot_lineitem_measures",
-    "window_range_frame_30d_spend",
-    "window_topk_parts_per_supplier",
-    "calendar_fill_monthly_orders",
-    "chunk_cdc_dedup",
-    "corr_discount_quantity",
-    "csv_roundtrip",
-    "decontaminate_bloom",
-    "events_funnel_conversion",
-    "events_interpolate_hourly",
-    "events_latest_per_user",
-    "events_session_windows",
-    "events_user_lifetime_stats",
-    "graph_pagerank_trade",
-    "multimodal_gif_decode",
-    "multimodal_ppm_decode",
-    "multimodal_spectral_features",
-    "multimodal_tiff_decode",
-    "orc_roundtrip",
-    "q10_returned_item_revenue",
-    "q11_important_part_value",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_high_volume_part_suppliers",
+    "q22_inactive_rich_customers",
+    "q4_order_priority_waiting",
+    "q5_local_supplier_volume",
+    "q7_nation_trade_volume",
+    "quality_compression_signal",
+    "quality_nb_classifier",
+    "rollup_grouping_id",
+    "scalar_string_funcs_extended",
+    "sim_ivf_kmeans_topk",
+    "skew_salted_quantity_by_flag",
+    "sql_q6_forecast_revenue",
+    "sql_revenue_by_month",
+    "sql_top_customers",
+    "stratified_sample_by_lang",
+    "stream_session_6h_replay",
+    "stream_sliding_1h30m_replay",
+    "stream_stateful_user_stats_replay",
+    "stream_stream_join_replay",
+    "string_agg_nation_names",
+    "text_bm25_search",
+    "text_regex_token_classes",
+    "union_by_name_missing_columns",
+    "vector_label_centroids",
+    "vector_position_stats",
+    "xml_roundtrip",
+    "agg_approx_percentile_contract",
+    "agg_distinct_suppliers_per_flag",
+    "bucketed_join_revenue_by_status",
+    "config_pipeline_quality_filter",
+    "cube_lineitem_flags",
+    "dedup_clusters_longest_survivor",
+    "dedup_exact_normalized",
 )
 
 
@@ -182,27 +182,12 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R10 + CHANGED_R10 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "stream_incremental_minmax_replay",
-    "agg_theta_sketch_distinct",
-    "sim_sq8_rerank_topk",
-    "dedup_incremental_batch",
-    "layout_hilbert4_orders",
-    "sim_ivf_sq8_topk",
-    "multimodal_qoi_decode",
-)
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 
-# r11 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r10 (fix first, then pin);
+# r12 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r11 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r11;
-#   4. rotation.reconfirm_queue(before_round=11) verbatim for every
-#      remaining slot — after r10 lands, the queue starts with the ~23
-#      r6-cohort names that did not fit this window, then the r7 cohort.
-#
-# r11 candidate (plan-only change, values identical): port the 2-D/3-D
-# Hilbert FSTs to the hex-string-table lookup the 4-D path uses —
-# lit(list)/array(*lits) cost one py4j call per element at plan-build time
-# (the 4-D fix measured 4.3 s -> 0.85 s; the 192-entry 3-D tables lose
-# ~0.3 s the same way). If done, layout_hilbert_orders /
-# layout_hilbert3_orders / layout_advisor_orders enter block 3.
+#   3. queries whose plans/outputs change in r12;
+#   4. rotation.reconfirm_queue(before_round=12) verbatim for every
+#      remaining slot — after r11 lands, the queue starts with the r7
+#      cohort names that did not fit this window.

@@ -686,11 +686,24 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental (cross-snapshot) dedup
 
 
-def _incremental_oracle() -> str:
+def _incremental_oracle(
+    corpus_member: str = "{d} % 4 <> 0",
+    batch_member: str = "{d} % 4 = 0",
+    prefix_ctes: str = "",
+    extra_select: str = "",
+    extra_joins: str = "",
+) -> str:
     """DuckDB replay of incremental_dedup_verdicts over the staged corpus:
     the identical duplicate planting (exact/near x corpus/batch), md5
     equality, minhash signatures, band buckets, exact-jaccard
-    verification, and verdict precedence."""
+    verification, and verdict precedence.
+
+    Parameterized so composed pipelines can reuse the whole replay:
+    ``corpus_member`` / ``batch_member`` are format templates over ``{d}``
+    (a doc_id expression) deciding set membership; ``prefix_ctes`` is
+    spliced after the ``staged`` CTE (e.g. URL-gating CTEs a batch
+    predicate references); ``extra_select`` / ``extra_joins`` extend the
+    final projection (queries/ingest.py)."""
     h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
     mins = ",\n            ".join(
         f"MIN(({a} * {h} + {b}) % {ops.MERSENNE_PRIME}) AS h{i}"
@@ -719,7 +732,7 @@ def _incremental_oracle() -> str:
         FROM documents d
         LEFT JOIN documents c1 ON c1.doc_id = d.doc_id + 1
         LEFT JOIN documents p ON p.doc_id = d.doc_id - 20
-    ),
+    ),{prefix_ctes}
     toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM staged),
     sh AS (
         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -737,10 +750,11 @@ def _incremental_oracle() -> str:
     ),
     ch AS (
         SELECT md5(text) AS hh, MIN(doc_id) AS ec
-        FROM staged WHERE doc_id % 4 <> 0 GROUP BY 1
+        FROM staged WHERE {corpus_member.format(d="doc_id")} GROUP BY 1
     ),
     bh AS (
-        SELECT doc_id, md5(text) AS hh FROM staged WHERE doc_id % 4 = 0
+        SELECT doc_id, md5(text) AS hh
+        FROM staged WHERE {batch_member.format(d="doc_id")}
     ),
     exact AS (
         SELECT bh.doc_id, ch.ec AS exact_corpus,
@@ -754,14 +768,16 @@ def _incremental_oracle() -> str:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
-        WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+        WHERE {corpus_member.format(d="a.doc_id")}
+          AND {batch_member.format(d="b.doc_id")}
     ),
     nb_cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
-        WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
+        WHERE {batch_member.format(d="a.doc_id")}
+          AND {batch_member.format(d="b.doc_id")}
     ),
     nc AS (
         SELECT v.doc_b AS doc_id, MIN(v.doc_a) AS near_corpus
@@ -798,35 +814,27 @@ def _incremental_oracle() -> str:
                 WHEN nb.near_batch IS NOT NULL THEN 'near_batch'
                 ELSE 'keep' END AS verdict,
            COALESCE(e.exact_corpus, e.exact_batch,
-                    nc.near_corpus, nb.near_batch) AS match_id
+                    nc.near_corpus, nb.near_batch) AS match_id{extra_select}
     FROM exact e
     LEFT JOIN nc ON nc.doc_id = e.doc_id
-    LEFT JOIN nb ON nb.doc_id = e.doc_id
+    LEFT JOIN nb ON nb.doc_id = e.doc_id{extra_joins}
     ORDER BY e.doc_id
     """
 
 
-@query("dedup_incremental_batch", oracle=_incremental_oracle())
-def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-time dedup verdicts (operators/dedup.py:
-    incremental_dedup_verdicts): the fixture is split into an
-    already-ingested corpus (doc_id % 4 != 0) and a new batch (% 4 == 0),
-    and the batch is salted with every duplicate class the verdict table
-    distinguishes — exact copies of a corpus neighbor (% 20 == 0), exact
-    copies of an earlier batch doc (% 40 == 24), near copies of each with
-    a planted tail (% 20 == 8 / % 40 == 32). Every batch doc gets
-    (verdict, match_id) with exact > near and corpus > batch precedence.
-
-    The 100 TB point: per ingest, the corpus pays one md5 scan and one
-    signature scan (both persistable as a standing index) and ZERO
-    self-join work — candidate generation is the batch's band keys
-    broadcast against the corpus index; within-batch dedup is the banded
-    LSH on the (small) batch alone."""
+def staged_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents fixture with every duplicate class the verdict table
+    distinguishes planted deterministically: exact copy of the next-id doc
+    (% 20 == 0), exact copy of the doc 20 earlier (% 40 == 24), and near
+    copies of each with a 3-token tail (% 20 == 8 / % 40 == 32). Shared
+    by dedup_incremental_batch and the composed ingest pipeline
+    (queries/ingest.py); the SQL twin is _incremental_oracle's ``staged``
+    CTE."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     c1 = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__t1"))
     p = d.select((F.col("doc_id") + 20).alias("doc_id"), F.col("text").alias("__tp"))
     tail = F.lit(" qq zz xw")
-    staged = (
+    return (
         d.join(c1, "doc_id", "left")
         .join(p, "doc_id", "left")
         .select(
@@ -845,6 +853,25 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
+
+
+@query("dedup_incremental_batch", oracle=_incremental_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup verdicts (operators/dedup.py:
+    incremental_dedup_verdicts): the fixture is split into an
+    already-ingested corpus (doc_id % 4 != 0) and a new batch (% 4 == 0),
+    and the batch is salted with every duplicate class the verdict table
+    distinguishes — exact copies of a corpus neighbor (% 20 == 0), exact
+    copies of an earlier batch doc (% 40 == 24), near copies of each with
+    a planted tail (% 20 == 8 / % 40 == 32). Every batch doc gets
+    (verdict, match_id) with exact > near and corpus > batch precedence.
+
+    The 100 TB point: per ingest, the corpus pays one md5 scan and one
+    signature scan (both persistable as a standing index) and ZERO
+    self-join work — candidate generation is the batch's band keys
+    broadcast against the corpus index; within-batch dedup is the banded
+    LSH on the (small) batch alone."""
+    staged = staged_dup_docs(spark, sf_dir)
     corpus = staged.where(F.col("doc_id") % 4 != 0)
     batch = staged.where(F.col("doc_id") % 4 == 0)
     return ops.incremental_dedup_verdicts(

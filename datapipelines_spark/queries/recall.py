@@ -1,0 +1,143 @@
+"""ANN recall harness: measured recall@5 for every quantization family at
+equal candidate budgets, against exact brute-force top-5 — the FAISS-style
+accuracy/efficiency tradeoff table users consult before picking an index
+(VERDICT r10 stretch #8).
+
+One fixture (the ``embeddings`` table), one ground truth
+(``sim_topk_bruteforce``: exact cosine top-5 per every-100th vector,
+self excluded), four approximate families, every stage already
+oracle-checked on its own:
+
+  ivf       sim_ivf_topk_probe2  — 8 fixed cells, probe 2, exact scoring
+  pq        sim_pq_rerank_topk   — 4x4 codebooks, ADC shortlist 20, re-rank
+  sq8       sim_sq8_rerank_topk  — byte codes, int-L2 shortlist 20, re-rank
+  ivf_sq8   sim_ivf_sq8_topk     — IVF cells bounding an SQ8 shortlist 20
+
+Comparison protocol: every family's result is restricted to the common
+query set (vec_id % 100 == 0) with self-pairs dropped — the PQ/SQ8
+convention scores the query itself, so a wasted self slot counts against
+those families exactly as it would in production. Recall columns are
+deterministic integers (hit counts and basis points): every family's tie
+order is pinned, so the measured recall is a constant of the fixture, not
+a run artifact.
+
+Scale shape: the harness adds two hash joins and a 4-group aggregate on
+top of pipelines that are individually scale-shaped; ground truth at 100
+TB comes from the same brute-force operator on a query SAMPLE (its
+max_queries guard), which is exactly how recall is estimated on real
+corpora.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipelines_spark.catalog import _REGISTRY, query
+
+#: family label -> backing catalog query (import side effect registers them)
+from datapipelines_spark.queries import similarity as _qsim  # noqa: F401
+from datapipelines_spark.queries import vectors as _qvec  # noqa: F401
+
+#: (label, catalog query, its neighbor-id column — the PQ family reports
+#: the neighbor as ``vec_id``)
+_FAMILIES: tuple[tuple[str, str, str], ...] = (
+    ("ivf", "sim_ivf_topk_probe2", "neighbor_id"),
+    ("ivf_sq8", "sim_ivf_sq8_topk", "neighbor_id"),
+    ("pq", "sim_pq_rerank_topk", "vec_id"),
+    ("sq8", "sim_sq8_rerank_topk", "neighbor_id"),
+)
+
+
+def _recall_oracle() -> str:
+    """Assembled from the families' own oracle SQL verbatim (nested WITH
+    subqueries), so this oracle cannot drift from the per-family
+    contracts: the replayed family pipelines feed the same
+    restrict-join-count protocol as the Spark side."""
+    exact_sql = _REGISTRY["sim_topk_bruteforce"].oracle
+    fam_ctes = []
+    fam_rows = []
+    for fam, qname, ncol in _FAMILIES:
+        fam_ctes.append(
+            f"""f_{fam} AS (
+        SELECT query_id, {ncol} AS neighbor_id FROM ({_REGISTRY[qname].oracle})
+        WHERE query_id % 100 = 0 AND {ncol} <> query_id
+    )"""
+        )
+        fam_rows.append(
+            f"""SELECT '{fam}' AS family,
+               (SELECT COUNT(*) FROM f_{fam} JOIN exact
+                USING (query_id, neighbor_id)) AS n_hits"""
+        )
+    ctes = ",\n    ".join(fam_ctes)
+    rows = "\n        UNION ALL\n        ".join(fam_rows)
+    return f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id FROM ({exact_sql})
+    ),
+    nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM exact),
+    {ctes},
+    hits AS (
+        {rows}
+    )
+    SELECT family,
+           CAST(nq.n AS BIGINT) AS n_queries,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(floor(n_hits * 10000 / (nq.n * 5)) AS BIGINT) AS recall_bp
+    FROM hits, nq
+    ORDER BY family
+    """
+
+
+@query("sim_recall_harness", oracle=_recall_oracle())
+def sim_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 per ANN family at equal candidate budgets (module
+    docstring): each family's catalog pipeline runs unchanged, its result
+    is restricted to the common protocol (every-100th query, self-pairs
+    dropped), and hits against the exact brute-force top-5 are counted.
+    Output: (family, n_queries, n_hits, recall_bp) — recall in basis
+    points, integer arithmetic only."""
+    exact = (
+        _REGISTRY["sim_topk_bruteforce"]
+        .builder(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    tagged = None
+    for fam, qname, ncol in _FAMILIES:
+        r = (
+            _REGISTRY[qname]
+            .builder(spark, sf_dir)
+            .where(
+                (F.col("query_id") % 100 == 0)
+                & (F.col(ncol) != F.col("query_id"))
+            )
+            .select(
+                F.lit(fam).alias("family"),
+                "query_id",
+                F.col(ncol).alias("neighbor_id"),
+            )
+        )
+        tagged = r if tagged is None else tagged.unionByName(r)
+    hits = (
+        tagged.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("family")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = spark.createDataFrame(
+        [(f,) for f, _, _ in _FAMILIES], "family string"
+    )
+    nq = exact.agg(F.countDistinct("query_id").alias("__n"))
+    return (
+        base.join(hits, "family", "left")
+        .na.fill({"n_hits": 0})
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "family",
+            F.col("__n").cast("bigint").alias("n_queries"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.floor(F.col("n_hits") * 10000 / (F.col("__n") * 5))
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+        .orderBy("family")
+    )
