@@ -159,6 +159,12 @@ HEADLINE = [
     "layout_hilbert4_orders",
     "sim_ivf_sq8_topk",
     "multimodal_qoi_decode",
+    # r11 additions (same rule): the composed URL-governance + incremental
+    # dedup ingest tick, and the ANN recall harness (4 family pipelines +
+    # exact ground truth in one plan — the most join-heavy query in the
+    # catalog, a real stressor for both engines)
+    "corpus_ingest_pipeline",
+    "sim_recall_harness",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an
