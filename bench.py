@@ -165,6 +165,7 @@ HEADLINE = [
     # catalog, a real stressor for both engines)
     "corpus_ingest_pipeline",
     "sim_recall_harness",
+    "dedup_recall_harness",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

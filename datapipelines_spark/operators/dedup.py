@@ -401,6 +401,35 @@ def minhash_lsh_pairs(
     # docs feeds the band-bucket branch AND both verification broadcasts;
     # persist so the signature stage runs once
     docs = managed_persist(_docs_with_signatures(df, text_col, id_col, config, impl))
+    cand = _lsh_candidate_pairs(docs, id_col, config, max_bucket_size)
+    return _pair_jaccard(cand, docs, id_col, threshold)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    config: MinHashConfig = MinHashConfig(),
+    max_bucket_size: int | None = 512,
+    impl: str = "arrow",
+) -> DataFrame:
+    """The band-bucket CANDIDATE pairs alone — ``minhash_lsh_pairs``
+    WITHOUT the exact-jaccard verification. Exposed so accuracy harnesses
+    can measure the banding stage's recall/precision separately from the
+    verified output (queries/recall.py:dedup_recall_harness): band recall
+    is the 1-(1-j^r)^b detection curve made empirical, and band precision
+    is how much exact-verification work the buckets admit."""
+    docs = _docs_with_signatures(df, text_col, id_col, config, impl)
+    return _lsh_candidate_pairs(docs, id_col, config, max_bucket_size)
+
+
+def _lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    config: MinHashConfig,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Distinct ordered (doc_a, doc_b) pairs sharing >= 1 band bucket."""
     bands = lsh_band_keys(docs, id_col, config)
     if max_bucket_size is not None:
         # filter before aggregating: the window's hash partitioning on
@@ -415,7 +444,7 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
         .where(F.size("members") > 1)
     )
-    cand = (
+    return (
         buckets.select(
             F.explode(
                 F.expr(
@@ -428,7 +457,6 @@ def minhash_lsh_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return _pair_jaccard(cand, docs, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -172,6 +172,42 @@ def _minhash_oracle() -> str:
     """
 
 
+def lsh_candidates_oracle() -> str:
+    """DuckDB SQL for the band-bucket CANDIDATE pairs alone (no jaccard
+    verification) — the SQL twin of operators/dedup.py:
+    minhash_lsh_candidates, consumed by the dedup accuracy harness
+    (queries/recall.py)."""
+    h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    mins = ",\n            ".join(
+        f"MIN(({a} * {h} + {b}) % {ops.MERSENNE_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH.coefficients())
+    )
+    band_rows = _MINHASH.num_hashes // _MINHASH.bands
+    band_exprs = []
+    for b in range(_MINHASH.bands):
+        cols = " || '-' || ".join(
+            f"CAST(h{i} AS VARCHAR)" for i in range(b * band_rows, (b + 1) * band_rows)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig")
+    bands = "\n        UNION ALL\n        ".join(band_exprs)
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+            {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) near-dup, verified by exact Jaccard.

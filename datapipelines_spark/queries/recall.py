@@ -89,6 +89,121 @@ def _recall_oracle() -> str:
     """
 
 
+def _dedup_recall_oracle() -> str:
+    """Exact n-gram-Jaccard pairs as ground truth; the LSH band-candidate
+    and verified-pair oracles embedded verbatim; the same
+    restrict-join-count protocol as the ANN harness."""
+    from datapipelines_spark.queries.dedup import lsh_candidates_oracle
+
+    exact_sql = _REGISTRY["dedup_ngram_jaccard"].oracle
+    ver_sql = _REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH exact AS (SELECT doc_a, doc_b FROM ({exact_sql})),
+    cand AS (SELECT doc_a, doc_b FROM ({lsh_candidates_oracle()})),
+    ver AS (SELECT doc_a, doc_b FROM ({ver_sql})),
+    m AS (
+        SELECT 'exact_jaccard' AS stage,
+               (SELECT COUNT(*) FROM exact) AS n_pairs,
+               (SELECT COUNT(*) FROM exact) AS n_true
+        UNION ALL
+        SELECT 'lsh_bands',
+               (SELECT COUNT(*) FROM cand),
+               (SELECT COUNT(*) FROM cand JOIN exact USING (doc_a, doc_b))
+        UNION ALL
+        SELECT 'lsh_verified',
+               (SELECT COUNT(*) FROM ver),
+               (SELECT COUNT(*) FROM ver JOIN exact USING (doc_a, doc_b))
+    ),
+    nx AS (SELECT COUNT(*) AS n FROM exact)
+    SELECT stage,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(CASE WHEN nx.n = 0 THEN 10000
+                ELSE floor(n_true * 10000 / nx.n) END AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN n_pairs = 0 THEN 10000
+                ELSE floor(n_true * 10000 / n_pairs) END AS BIGINT)
+               AS precision_bp
+    FROM m, nx
+    ORDER BY stage
+    """
+
+
+@query("dedup_recall_harness", oracle=_dedup_recall_oracle())
+def dedup_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured accuracy of MinHash-LSH dedup against exact ground truth —
+    the banding tradeoff (1-(1-j^r)^b detection curve) as data instead of
+    folklore. Three stages over the documents corpus at threshold 0.5:
+
+      exact_jaccard   all word-3-gram Jaccard >= 0.5 pairs (ground truth;
+                      recall = precision = 100% by definition)
+      lsh_bands       pairs sharing >= 1 of the 4x4 band buckets — the
+                      candidate stage: recall shows what banding misses,
+                      precision shows how much verification work the
+                      buckets admit
+      lsh_verified    candidates that pass exact-jaccard verification —
+                      precision returns to 100% (verification IS the
+                      ground-truth test on candidates); recall equals the
+                      band stage's hit rate on true pairs
+
+    Counts are deterministic integers; recall/precision in basis points.
+    At 100 TB the harness shape is unchanged — all three stages are the
+    operators already benchmarked alone plus two hash joins on (doc_a,
+    doc_b) and a 3-row aggregate."""
+    from datapipelines_spark.functions.caching import managed_persist
+    from datapipelines_spark.operators import dedup as dops
+    from datapipelines_spark.queries.dedup import _MINHASH
+    from datapipelines_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = managed_persist(
+        dops.ngram_jaccard_pairs(
+            d, text_col="text", id_col="doc_id", n=3, threshold=0.5
+        ).select("doc_a", "doc_b")
+    )
+    cand = dops.minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", config=_MINHASH
+    )
+    ver = dops.minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", config=_MINHASH, threshold=0.5
+    ).select("doc_a", "doc_b")
+
+    tagged = (
+        exact.select(F.lit("exact_jaccard").alias("stage"), "doc_a", "doc_b")
+        .unionByName(cand.select(F.lit("lsh_bands").alias("stage"), "doc_a", "doc_b"))
+        .unionByName(ver.select(F.lit("lsh_verified").alias("stage"), "doc_a", "doc_b"))
+    )
+    counts = tagged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_pairs"))
+    hits = (
+        tagged.join(exact, ["doc_a", "doc_b"])
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    nx = exact.agg(F.count(F.lit(1)).alias("__nx"))
+    base = spark.createDataFrame(
+        [("exact_jaccard",), ("lsh_bands",), ("lsh_verified",)], "stage string"
+    )
+    return (
+        base.join(counts, "stage", "left")
+        .join(hits, "stage", "left")
+        .na.fill({"n_pairs": 0, "n_true": 0})
+        .crossJoin(F.broadcast(nx))
+        .select(
+            "stage",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.when(F.col("__nx") == 0, F.lit(10000))
+            .otherwise(F.floor(F.col("n_true") * 10000 / F.col("__nx")))
+            .cast("bigint")
+            .alias("recall_bp"),
+            F.when(F.col("n_pairs") == 0, F.lit(10000))
+            .otherwise(F.floor(F.col("n_true") * 10000 / F.col("n_pairs")))
+            .cast("bigint")
+            .alias("precision_bp"),
+        )
+        .orderBy("stage")
+    )
+
+
 @query("sim_recall_harness", oracle=_recall_oracle())
 def sim_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 per ANN family at equal candidate budgets (module
