@@ -89,17 +89,50 @@ def _recall_oracle() -> str:
     """
 
 
+#: Graded-similarity planting for the dedup harness: each document with
+#: >= 10 tokens gets a variant keeping its first 50/60/70/80/90% of
+#: tokens (by doc_id % 5) plus a fixed 6-token tail. Trigram Jaccard of
+#: (original, variant) ~ (k-2)/(n+4), so the planted pairs STRADDLE the
+#: 0.5 threshold (50% keeps fall below, 70%+ clear it) and the
+#: just-above-threshold pairs sit where the 4x4 banding curve
+#: 1-(1-j^4)^4 genuinely misses — without them every fixture duplicate
+#: is near-identical (j ~ 1) and band recall reads a trivial 100%.
+_VARIANT_TAIL = "zq1 zq2 zq3 zq4 zq5 zq6"
+_VARIANT_ID_OFFSET = 10_000_000
+
+_AUG_SQL = f"""aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_VARIANT_ID_OFFSET} AS doc_id,
+               array_to_string(
+                   list_slice(w, 1, CAST(greatest(3,
+                       floor(len(w) * (50 + 10 * (doc_id % 5)) / 100))
+                       AS BIGINT)), ' ')
+               || ' {_VARIANT_TAIL}' AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE len(w) >= 10
+    )"""
+
+
 def _dedup_recall_oracle() -> str:
     """Exact n-gram-Jaccard pairs as ground truth; the LSH band-candidate
-    and verified-pair oracles embedded verbatim; the same
-    restrict-join-count protocol as the ANN harness."""
+    and verified-pair oracles embedded verbatim with their corpus scan
+    retargeted (single scan site) to the graded-similarity augmented
+    corpus; the same restrict-join-count protocol as the ANN harness."""
     from datapipelines_spark.queries.dedup import lsh_candidates_oracle
 
-    exact_sql = _REGISTRY["dedup_ngram_jaccard"].oracle
-    ver_sql = _REGISTRY["dedup_minhash_lsh"].oracle
+    exact_sql = _REGISTRY["dedup_ngram_jaccard"].oracle.replace(
+        "FROM documents", "FROM aug"
+    )
+    cand_sql = lsh_candidates_oracle().replace("FROM documents", "FROM aug")
+    ver_sql = _REGISTRY["dedup_minhash_lsh"].oracle.replace(
+        "FROM documents", "FROM aug"
+    )
     return f"""
-    WITH exact AS (SELECT doc_a, doc_b FROM ({exact_sql})),
-    cand AS (SELECT doc_a, doc_b FROM ({lsh_candidates_oracle()})),
+    WITH {_AUG_SQL},
+    exact AS (SELECT doc_a, doc_b FROM ({exact_sql})),
+    cand AS (SELECT doc_a, doc_b FROM ({cand_sql})),
     ver AS (SELECT doc_a, doc_b FROM ({ver_sql})),
     m AS (
         SELECT 'exact_jaccard' AS stage,
@@ -132,7 +165,13 @@ def _dedup_recall_oracle() -> str:
 def dedup_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured accuracy of MinHash-LSH dedup against exact ground truth —
     the banding tradeoff (1-(1-j^r)^b detection curve) as data instead of
-    folklore. Three stages over the documents corpus at threshold 0.5:
+    folklore. The corpus is the documents table augmented with
+    graded-similarity variants (see _AUG_SQL: prefix keeps of 50..90% of
+    tokens straddle the 0.5 Jaccard threshold, so just-above-threshold
+    true pairs exist where banding genuinely misses — measured band
+    recall is meaningfully below 100%, not the trivial 100% a
+    near-identical-duplicates fixture yields). Three stages at
+    threshold 0.5:
 
       exact_jaccard   all word-3-gram Jaccard >= 0.5 pairs (ground truth;
                       recall = precision = 100% by definition)
@@ -154,17 +193,33 @@ def dedup_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipelines_spark.queries.dedup import _MINHASH
     from datapipelines_spark.sources.parquet import load_table
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    k = F.greatest(
+        F.lit(3),
+        F.floor(F.size(w) * (50 + 10 * (F.col("doc_id") % 5)) / 100),
+    ).cast("int")
+    variants = (
+        d.where(F.col("text").isNotNull())
+        .where(F.size(F.split(F.col("text"), " ")) >= 10)
+        .select(
+            (F.col("doc_id") + _VARIANT_ID_OFFSET).alias("doc_id"),
+            F.concat(
+                F.concat_ws(" ", F.slice(w, 1, k)), F.lit(" " + _VARIANT_TAIL)
+            ).alias("text"),
+        )
+    )
+    aug = d.unionByName(variants)
     exact = managed_persist(
         dops.ngram_jaccard_pairs(
-            d, text_col="text", id_col="doc_id", n=3, threshold=0.5
+            aug, text_col="text", id_col="doc_id", n=3, threshold=0.5
         ).select("doc_a", "doc_b")
     )
     cand = dops.minhash_lsh_candidates(
-        d, text_col="text", id_col="doc_id", config=_MINHASH
+        aug, text_col="text", id_col="doc_id", config=_MINHASH
     )
     ver = dops.minhash_lsh_pairs(
-        d, text_col="text", id_col="doc_id", config=_MINHASH, threshold=0.5
+        aug, text_col="text", id_col="doc_id", config=_MINHASH, threshold=0.5
     ).select("doc_a", "doc_b")
 
     tagged = (
