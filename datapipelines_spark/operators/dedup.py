@@ -63,6 +63,66 @@ class MinHashConfig:
         ]
 
 
+def detection_probability(jaccard: float, rows: int, bands: int) -> float:
+    """P(a pair with true Jaccard ``jaccard`` shares >= 1 LSH band bucket)
+    under ``bands`` bands of ``rows`` minhash rows each — the classic
+    1-(1-j^r)^b banding curve (Broder 1997 / Mining of Massive Datasets
+    ch. 3, public). Monotone increasing in ``jaccard``, so a bound at the
+    dedup threshold bounds every true pair above it."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def choose_banding(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_hashes: int = 32,
+    ngram: int = 3,
+) -> MinHashConfig:
+    """Solve the banding curve for a MinHashConfig whose CANDIDATE stage
+    detects pairs at the dedup ``threshold`` with probability at least
+    ``target_recall`` — closed form, no data pass (VERDICT r11 next #2:
+    the accuracy harness measures the 1-(1-j^r)^b curve, this makes it
+    actionable instead of leaving (bands, rows) to folklore).
+
+    For each rows-per-band r, the minimal band count is
+    b(r) = ceil(ln(1-R) / ln(1-t^r)); more rows per band means fewer
+    sub-threshold candidates (precision of the band stage) but more bands
+    (hashes = r*b) to keep recall. The chosen config is the LARGEST r
+    whose r*b(r) still fits ``max_hashes`` — the most selective banding
+    that meets the recall target within the signature budget — with b
+    minimal for that r. Raises if even r=1 cannot meet the target within
+    ``max_hashes`` (then the budget, not the banding, is the problem).
+
+    Since detection probability is monotone in j, the guarantee at the
+    threshold extends to every true pair above it, and exact-Jaccard
+    verification of candidates keeps precision at 100% regardless of r —
+    the tuned arm of queries/recall.py:dedup_recall_harness measures both
+    halves on data."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    best: tuple[int, int] | None = None
+    r = 1
+    while True:
+        # smallest b with 1-(1-t^r)^b >= R  <=>  (1-t^r)^b <= 1-R
+        b = math.ceil(math.log1p(-target_recall) / math.log1p(-(threshold**r)))
+        b = max(b, 1)
+        if r * b > max_hashes:
+            break
+        best = (r, b)
+        r += 1
+    if best is None:
+        raise ValueError(
+            f"no (rows, bands) with rows*bands <= {max_hashes} reaches "
+            f"recall {target_recall} at threshold {threshold}"
+        )
+    rows, bands = best
+    return MinHashConfig(num_hashes=rows * bands, bands=bands, ngram=ngram)
+
+
 # ---------------------------------------------------------------------------
 # exact
 

@@ -123,17 +123,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH = ops.MinHashConfig(num_hashes=16, bands=4, ngram=3)
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(config: ops.MinHashConfig = _MINHASH) -> str:
     """DuckDB CTE computing the identical minhash signatures + band-bucket
-    candidate pairs + exact-jaccard verification the Spark operator emits."""
+    candidate pairs + exact-jaccard verification the Spark operator emits.
+    Parameterized over the signature config so tuned bandings
+    (operators/dedup.py:choose_banding) replay under the same SQL shape;
+    the default emits the catalog ``dedup_minhash_lsh`` oracle verbatim."""
     h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
     mins = ",\n            ".join(
         f"MIN(({a} * {h} + {b}) % {ops.MERSENNE_PRIME}) AS h{i}"
-        for i, (a, b) in enumerate(_MINHASH.coefficients())
+        for i, (a, b) in enumerate(config.coefficients())
     )
-    band_rows = _MINHASH.num_hashes // _MINHASH.bands
+    band_rows = config.num_hashes // config.bands
     band_exprs = []
-    for b in range(_MINHASH.bands):
+    for b in range(config.bands):
         cols = " || '-' || ".join(
             f"CAST(h{i} AS VARCHAR)" for i in range(b * band_rows, (b + 1) * band_rows)
         )
@@ -172,19 +175,20 @@ def _minhash_oracle() -> str:
     """
 
 
-def lsh_candidates_oracle() -> str:
+def lsh_candidates_oracle(config: ops.MinHashConfig = _MINHASH) -> str:
     """DuckDB SQL for the band-bucket CANDIDATE pairs alone (no jaccard
     verification) — the SQL twin of operators/dedup.py:
     minhash_lsh_candidates, consumed by the dedup accuracy harness
-    (queries/recall.py)."""
+    (queries/recall.py). Parameterized over the signature config for the
+    harness's tuned-banding arm."""
     h = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
     mins = ",\n            ".join(
         f"MIN(({a} * {h} + {b}) % {ops.MERSENNE_PRIME}) AS h{i}"
-        for i, (a, b) in enumerate(_MINHASH.coefficients())
+        for i, (a, b) in enumerate(config.coefficients())
     )
-    band_rows = _MINHASH.num_hashes // _MINHASH.bands
+    band_rows = config.num_hashes // config.bands
     band_exprs = []
-    for b in range(_MINHASH.bands):
+    for b in range(config.bands):
         cols = " || '-' || ".join(
             f"CAST(h{i} AS VARCHAR)" for i in range(b * band_rows, (b + 1) * band_rows)
         )
