@@ -8,10 +8,12 @@ One fixture (the ``embeddings`` table), one ground truth
 self excluded), four approximate families, every stage already
 oracle-checked on its own:
 
-  ivf       sim_ivf_topk_probe2  — 8 fixed cells, probe 2, exact scoring
-  pq        sim_pq_rerank_topk   — 4x4 codebooks, ADC shortlist 20, re-rank
-  sq8       sim_sq8_rerank_topk  — byte codes, int-L2 shortlist 20, re-rank
-  ivf_sq8   sim_ivf_sq8_topk     — IVF cells bounding an SQ8 shortlist 20
+  ivf_p1/p2/p4  ivf_topk_probe(p)    — 8 fixed cells, probes swept 1/2/4
+                                       (the probes-vs-recall curve as data;
+                                       recall must be monotone in probes)
+  pq            sim_pq_rerank_topk   — 4x4 codebooks, ADC shortlist 20, re-rank
+  sq8           sim_sq8_rerank_topk  — byte codes, int-L2 shortlist 20, re-rank
+  ivf_sq8       sim_ivf_sq8_topk     — IVF cells bounding an SQ8 shortlist 20
 
 Comparison protocol: every family's result is restricted to the common
 query set (vec_id % 100 == 0) with self-pairs dropped — the PQ/SQ8
@@ -30,6 +32,8 @@ corpora.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,14 +43,39 @@ from datapipelines_spark.catalog import _REGISTRY, query
 from datapipelines_spark.queries import similarity as _qsim  # noqa: F401
 from datapipelines_spark.queries import vectors as _qvec  # noqa: F401
 
-#: (label, catalog query, its neighbor-id column — the PQ family reports
-#: the neighbor as ``vec_id``)
-_FAMILIES: tuple[tuple[str, str, str], ...] = (
-    ("ivf", "sim_ivf_topk_probe2", "neighbor_id"),
-    ("ivf_sq8", "sim_ivf_sq8_topk", "neighbor_id"),
-    ("pq", "sim_pq_rerank_topk", "vec_id"),
-    ("sq8", "sim_sq8_rerank_topk", "neighbor_id"),
-)
+#: IVF probe counts swept by the harness (VERDICT r11 next #3): the IVF
+#: operating question at 100 TB is "how many probes for recall X" — the
+#: arms measure the probes/recall curve at equal per-probe budgets, and
+#: tests/test_recall_harness.py asserts recall is monotone in probes.
+_IVF_PROBES = (1, 2, 4)
+
+
+def _family_specs() -> list[tuple[str, str, Callable, str]]:
+    """(label, oracle_sql, builder, neighbor-id column) per harness arm —
+    the IVF arms share one parameterized pipeline (queries/vectors.py:
+    ivf_topk_probe) swept over probe counts; the quantization families are
+    the catalog queries verbatim (the PQ family reports the neighbor as
+    ``vec_id``)."""
+    from datapipelines_spark.queries.vectors import ivf_topk_oracle, ivf_topk_probe
+
+    specs: list[tuple[str, str, Callable, str]] = []
+    for p in _IVF_PROBES:
+        specs.append(
+            (
+                f"ivf_p{p}",
+                ivf_topk_oracle(p),
+                (lambda pp: lambda spark, sf: ivf_topk_probe(spark, sf, pp))(p),
+                "neighbor_id",
+            )
+        )
+    for fam, qname, ncol in (
+        ("ivf_sq8", "sim_ivf_sq8_topk", "neighbor_id"),
+        ("pq", "sim_pq_rerank_topk", "vec_id"),
+        ("sq8", "sim_sq8_rerank_topk", "neighbor_id"),
+    ):
+        spec = _REGISTRY[qname]
+        specs.append((fam, spec.oracle, spec.builder, ncol))
+    return specs
 
 
 def _recall_oracle() -> str:
@@ -57,10 +86,10 @@ def _recall_oracle() -> str:
     exact_sql = _REGISTRY["sim_topk_bruteforce"].oracle
     fam_ctes = []
     fam_rows = []
-    for fam, qname, ncol in _FAMILIES:
+    for fam, fam_sql, _builder, ncol in _family_specs():
         fam_ctes.append(
             f"""f_{fam} AS (
-        SELECT query_id, {ncol} AS neighbor_id FROM ({_REGISTRY[qname].oracle})
+        SELECT query_id, {ncol} AS neighbor_id FROM ({fam_sql})
         WHERE query_id % 100 = 0 AND {ncol} <> query_id
     )"""
         )
@@ -372,11 +401,11 @@ def sim_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .builder(spark, sf_dir)
         .select("query_id", "neighbor_id")
     )
+    specs = _family_specs()
     tagged = None
-    for fam, qname, ncol in _FAMILIES:
+    for fam, _sql, builder, ncol in specs:
         r = (
-            _REGISTRY[qname]
-            .builder(spark, sf_dir)
+            builder(spark, sf_dir)
             .where(
                 (F.col("query_id") % 100 == 0)
                 & (F.col(ncol) != F.col("query_id"))
@@ -394,7 +423,7 @@ def sim_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     base = spark.createDataFrame(
-        [(f,) for f, _, _ in _FAMILIES], "family string"
+        [(f,) for f, _, _, _ in specs], "family string"
     )
     nq = exact.agg(F.countDistinct("query_id").alias("__n"))
     return (

@@ -173,9 +173,12 @@ def text_regex_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "sim_ivf_topk_probe2",
-    oracle=f"""
+def ivf_topk_oracle(probes: int = 2) -> str:
+    """DuckDB replay of the fixed-cell IVF search, parameterized over the
+    probe count (VERDICT r11 next #3 — the probes/recall tradeoff arm of
+    queries/recall.py:sim_recall_harness). probes=2 emits the catalog
+    ``sim_ivf_topk_probe2`` oracle verbatim."""
+    return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
@@ -193,7 +196,7 @@ def text_regex_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     corpus_cells AS (SELECT vec_id AS c_id, cell_id FROM ranked WHERE rn = 1),
     probe_cells AS (SELECT vec_id AS q_id, cell_id FROM ranked
-                    WHERE rn <= 2 AND vec_id % 100 = 0),
+                    WHERE rn <= {probes} AND vec_id % 100 = 0),
     cand AS (
         SELECT q_id, c_id FROM probe_cells JOIN corpus_cells USING (cell_id)
         WHERE q_id <> c_id
@@ -212,17 +215,21 @@ def text_regex_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cos_raw, 6) AS cosine, rank
     FROM scored WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
-)
-def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def ivf_topk_probe(spark: SparkSession, sf_dir: str, probes: int = 2) -> DataFrame:
     """Full IVF ANN search: coarse-quantize the corpus (nearest of 8 cells),
-    probe each query's 2 nearest cells, exact-score only cell-mates, top-5.
+    probe each query's ``probes`` nearest cells, exact-score only
+    cell-mates, top-5.
 
     The 100 TB plan: centroids broadcast (map-only assignment of the
     corpus), probe lists broadcast against cell-keyed candidates — the
     scored pair count is corpus/cells * probes per query instead of the
     brute-force corpus * queries. Assignment table feeds both the corpus
-    and probe branches, so it is persisted."""
+    and probe branches, so it is persisted. ``probes`` is the IVF
+    operating knob: more probes linearly more scoring work, monotonically
+    more recall (measured per probe count by sim_recall_harness)."""
     from datapipelines_spark.operators.dedup import _dot, _norm
     from datapipelines_spark.functions.partitioning import parallelize_small
 
@@ -254,9 +261,9 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cells = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("c_id"), "cell_id"
     )
-    probe_cells = ranked.where((F.col("rn") <= 2) & (F.col("vec_id") % 100 == 0)).select(
-        F.col("vec_id").alias("q_id"), "cell_id"
-    )
+    probe_cells = ranked.where(
+        (F.col("rn") <= probes) & (F.col("vec_id") % 100 == 0)
+    ).select(F.col("vec_id").alias("q_id"), "cell_id")
     cand = (
         F.broadcast(probe_cells)
         .join(corpus_cells, "cell_id")
@@ -283,6 +290,14 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query("sim_ivf_topk_probe2", oracle=ivf_topk_oracle(2))
+def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probes=2 operating point of ``ivf_topk_probe`` — kept as the
+    catalog's named IVF search; the recall harness sweeps probes 1/2/4
+    through the same parameterized pipeline."""
+    return ivf_topk_probe(spark, sf_dir, probes=2)
 
 
 @query(
