@@ -26,6 +26,8 @@ mandate (SURVEY §2.10) with the standard four:
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -211,15 +213,32 @@ def parse_urls(df: DataFrame, url_col: str) -> DataFrame:
 
 
 def registrable_domain(
-    host: Column, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES_2LD
+    host: Column,
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES_2LD,
+    rules: "PublicSuffixRules | None" = None,
+    suffix_file: str | None = None,
 ) -> Column:
-    """The registrable domain of a lowercased host: last two labels, or
-    last three when the trailing two labels form a listed compound public
-    suffix (``a.b.co.uk`` -> ``b.co.uk``). Single-label hosts pass
-    through unchanged; a host that IS a listed suffix (e.g. ``co.uk``)
-    also passes through — it has no registrable part. The membership test
-    compiles to a codegen'd isin over the vendored PSL slice; no UDF, no
-    shuffle."""
+    """The registrable domain of a lowercased host.
+
+    Zero-config default (``suffixes``): last two labels, or last three
+    when the trailing two labels form a listed compound public suffix
+    (``a.b.co.uk`` -> ``b.co.uk``) — the vendored 2-label ICANN slice.
+
+    Full-snapshot mode (VERDICT r11 next #4): pass ``suffix_file`` (a
+    ``public_suffix_list.dat`` path) or pre-parsed ``rules``, and the
+    complete publicsuffix.org algorithm runs — multi-label exact rules,
+    ``*.``-wildcard rules, and ``!``-exception rules included — still as
+    pure codegen'd label expressions (``registrable_domain_psl``).
+
+    In every mode: single-label hosts pass through unchanged, and a host
+    that IS a public suffix (e.g. ``co.uk``) also passes through — it has
+    no registrable part. No UDF, no shuffle."""
+    if suffix_file is not None:
+        if rules is not None:
+            raise ValueError("pass either rules or suffix_file, not both")
+        rules = load_public_suffix_list(suffix_file)
+    if rules is not None:
+        return registrable_domain_psl(host, rules)
     labels = F.split(host, "[.]")
     n = F.size(labels)
     last3 = F.concat_ws(
@@ -233,6 +252,130 @@ def registrable_domain(
         F.when(n <= 1, host)
         .when((n >= 3) & last2.isin(*suffixes), last3)
         .otherwise(last2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# full Public Suffix List semantics
+
+
+@dataclass(frozen=True)
+class PublicSuffixRules:
+    """A parsed PSL snapshot: ``exact`` normal rules ("com", "co.uk",
+    "act.edu.au"), ``wildcard`` parents (the "X" of "*.X" rules), and
+    ``exception`` rules (the "www.ck" of "!www.ck"). All lowercase,
+    dot-separated labels, no leading markers."""
+
+    exact: frozenset = field(default_factory=frozenset)
+    wildcard: frozenset = field(default_factory=frozenset)
+    exception: frozenset = field(default_factory=frozenset)
+
+
+def parse_public_suffix_list(text: str) -> PublicSuffixRules:
+    """Parse ``public_suffix_list.dat`` content per the publicsuffix.org
+    format: one rule per line, ``//`` comments and blank lines ignored,
+    everything after the first whitespace ignored, ``*.`` prefixes are
+    wildcard rules (the wildcard matches exactly one label), ``!``
+    prefixes are exception rules. ICANN and private sections are both
+    kept — section choice is a snapshot-preparation concern, not a
+    parser one."""
+    exact, wild, exc = set(), set(), set()
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0].lower()
+        if rule.startswith("!"):
+            exc.add(rule[1:])
+        elif rule.startswith("*."):
+            wild.add(rule[2:])
+        elif rule == "*":
+            continue  # the implicit default rule; always in effect anyway
+        else:
+            exact.add(rule)
+    return PublicSuffixRules(frozenset(exact), frozenset(wild), frozenset(exc))
+
+
+def load_public_suffix_list(path: str) -> PublicSuffixRules:
+    """Read + parse a PSL snapshot file (UTF-8)."""
+    with open(path, encoding="utf-8") as fh:
+        return parse_public_suffix_list(fh.read())
+
+
+def _last_labels(labels: Column, k: int) -> Column:
+    """The host's last ``k`` labels joined with '.'; for hosts with fewer
+    than ``k`` labels the missing element_at(-i) are NULL and concat_ws
+    skips them, yielding a SHORTER string that can never equal a k-label
+    rule (label counts differ) — so no explicit size guard is needed for
+    equality tests against k-label rule sets."""
+    return F.concat_ws(".", *[F.element_at(labels, -i) for i in range(k, 0, -1)])
+
+
+def registrable_domain_psl(host: Column, rules: PublicSuffixRules) -> Column:
+    """The registrable domain under the COMPLETE publicsuffix.org
+    algorithm, compiled to one when-chain of label expressions:
+
+    1. exception rules win outright: a host whose last k labels equal a
+       ``!``-rule has public suffix = the rule minus its leftmost label,
+       so its registrable domain is exactly those k labels
+       (``foo.www.ck`` -> ``www.ck``);
+    2. otherwise the prevailing rule is the matching rule with the most
+       labels — exact rules by string equality on the last-l labels,
+       ``*.X`` wildcard rules matching any host with >= len(X)+1 labels
+       whose last len(X) labels equal X (the wildcard consumes exactly
+       one label) — and the registrable domain is the public suffix plus
+       one label;
+    3. no match falls to the implicit ``*`` rule: last two labels.
+
+    A host with no label beyond its public suffix passes through
+    unchanged (the vendored-slice convention for "no registrable part").
+    Membership tests are codegen'd isin sets grouped by label count; the
+    whole thing is map-only, shuffle-free, and replayable in SQL."""
+    labels = F.split(host, "[.]")
+    n = F.size(labels)
+
+    def group_by_len(rule_set):
+        by: dict[int, list[str]] = {}
+        for r in rule_set:
+            by.setdefault(r.count(".") + 1, []).append(r)
+        return by
+
+    expr = None
+
+    def add(cond: Column, value: Column):
+        nonlocal expr
+        expr = F.when(cond, value) if expr is None else expr.when(cond, value)
+
+    add(n <= 1, host)
+    # 1. exceptions, most labels first (at most one can match a host)
+    exc_by = group_by_len(rules.exception)
+    for k in sorted(exc_by, reverse=True):
+        add(_last_labels(labels, k).isin(*exc_by[k]), _last_labels(labels, k))
+    # 2. normal rules, most labels first; wildcard "*.X" is a rule of
+    # len(X)+1 labels whose first label is free
+    exact_by = group_by_len(rules.exact)
+    wild_by = group_by_len(rules.wildcard)  # keyed by len(X); rule len is +1
+    for ell in sorted(
+        set(exact_by) | {k + 1 for k in wild_by}, reverse=True
+    ):
+        conds = []
+        if ell in exact_by:
+            conds.append(_last_labels(labels, ell).isin(*exact_by[ell]))
+        if ell - 1 in wild_by:
+            conds.append(
+                (n >= ell)
+                & _last_labels(labels, ell - 1).isin(*wild_by[ell - 1])
+            )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        add(
+            cond,
+            F.when(n >= ell + 1, _last_labels(labels, ell + 1)).otherwise(host),
+        )
+    # 3. the implicit "*" rule
+    return expr.otherwise(
+        F.when(n >= 2, _last_labels(labels, 2)).otherwise(host)
     )
 
 
