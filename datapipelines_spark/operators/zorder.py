@@ -103,6 +103,68 @@ def _equal_code_layout(
     )
 
 
+def write_equal_code_layout(
+    laid: DataFrame, path: str, code_col: str, mode: str = "overwrite"
+) -> None:
+    """Commit a ``*_layout`` result to parquet the ONE correct way:
+    ``.write.partitionBy("<code_col>_seg")``. The partitioned write is
+    load-bearing, not cosmetic — a plain ``.write.parquet()`` still runs
+    but silently merges hash-colliding segments into one file whose
+    footer min/max unions distant rectangles, quietly destroying the
+    pruning the layout exists for (ADVICE r11 #3). Data that does not
+    span the full code domain leaves some segments empty and yields
+    FEWER than ``num_files`` files — expected, not an error. Drop
+    ``<code_col>`` / ``<code_col>_seg`` on read if the consumer schema
+    must stay unchanged."""
+    laid.write.mode(mode).partitionBy(f"{code_col}_seg").parquet(path)
+
+
+def optimize_table(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    path: str,
+    bits: int = 8,
+    num_files: int = 48,
+    mode: str = "overwrite",
+) -> dict:
+    """The one-call OPTIMIZE verb (VERDICT r11 stretch #7): run
+    ``layout_advisor`` over (a_col, b_col), pick the layout with the
+    smallest Σ bbox area (ties by name — deterministic, SQL-replayable),
+    rewrite the table under that key via the equal-code layout, and
+    commit with the partitioned-write contract (``write_equal_code_layout``).
+    Advisor segments and written files are the SAME code-range slicing,
+    so the advisor's predicted per-segment rectangles are exactly the
+    written files' footer rectangles — the property the composed catalog
+    query ``layout_optimize_orders`` oracle-checks end to end.
+
+    Returns ``{"layout", "code_col", "path"}``. The advisor collect is 3
+    rows; everything else is the ordinary one-shuffle OPTIMIZE job."""
+    adv = layout_advisor(df, a_col, b_col, bits, n_segments=num_files).collect()
+    pick = min(adv, key=lambda r: (r["sum_bbox_area"], r["layout"]))["layout"]
+    if pick == "morton":
+        coded, code_col, dom = zorder_codes(df, a_col, b_col, bits), "zorder", 2 * bits
+    elif pick == "hilbert":
+        coded, code_col, dom = (
+            hilbert_codes(df, a_col, b_col, bits),
+            "hilbert",
+            2 * bits,
+        )
+    else:  # sort_a: single-dimension sort on the quantized a column
+        stats = df.agg(
+            F.min(a_col).cast("bigint").alias("amin"),
+            F.max(a_col).cast("bigint").alias("amax"),
+        ).collect()[0]
+        coded = df.withColumn(
+            "sortkey",
+            _quantize(F.col(a_col), F.lit(stats["amin"]), F.lit(stats["amax"]), bits),
+        )
+        code_col, dom = "sortkey", bits
+    laid = _equal_code_layout(coded, code_col, num_files, dom)
+    write_equal_code_layout(laid, path, code_col, mode)
+    return {"layout": pick, "code_col": code_col, "path": path}
+
+
 def zorder_layout(
     df: DataFrame,
     a_col: str,
@@ -111,8 +173,10 @@ def zorder_layout(
     bits: int = 8,
 ) -> DataFrame:
     """Equal-code-segment layout on the Morton code: write the result with
-    ``.write.partitionBy("zorder_seg")`` and each of the ``num_files``
-    files covers a deterministic RECTANGLE of (a, b) space, so footer
+    ``write_equal_code_layout`` (i.e. ``.write.partitionBy("zorder_seg")``
+    — the partitioning is REQUIRED for the one-file-per-segment
+    guarantee; see that helper) and each nonempty segment becomes one
+    file covering a deterministic RECTANGLE of (a, b) space, so footer
     min/max stats prune filters on either column. Drop ``zorder`` /
     ``zorder_seg`` after writing if the storage schema must stay
     unchanged."""
@@ -206,7 +270,9 @@ def hilbert_layout(
     """Range-partition and sort by the Hilbert index — the OPTIMIZE job
     with the curve whose consecutive codes never jump quadrants, so each
     written file covers a tighter (a, b) rectangle than the Morton split
-    of the same data (asserted in tests/test_hilbert.py)."""
+    of the same data (asserted in tests/test_hilbert.py). Commit with
+    ``write_equal_code_layout`` — the partitioned write is required for
+    the one-file-per-segment guarantee."""
     coded = hilbert_codes(df, a_col, b_col, bits)
     return _equal_code_layout(coded, "hilbert", num_files, 2 * bits)
 
@@ -281,7 +347,9 @@ def hilbert3_layout(
 ) -> DataFrame:
     """Range-partition and sort by the 3-D Hilbert index: every written
     file's footer stats cover a connected blob of (a, b, c) space, so
-    selective filters on ANY of the three columns prune files."""
+    selective filters on ANY of the three columns prune files. Commit
+    with ``write_equal_code_layout`` — the partitioned write is required
+    for the one-file-per-segment guarantee."""
     coded = hilbert3_codes(df, a_col, b_col, c_col, bits)
     return _equal_code_layout(coded, "hilbert3", num_files, 3 * bits)
 

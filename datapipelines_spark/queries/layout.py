@@ -924,6 +924,122 @@ def layout_advisor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layout")
 
 
+@query(
+    "layout_optimize_orders",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        SELECT MIN(o_custkey) AS amin, MAX(o_custkey) AS amax,
+               MIN(cents) AS bmin, MAX(cents) AS bmax
+        FROM c
+    ),
+    q AS (
+        SELECT ((o_custkey - amin) * 256) // (amax - amin + 1) AS qa,
+               ((cents - bmin) * 256) // (bmax - bmin + 1) AS qb
+        FROM c, s
+    ),
+    m AS (SELECT qa, qb,
+                 CAST({_morton_sql("qa", "qb", 8)} AS BIGINT) AS mkey
+          FROM q),
+    {_hilbert_sql_qaqb(8)},
+    keyed AS (
+        SELECT 'sort_a' AS layout, (qa * 48) // 256 AS seg, qa, qb FROM q
+        UNION ALL
+        SELECT 'morton', (mkey * 48) // 65536, qa, qb FROM m
+        UNION ALL
+        SELECT 'hilbert', (hkey * 48) // 65536, qa, qb FROM hh
+    ),
+    boxes AS (
+        SELECT layout, seg,
+               MIN(qa) AS a0, MAX(qa) AS a1, MIN(qb) AS b0, MAX(qb) AS b1
+        FROM keyed GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT layout, SUM((a1 - a0 + 1) * (b1 - b0 + 1)) AS area
+        FROM boxes GROUP BY layout
+    ),
+    win AS (SELECT layout FROM agg ORDER BY area, layout LIMIT 1)
+    SELECT b.layout AS layout,
+           CAST(b.seg AS BIGINT) AS seg,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(a0 AS BIGINT) AS a0, CAST(a1 AS BIGINT) AS a1,
+           CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1
+    FROM boxes b JOIN win USING (layout)
+    ORDER BY seg
+    """,
+)
+def layout_optimize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call OPTIMIZE verb end to end (operators/zorder.py:
+    optimize_table, VERDICT r11 stretch #7): the advisor measures all
+    three layouts over orders' (o_custkey, price cents), the winner (min
+    Σ bbox area, ties by name) is REWRITTEN via the equal-code layout
+    with the partitioned-write contract, and the written table is read
+    back to measure what actually landed on disk: per segment, the file
+    count and the bounding rectangle of the quantized dims.
+
+    The oracle replays the advisor and emits the winner's PREDICTED
+    per-segment rectangles with n_files pinned at 1 — so the differential
+    asserts the whole chain: Spark and DuckDB agree on the winning
+    layout, every nonempty segment produced exactly ONE file (the
+    partitioned-write guarantee, measured from input_file_name, not
+    assumed), and each file's rectangle equals the advisor's prediction
+    exactly (they are the same code-range slicing — that is the test).
+    Plan: the advisor pass + one hash-shuffle sorted partitioned write +
+    one read-back aggregate; the same one-pass OPTIMIZE shape at 100 TB."""
+    from datapipelines_spark.operators.zorder import _quantize, optimize_table
+
+    out = _scratch(sf_dir, "orders_optimize")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    info = optimize_table(
+        orders, "o_custkey", "cents", out, bits=8, num_files=48
+    )
+    back = spark.read.parquet(out)
+    stats = back.agg(
+        F.min("o_custkey").cast("bigint").alias("amin"),
+        F.max("o_custkey").cast("bigint").alias("amax"),
+        F.min("cents").cast("bigint").alias("bmin"),
+        F.max("cents").cast("bigint").alias("bmax"),
+    ).collect()[0]
+    qa = _quantize(
+        F.col("o_custkey"), F.lit(stats["amin"]), F.lit(stats["amax"]), 8
+    )
+    qb = _quantize(F.col("cents"), F.lit(stats["bmin"]), F.lit(stats["bmax"]), 8)
+    seg_col = f"{info['code_col']}_seg"
+    return (
+        back.select(
+            F.col(seg_col).cast("bigint").alias("seg"),
+            F.input_file_name().alias("__f"),
+            qa.alias("qa"),
+            qb.alias("qb"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.countDistinct("__f").cast("bigint").alias("n_files"),
+            F.min("qa").cast("bigint").alias("a0"),
+            F.max("qa").cast("bigint").alias("a1"),
+            F.min("qb").cast("bigint").alias("b0"),
+            F.max("qb").cast("bigint").alias("b1"),
+        )
+        .select(
+            F.lit(info["layout"]).alias("layout"),
+            "seg",
+            "n_files",
+            "a0",
+            "a1",
+            "b0",
+            "b1",
+        )
+        .orderBy("seg")
+    )
+
+
 def _hilbert4_sql(bits: int) -> str:
     """DuckDB replay of the mechanically-fitted 4-D Hilbert FST
     (operators/zorder.py:hilbert_fst_tables(4), 192 states): the tables
