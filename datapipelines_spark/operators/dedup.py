@@ -1404,3 +1404,113 @@ def incremental_dedup_verdicts(
             ).alias("match_id"),
         )
     )
+
+
+def ingest_tick_verdicts(
+    corpus: DataFrame,
+    prior_batch: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    config: MinHashConfig = MinHashConfig(),
+    threshold: float = 0.5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """One STREAMING tick of ``incremental_dedup_verdicts``: verdict each
+    ``batch`` document against (a) the immutable standing ``corpus``,
+    (b) ``prior_batch`` — every batch document ADMITTED by earlier ticks
+    (the growing ingest index) — and (c) lower-id documents within this
+    tick. Verdicts and precedence are exactly the batch operator's
+    (exact_corpus > exact_batch > near_corpus > near_batch > keep), with
+    "batch" covering both the prior index and the within-tick matches.
+
+    Replay equivalence (proven in tests/test_stream_ingest.py): when
+    micro-batches arrive in ascending-id order, "previously admitted or
+    lower-id within tick" is exactly "lower-id batch member", so the
+    union of all ticks' verdict tables EQUALS the all-at-once
+    ``incremental_dedup_verdicts`` decision table — the IVM-style
+    correctness statement for ingest dedup.
+
+    Scale shape per tick: the corpus pays one md5 scan + one signature
+    scan (persistable as the standing index) and never self-joins; the
+    prior index pays the same, growing with ADMITTED volume only; the
+    tick's band keys broadcast against both (minhash_lsh_join asymmetry);
+    within-tick work is banded LSH on the tick alone. Within-tick LSH
+    runs with ``max_bucket_size=None`` (exact parity — ticks are small by
+    construction, so the quadratic-bucket valve is the batch operator's
+    concern, not the tick's)."""
+    bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    ch = corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+        F.min(id_col).alias("exact_corpus")
+    )
+    ph = prior_batch.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+        F.min(id_col).alias("__exact_prior")
+    )
+    w = (
+        Window.partitionBy("__h")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exact = (
+        bh.join(ch, "__h", "left")
+        .join(ph, "__h", "left")
+        .withColumn("__exact_within", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "exact_corpus",
+            # least() skips NULLs: min over whichever sides matched
+            F.least("__exact_prior", "__exact_within").alias("exact_batch"),
+        )
+    )
+    near_c = (
+        minhash_lsh_join(
+            corpus, batch, text_col, id_col, config, threshold, impl
+        )
+        .groupBy(F.col("doc_b").alias(id_col))
+        .agg(F.min("doc_a").alias("near_corpus"))
+    )
+    near_p = (
+        minhash_lsh_join(
+            prior_batch, batch, text_col, id_col, config, threshold, impl
+        )
+        .groupBy(F.col("doc_b").alias(id_col))
+        .agg(F.min("doc_a").alias("__near_prior"))
+    )
+    near_w = (
+        minhash_lsh_pairs(
+            batch,
+            text_col,
+            id_col,
+            config,
+            threshold,
+            max_bucket_size=None,
+            impl=impl,
+        )
+        .groupBy(F.col("doc_b").alias(id_col))
+        .agg(F.min("doc_a").alias("__near_within"))
+    )
+    near_b = (
+        near_p.join(near_w, id_col, "full")
+        .select(
+            F.col(id_col),
+            F.least("__near_prior", "__near_within").alias("near_batch"),
+        )
+    )
+    verdict = (
+        F.when(F.col("exact_corpus").isNotNull(), F.lit("exact_corpus"))
+        .when(F.col("exact_batch").isNotNull(), F.lit("exact_batch"))
+        .when(F.col("near_corpus").isNotNull(), F.lit("near_corpus"))
+        .when(F.col("near_batch").isNotNull(), F.lit("near_batch"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        exact.join(near_c, id_col, "left")
+        .join(near_b, id_col, "left")
+        .select(
+            id_col,
+            verdict.alias("verdict"),
+            F.coalesce(
+                "exact_corpus", "exact_batch", "near_corpus", "near_batch"
+            ).alias("match_id"),
+        )
+    )

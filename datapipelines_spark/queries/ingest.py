@@ -25,6 +25,8 @@ from datapipelines_spark.queries.dedup import (
 )
 from datapipelines_spark.queries.urls import _URL_SQL, BLOCKLIST, _planted_urls
 
+__all__ = ["corpus_ingest_pipeline", "stream_ingest_dedup_replay"]
+
 _QUOTA_CAP = 25
 
 #: URL-gating CTEs spliced into the incremental-dedup replay: the crawl
@@ -117,6 +119,149 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("quota_rank").cast("bigint").alias("quota_rank"),
             ),
             "doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: The streaming replay's gate CTEs: same URL parse + blocklist, but the
+#: quota rank orders by (tile, hash, id) where tile = the micro-batch file
+#: the doc was staged into (ntile(4) over ascending doc_id on the crawl
+#: slice). For ADMITTED docs this global rank equals the sink's standing-
+#: count semantics ("first cap per domain in arrival order"): admitted and
+#: gated counts per domain only diverge after the cap is reached, and every
+#: doc past that point is rejected under both ranks.
+_GATE_TILED_CTES = f"""{_URL_SQL},
+    tiles AS (
+        SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS tile
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    gate AS (
+        SELECT d.doc_id, d.domain, t.tile FROM dom d
+        JOIN tiles t ON t.doc_id = d.doc_id
+        WHERE d.domain NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})
+    ),
+    ranked AS (
+        SELECT doc_id, domain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY tile,
+                            CAST('0x' || substr(
+                            md5('quota-' || CAST(doc_id AS VARCHAR)),
+                            1, 8) AS BIGINT),
+                            doc_id
+               ) AS quota_rank
+        FROM gate
+    ),
+    gated AS (
+        SELECT doc_id, domain, quota_rank FROM ranked
+        WHERE quota_rank <= {_QUOTA_CAP}
+    ),"""
+
+
+@query(
+    "stream_ingest_dedup_replay",
+    oracle=_incremental_oracle(
+        batch_member="{d} % 4 = 0 AND {d} IN (SELECT doc_id FROM gated)",
+        prefix_ctes=_GATE_TILED_CTES,
+        extra_select=(
+            ",\n           g.domain AS domain,"
+            "\n           CAST(g.quota_rank AS BIGINT) AS quota_rank"
+        ),
+        extra_joins="\n    JOIN gated g ON g.doc_id = e.doc_id",
+    ),
+)
+def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus ingest (streaming/ingest.py:ingest_dedup_sink,
+    VERDICT r11 next #5): the crawl slice is staged as FOUR parquet files
+    in ascending doc_id order (ntile over the slice) and replayed one
+    file per micro-batch; every tick is URL-gated, quota'd against
+    standing per-domain admission counts, verdicted against the standing
+    corpus AND all previously admitted docs, and committed — verdict log
+    and standing index together — through the crash-safe staged-swap
+    protocol. The returned table is the final cumulative verdict log.
+
+    The oracle replays all four ticks in one SQL chain: the quota's
+    arrival-order semantics compile to a rank over (tile, quota-hash,
+    doc_id), and the dedup verdicts are the SAME spliced incremental
+    replay as corpus_ingest_pipeline — which is the point: the streaming
+    loop's net effect must equal a batch decision table (replay
+    equivalence; a single-tick replay equals corpus_ingest_pipeline
+    verbatim, pinned in tests/test_stream_ingest.py along with the
+    crash-point sweep of the index swap)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from datapipelines_spark.streaming.ingest import ingest_dedup_sink
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join("/tmp", f"spark_graft_ingest_{tag}")
+    src = os.path.join(base, "src")
+    staged = staged_dup_docs(spark, sf_dir)
+    corpus = staged.where(F.col("doc_id") % 4 != 0)
+    if not os.path.isdir(src):
+        crawl = (
+            staged.where(F.col("doc_id") % 4 == 0)
+            .join(_planted_urls(spark, sf_dir), "doc_id")
+            .withColumn(
+                "__tile", F.ntile(4).over(Window.orderBy("doc_id"))
+            )
+        )
+        os.makedirs(src, exist_ok=True)
+        now = 1_600_000_000
+        for i in range(1, 5):
+            part_dir = os.path.join(base, f"stage_{i}")
+            (
+                crawl.where(F.col("__tile") == i)
+                .drop("__tile")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = [
+                n for n in os.listdir(part_dir) if n.endswith(".parquet")
+            ][0]
+            dst = os.path.join(src, f"batch-{i:02d}.parquet")
+            os.replace(os.path.join(part_dir, part), dst)
+            # distinct ascending mtimes: the file stream source orders by
+            # modification time, and tick order IS the replay's semantics
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(part_dir, ignore_errors=True)
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ingest_dedup_sink(
+                corpus,
+                state,
+                blocklist=BLOCKLIST,
+                quota_cap=_QUOTA_CAP,
+                config=_MINHASH,
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(state, "verdicts"))
+        .select(
+            "doc_id",
+            "verdict",
+            "match_id",
+            "domain",
+            F.col("quota_rank").cast("bigint").alias("quota_rank"),
         )
         .orderBy("doc_id")
     )
