@@ -166,6 +166,10 @@ HEADLINE = [
     "corpus_ingest_pipeline",
     "sim_recall_harness",
     "dedup_recall_harness",
+    # r12 addition (same rule; stream_ingest_dedup_replay stays out with
+    # the other stream_*_replay): the composed OPTIMIZE verb — advisor +
+    # winner rewrite + read-back rectangle audit in one plan
+    "layout_optimize_orders",
 ]
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an

@@ -96,85 +96,84 @@ def all_queries() -> dict[str, QuerySpec]:
 #: unbounded artifact read made the round's own invariants false the
 #: moment the driver wrote CORRECTNESS_r{WINDOW_ROUND}.json — the window
 #: constants must stay valid before AND after the round lands).
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
-# Round-11 window:
-#   (a) CORRECTNESS_r10 was 50/50 green — no red block;
-#   (b) first driver verdicts: the 7 late-r10 additions that missed the
-#       r10 window (theta KMV sketch, incremental-batch dedup verdicts,
-#       4-D Hilbert, QOI decode, IVF+SQ8 and flat-SQ8 ANN, streaming
-#       min/max under retractions) plus the 2 new r11 queries — the
-#       composed URL-governance + incremental-dedup ingest pipeline
-#       (queries/ingest.py) and the ANN recall@5 harness across the four
-#       quantization families (queries/recall.py);
-#   (c) r11 behavior/plan changes re-confirmed: the URL pair (registrable
-#       domain now runs against the vendored PSL 2-label slice and the
-#       planted fixture gained a gob.mx host) and the Hilbert trio
-#       (2-D/3-D FSTs ported to the hex-string-table lookup — values
-#       pinned identical by tests/test_hilbert.py, plans rebuilt);
-#   (d) the rest is the computed staleness queue verbatim over r1..r10:
-#       the 29 r6-cohort names, then the r7 cohort in name order.
+# Round-12 window:
+#   (a) CORRECTNESS_r11 was 50/50 green — no red block;
+#   (b) first driver verdicts: dedup_recall_harness (added late-r11 as
+#       PENDING_FIRST_VERDICT; this round it also gained the
+#       choose_banding tuned arms and the per-doc graded-variant tails)
+#       plus the 2 new r12 queries — the one-call OPTIMIZE verb composed
+#       end-to-end (layout_optimize_orders) and the streaming ingest loop
+#       with the crash-safe index+verdicts swap
+#       (stream_ingest_dedup_replay);
+#   (c) r12 behavior/plan changes re-confirmed: sim_recall_harness (the
+#       single ivf arm became the probes 1/2/4 sweep) and
+#       sim_ivf_topk_probe2 (body extracted into the parameterized
+#       ivf_topk_probe — output pinned byte-identical, plan rebuilt);
+#   (d) the rest is the computed staleness queue verbatim over r1..r11:
+#       the 42 r7-cohort names, then the r8 cohort head in name order.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
-FIRST_VERDICTS_R11: tuple[str, ...] = (
-    "agg_theta_sketch_distinct",
-    "dedup_incremental_batch",
-    "layout_hilbert4_orders",
-    "multimodal_qoi_decode",
-    "sim_ivf_sq8_topk",
-    "sim_sq8_rerank_topk",
-    "stream_incremental_minmax_replay",
-    "corpus_ingest_pipeline",  # new r11
-    "sim_recall_harness",  # new r11
+FIRST_VERDICTS_R12: tuple[str, ...] = (
+    "dedup_recall_harness",  # pending from late r11
+    "layout_optimize_orders",  # new r12
+    "stream_ingest_dedup_replay",  # new r12
 )
 
-CHANGED_R11: tuple[str, ...] = (
-    "url_parse_documents",
-    "domain_quota_sample_docs",
-    "layout_hilbert_orders",
-    "layout_hilbert3_orders",
-    "layout_advisor_orders",
+CHANGED_R12: tuple[str, ...] = (
+    "sim_recall_harness",
+    "sim_ivf_topk_probe2",
 )
 
-PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R11 + CHANGED_R11 + (
+PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R12 + CHANGED_R12 + (
     # --- computed staleness queue (rotation.reconfirm_queue() prefix) ---
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_high_volume_part_suppliers",
-    "q22_inactive_rich_customers",
-    "q4_order_priority_waiting",
-    "q5_local_supplier_volume",
-    "q7_nation_trade_volume",
-    "quality_compression_signal",
-    "quality_nb_classifier",
-    "rollup_grouping_id",
-    "scalar_string_funcs_extended",
-    "sim_ivf_kmeans_topk",
-    "skew_salted_quantity_by_flag",
-    "sql_q6_forecast_revenue",
-    "sql_revenue_by_month",
-    "sql_top_customers",
-    "stratified_sample_by_lang",
-    "stream_session_6h_replay",
-    "stream_sliding_1h30m_replay",
-    "stream_stateful_user_stats_replay",
-    "stream_stream_join_replay",
-    "string_agg_nation_names",
-    "text_bm25_search",
-    "text_regex_token_classes",
-    "union_by_name_missing_columns",
-    "vector_label_centroids",
-    "vector_position_stats",
-    "xml_roundtrip",
-    "agg_approx_percentile_contract",
-    "agg_distinct_suppliers_per_flag",
-    "bucketed_join_revenue_by_status",
-    "config_pipeline_quality_filter",
-    "cube_lineitem_flags",
-    "dedup_clusters_longest_survivor",
-    "dedup_exact_normalized",
+    "dedup_winnow_fingerprints",
+    "events_sliding_1h_30m",
+    "events_tumbling_1h",
+    "fuzzy_join_supplier_names",
+    "graph_triangle_interactions",
+    "kmeans_centroids_2iter",
+    "map_type_status_counts",
+    "mapper_einops_reduce_groups",
+    "mapper_square_crop",
+    "mix_temperature_sources",
+    "multimodal_adpcm_decode",
+    "multimodal_avi_frames",
+    "multimodal_flac_decode",
+    "multimodal_mjpeg_frames",
+    "multimodal_png_decode",
+    "multimodal_quarantine_decode",
+    "multimodal_wav_decode",
+    "multimodal_y4m_frames",
+    "null_semantics",
+    "partition_pruned_scan",
+    "pii_redact_documents",
+    "profile_orders_table",
+    "quality_constraint_checks",
+    "quality_lm_perplexity",
+    "sample_n_per_lang",
+    "sample_weighted_topk",
+    "scalar_from_json_typed",
+    "scalar_map_hof_funcs",
+    "sim_ivf_cell_assign",
+    "sim_pq_adc_topk",
+    "sim_topk_bruteforce",
+    "split_leakage_safe_eval",
+    "sql_exists_correlated",
+    "sql_recursive_region_chain",
+    "stream_minhash_bands_replay",
+    "stream_static_join_replay",
+    "tar_roundtrip_shards",
+    "text_build_vocab",
+    "text_heavy_hitter_tokens",
+    "text_repetition_signals",
+    "window_first_last_value",
+    "window_running_customer_spend",
+    "chunk_fixed_overlap",
+    "customer_rfm_segments",
+    "decontaminate_minhash_cross",
 )
 
 
@@ -182,14 +181,12 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R11 + CHANGED_R11 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "dedup_recall_harness",  # added after the r11 window was pinned
-)
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 
-# r12 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r11 (fix first, then pin);
+# r13 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r12 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r12;
-#   4. rotation.reconfirm_queue(before_round=12) verbatim for every
-#      remaining slot — after r11 lands, the queue starts with the r7
+#   3. queries whose plans/outputs change in r13;
+#   4. rotation.reconfirm_queue(before_round=13) verbatim for every
+#      remaining slot — after r12 lands, the queue starts with the r8
 #      cohort names that did not fit this window.

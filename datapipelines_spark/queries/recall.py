@@ -5,8 +5,8 @@ accuracy/efficiency tradeoff table users consult before picking an index
 
 One fixture (the ``embeddings`` table), one ground truth
 (``sim_topk_bruteforce``: exact cosine top-5 per every-100th vector,
-self excluded), four approximate families, every stage already
-oracle-checked on its own:
+self excluded), six approximate arms across four families, every stage
+already oracle-checked on its own:
 
   ivf_p1/p2/p4  ivf_topk_probe(p)    — 8 fixed cells, probes swept 1/2/4
                                        (the probes-vs-recall curve as data;

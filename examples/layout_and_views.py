@@ -26,7 +26,10 @@ from datapipelines_spark.operators.incremental import (
     aggregate_state,
     merge_states,
 )
-from datapipelines_spark.operators.zorder import zorder_layout
+from datapipelines_spark.operators.zorder import (
+    write_equal_code_layout,
+    zorder_layout,
+)
 from datapipelines_spark.session import get_spark
 from datapipelines_spark.sinks.upsert import table_diff, upsert_write
 from datapipelines_spark.sources.parquet import load_table
@@ -45,9 +48,9 @@ def main(sf_dir: str) -> None:
         "o_totalprice",
     )
     z_dir = os.path.join(work, "orders_zorder")
-    zorder_layout(orders, "o_custkey", "cents", num_files=16).write.partitionBy(
-        "zorder_seg"
-    ).parquet(z_dir)
+    write_equal_code_layout(
+        zorder_layout(orders, "o_custkey", "cents", num_files=16), z_dir, "zorder"
+    )
     print(f"z-ordered {spark.read.parquet(z_dir).count()} orders into {z_dir}")
 
     # --- 2. Materialized monthly revenue as mergeable state
