@@ -181,7 +181,9 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R12 + CHANGED_R12 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+PENDING_FIRST_VERDICT: tuple[str, ...] = (
+    "url_psl_snapshot_domains",  # added after the r12 window was pinned
+)
 
 # r13 rotation plan (build the next PRIORITY_50 from this, in order):
 #   1. any query red or errored in CORRECTNESS_r12 (fix first, then pin);

@@ -302,13 +302,74 @@ def load_public_suffix_list(path: str) -> PublicSuffixRules:
         return parse_public_suffix_list(fh.read())
 
 
+def _rules_by_label_count(rule_set) -> dict[int, list[str]]:
+    """Group rules by label count, values sorted — shared by the Spark
+    when-chain and the SQL generator so both replay the same grouping in
+    the same deterministic order."""
+    by: dict[int, list[str]] = {}
+    for r in rule_set:
+        by.setdefault(r.count(".") + 1, []).append(r)
+    return {k: sorted(v) for k, v in by.items()}
+
+
+def psl_domain_sql(rules: PublicSuffixRules) -> str:
+    """DuckDB CASE expression replaying ``registrable_domain_psl`` —
+    GENERATED from the same PublicSuffixRules object as the Spark
+    expression, so the two sides cannot drift (the anti-drift discipline
+    of the vendored-slice oracle, extended to full-snapshot semantics).
+    Expects the enclosing query to provide ``host`` and
+    ``labels = string_split(host, '.')`` columns; DuckDB's negative list
+    slice ``labels[-k:]`` clamps on short hosts, producing a shorter
+    string that can never equal a k-label rule — the same no-guard
+    argument as ``_last_labels``."""
+
+    def lastk(k: int) -> str:
+        return f"array_to_string(labels[-{k}:], '.')"
+
+    def inlist(vals: list[str]) -> str:
+        return ", ".join(f"'{v}'" for v in vals)
+
+    parts = ["CASE WHEN len(labels) <= 1 THEN host"]
+    exc_by = _rules_by_label_count(rules.exception)
+    for k in sorted(exc_by, reverse=True):
+        parts.append(
+            f"WHEN {lastk(k)} IN ({inlist(exc_by[k])}) THEN {lastk(k)}"
+        )
+    exact_by = _rules_by_label_count(rules.exact)
+    wild_by = _rules_by_label_count(rules.wildcard)
+    for ell in sorted(set(exact_by) | {k + 1 for k in wild_by}, reverse=True):
+        conds = []
+        if ell in exact_by:
+            conds.append(f"{lastk(ell)} IN ({inlist(exact_by[ell])})")
+        if ell - 1 in wild_by:
+            conds.append(
+                f"(len(labels) >= {ell} AND "
+                f"{lastk(ell - 1)} IN ({inlist(wild_by[ell - 1])}))"
+            )
+        parts.append(
+            f"WHEN {' OR '.join(conds)} THEN "
+            f"CASE WHEN len(labels) >= {ell + 1} THEN {lastk(ell + 1)} "
+            f"ELSE host END"
+        )
+    parts.append(
+        f"ELSE CASE WHEN len(labels) >= 2 THEN {lastk(2)} ELSE host END END"
+    )
+    return "\n               ".join(parts)
+
+
 def _last_labels(labels: Column, k: int) -> Column:
     """The host's last ``k`` labels joined with '.'; for hosts with fewer
-    than ``k`` labels the missing element_at(-i) are NULL and concat_ws
-    skips them, yielding a SHORTER string that can never equal a k-label
-    rule (label counts differ) — so no explicit size guard is needed for
-    equality tests against k-label rule sets."""
-    return F.concat_ws(".", *[F.element_at(labels, -i) for i in range(k, 0, -1)])
+    than ``k`` labels the missing positions are NULL and concat_ws skips
+    them, yielding a SHORTER string that can never equal a k-label rule
+    (label counts differ) — so no explicit size guard is needed for
+    equality tests against k-label rule sets. ``try_element_at`` (not
+    ``element_at``) because these run inside WHEN *conditions* evaluated
+    on every row: under ANSI mode (the default of a vanilla Spark 4
+    session, i.e. the driver's) a plain element_at(-k) on a shorter
+    array throws instead of returning NULL."""
+    return F.concat_ws(
+        ".", *[F.try_element_at(labels, F.lit(-i)) for i in range(k, 0, -1)]
+    )
 
 
 def registrable_domain_psl(host: Column, rules: PublicSuffixRules) -> Column:
@@ -334,12 +395,6 @@ def registrable_domain_psl(host: Column, rules: PublicSuffixRules) -> Column:
     labels = F.split(host, "[.]")
     n = F.size(labels)
 
-    def group_by_len(rule_set):
-        by: dict[int, list[str]] = {}
-        for r in rule_set:
-            by.setdefault(r.count(".") + 1, []).append(r)
-        return by
-
     expr = None
 
     def add(cond: Column, value: Column):
@@ -348,13 +403,13 @@ def registrable_domain_psl(host: Column, rules: PublicSuffixRules) -> Column:
 
     add(n <= 1, host)
     # 1. exceptions, most labels first (at most one can match a host)
-    exc_by = group_by_len(rules.exception)
+    exc_by = _rules_by_label_count(rules.exception)
     for k in sorted(exc_by, reverse=True):
         add(_last_labels(labels, k).isin(*exc_by[k]), _last_labels(labels, k))
     # 2. normal rules, most labels first; wildcard "*.X" is a rule of
     # len(X)+1 labels whose first label is free
-    exact_by = group_by_len(rules.exact)
-    wild_by = group_by_len(rules.wildcard)  # keyed by len(X); rule len is +1
+    exact_by = _rules_by_label_count(rules.exact)
+    wild_by = _rules_by_label_count(rules.wildcard)  # keyed by len(X); rule len +1
     for ell in sorted(
         set(exact_by) | {k + 1 for k in wild_by}, reverse=True
     ):

@@ -185,3 +185,106 @@ def domain_quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: A full-format PSL snapshot exercising every rule kind the
+#: publicsuffix.org algorithm defines — multi-label exact rules,
+#: ``*.``-wildcard rules (the wildcard consumes exactly one label), and
+#: ``!``-exception rules (the canonical ck / kobe.jp cases from the
+#: official test data) — vendored for the driver query below.
+PSL_SNAPSHOT = """\
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+jp
+*.kobe.jp
+!city.kobe.jp
+*.ck
+!www.ck
+au
+edu.au
+act.edu.au
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+
+#: Hosts planted by doc_id % 13 — every branch of the algorithm: exact
+#: 1/2/3-label rules, wildcard matches, exception overrides, pass-through
+#: public suffixes, private-section rules, and the implicit '*' default.
+_PSL_HOSTS: tuple[str, ...] = (
+    "example.com",
+    "b.example.co.uk",
+    "foo.act.edu.au",
+    "www.foo.act.edu.au",
+    "a.b.test.ck",
+    "test.ck",
+    "foo.www.ck",
+    "www.ck",
+    "a.b.c.kobe.jp",
+    "city.kobe.jp",
+    "www.city.kobe.jp",
+    "a.blog.github.io",
+    "sub.example.xyz",
+)
+
+
+def _psl_oracle() -> str:
+    from datapipelines_spark.operators.urls import (
+        parse_public_suffix_list,
+        psl_domain_sql,
+    )
+
+    rules = parse_public_suffix_list(PSL_SNAPSHOT)
+    host_case = "CASE doc_id % 13 " + " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(_PSL_HOSTS)
+    ) + " END"
+    return f"""
+    WITH u AS (
+        SELECT doc_id, {host_case} AS host FROM documents
+    ),
+    lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM u)
+    SELECT doc_id, host,
+           {psl_domain_sql(rules)} AS domain
+    FROM lab
+    ORDER BY doc_id
+    """
+
+
+@query("url_psl_snapshot_domains", oracle=_psl_oracle())
+def url_psl_snapshot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable domains under a FULL Public Suffix List snapshot
+    (operators/urls.py:registrable_domain(rules=...), VERDICT r11 next
+    #4): planted hosts cover every branch of the publicsuffix.org
+    algorithm — multi-label exact rules (act.edu.au), ``*.``-wildcard
+    rules where any single label under the parent is itself a public
+    suffix (a.b.test.ck -> b.test.ck), ``!``-exception rules that carve
+    a registrable domain back out of a wildcard (www.city.kobe.jp ->
+    city.kobe.jp), hosts that ARE public suffixes (pass-through), a
+    private-section rule, and the implicit '*' default.
+
+    Anti-drift: BOTH replays are generated from the same parsed
+    PublicSuffixRules — the Spark when-chain by registrable_domain_psl,
+    the oracle CASE by psl_domain_sql — so a parser or precedence change
+    breaks the differential instead of slipping through. Map-only
+    codegen; no UDF, no shuffle, any corpus size."""
+    from datapipelines_spark.operators.urls import (
+        parse_public_suffix_list,
+        registrable_domain,
+    )
+
+    rules = parse_public_suffix_list(PSL_SNAPSHOT)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = F.lit(None).cast("string")
+    expr = None
+    for i, h in enumerate(_PSL_HOSTS):
+        cond = F.col("doc_id") % 13 == i
+        expr = F.when(cond, h) if expr is None else expr.when(cond, h)
+    host = expr.otherwise(F.lit(None))
+    return (
+        d.select("doc_id", host.alias("host"))
+        .withColumn("domain", registrable_domain(F.col("host"), rules=rules))
+        .orderBy("doc_id")
+    )
