@@ -23,7 +23,7 @@ deterministic integers (hit counts and basis points): every family's tie
 order is pinned, so the measured recall is a constant of the fixture, not
 a run artifact.
 
-Scale shape: the harness adds two hash joins and a 4-group aggregate on
+Scale shape: the harness adds two hash joins and a 6-group aggregate on
 top of pipelines that are individually scale-shaped; ground truth at 100
 TB comes from the same brute-force operator on a query SAMPLE (its
 max_queries guard), which is exactly how recall is estimated on real
