@@ -1332,6 +1332,7 @@ def incremental_dedup_verdicts(
     config: MinHashConfig = MinHashConfig(),
     threshold: float = 0.5,
     impl: str = "arrow",
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """Ingest-time dedup verdicts: one row per ``batch`` document deciding
     whether it survives against an already-ingested ``corpus`` AND against
@@ -1357,7 +1358,9 @@ def incremental_dedup_verdicts(
     it pays one md5 scan (32-byte keys) and one signature scan, both of
     which a production deployment would persist as the standing index; the
     batch side broadcasts (minhash_lsh_join's corpus-vs-eval asymmetry).
-    Within-batch work is the ordinary banded LSH on the batch alone."""
+    Within-batch work is the ordinary banded LSH on the batch alone, with
+    ``max_bucket_size`` as its quadratic-bucket valve (pass None for the
+    cap-free exact mode the capless SQL replays assume)."""
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     ch = corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
         F.min(id_col).alias("exact_corpus")
@@ -1381,7 +1384,13 @@ def incremental_dedup_verdicts(
     )
     near_b = (
         minhash_lsh_pairs(
-            batch, text_col, id_col, config, threshold, impl=impl
+            batch,
+            text_col,
+            id_col,
+            config,
+            threshold,
+            max_bucket_size=max_bucket_size,
+            impl=impl,
         )
         .groupBy(F.col("doc_b").alias(id_col))
         .agg(F.min("doc_a").alias("near_batch"))
@@ -1415,6 +1424,7 @@ def ingest_tick_verdicts(
     config: MinHashConfig = MinHashConfig(),
     threshold: float = 0.5,
     impl: str = "arrow",
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """One STREAMING tick of ``incremental_dedup_verdicts``: verdict each
     ``batch`` document against (a) the immutable standing ``corpus``,
@@ -1435,10 +1445,18 @@ def ingest_tick_verdicts(
     scan (persistable as the standing index) and never self-joins; the
     prior index pays the same, growing with ADMITTED volume only; the
     tick's band keys broadcast against both (minhash_lsh_join asymmetry);
-    within-tick work is banded LSH on the tick alone. Within-tick LSH
-    runs with ``max_bucket_size=None`` (exact parity — ticks are small by
-    construction, so the quadratic-bucket valve is the batch operator's
-    concern, not the tick's)."""
+    within-tick work is banded LSH on the tick alone.
+
+    ``max_bucket_size`` caps within-tick band buckets and DEFAULTS TO THE
+    BATCH OPERATOR'S 512 (ADVICE r12 #1: the tick previously ran uncapped
+    while ``incremental_dedup_verdicts`` — whose union-equality the
+    replay-equivalence tests assert — capped at 512, so a >512-doc band
+    bucket would make the tick union find pairs the batch operator
+    drops). Exact tick-union == batch replay equivalence additionally
+    requires NO band bucket to overflow the cap at either granularity
+    (a bucket may exceed the cap in the full batch while each tick's
+    slice of it stays under) — the no-hot-bucket precondition; pass
+    ``max_bucket_size=None`` to both operators for cap-free parity."""
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     ch = corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
         F.min(id_col).alias("exact_corpus")
@@ -1483,7 +1501,7 @@ def ingest_tick_verdicts(
             id_col,
             config,
             threshold,
-            max_bucket_size=None,
+            max_bucket_size=max_bucket_size,
             impl=impl,
         )
         .groupBy(F.col("doc_b").alias(id_col))

@@ -26,6 +26,7 @@ mandate (SURVEY §2.10) with the standard four:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -271,6 +272,24 @@ class PublicSuffixRules:
     exception: frozenset = field(default_factory=frozenset)
 
 
+#: Post-parse rule charset: lowercase LDH labels joined by dots — what the
+#: PSL format yields once markers are stripped. Anything else (quotes,
+#: whitespace smuggled past the split, control chars) is rejected at parse
+#: time so rule strings can safely embed into generated Spark/DuckDB
+#: expressions (ADVICE r12 #3: the suffix file is external input; a quote
+#: inside a rule would otherwise break or inject the oracle SQL).
+_RULE_RE = re.compile(r"^[a-z0-9-]+(\.[a-z0-9-]+)*$")
+
+
+def _validated_rule(rule: str) -> str:
+    if not _RULE_RE.fullmatch(rule):
+        raise ValueError(
+            f"PSL rule {rule!r} has characters outside [a-z0-9.-]; "
+            "refusing to compile it into generated expressions"
+        )
+    return rule
+
+
 def parse_public_suffix_list(text: str) -> PublicSuffixRules:
     """Parse ``public_suffix_list.dat`` content per the publicsuffix.org
     format: one rule per line, ``//`` comments and blank lines ignored,
@@ -278,7 +297,10 @@ def parse_public_suffix_list(text: str) -> PublicSuffixRules:
     wildcard rules (the wildcard matches exactly one label), ``!``
     prefixes are exception rules. ICANN and private sections are both
     kept — section choice is a snapshot-preparation concern, not a
-    parser one."""
+    parser one. Every parsed rule is validated against the LDH-label
+    charset (``_validated_rule``) — the rules compile into generated
+    Spark and SQL expressions, so a malformed external snapshot fails
+    loudly here instead of producing broken or injectable SQL."""
     exact, wild, exc = set(), set(), set()
     for raw in text.splitlines():
         line = raw.strip()
@@ -286,13 +308,13 @@ def parse_public_suffix_list(text: str) -> PublicSuffixRules:
             continue
         rule = line.split()[0].lower()
         if rule.startswith("!"):
-            exc.add(rule[1:])
+            exc.add(_validated_rule(rule[1:]))
         elif rule.startswith("*."):
-            wild.add(rule[2:])
+            wild.add(_validated_rule(rule[2:]))
         elif rule == "*":
             continue  # the implicit default rule; always in effect anyway
         else:
-            exact.add(rule)
+            exact.add(_validated_rule(rule))
     return PublicSuffixRules(frozenset(exact), frozenset(wild), frozenset(exc))
 
 
@@ -327,7 +349,9 @@ def psl_domain_sql(rules: PublicSuffixRules) -> str:
         return f"array_to_string(labels[-{k}:], '.')"
 
     def inlist(vals: list[str]) -> str:
-        return ", ".join(f"'{v}'" for v in vals)
+        # rules are charset-validated at parse time; the escape is defense
+        # in depth for PublicSuffixRules built by hand
+        return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
 
     parts = ["CASE WHEN len(labels) <= 1 THEN host"]
     exc_by = _rules_by_label_count(rules.exception)

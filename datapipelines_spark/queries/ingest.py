@@ -29,6 +29,11 @@ __all__ = ["corpus_ingest_pipeline", "stream_ingest_dedup_replay"]
 
 _QUOTA_CAP = 25
 
+#: Staged-fixture version for the streaming replay's source files: bump
+#: whenever staged_dup_docs/_planted_urls/the tiling change shape, so a
+#: cached /tmp fixture from an older code state is never replayed.
+_SRC_FIXTURE_V = 2
+
 #: URL-gating CTEs spliced into the incremental-dedup replay: the crawl
 #: slice (doc_id % 4 = 0) keeps only unblocked registrable domains, then
 #: at most _QUOTA_CAP docs per domain by the portable quota hash — the
@@ -189,6 +194,7 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence; a single-tick replay equals corpus_ingest_pipeline
     verbatim, pinned in tests/test_stream_ingest.py along with the
     crash-point sweep of the index swap)."""
+    import hashlib
     import os
     import shutil
 
@@ -196,8 +202,15 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datapipelines_spark.streaming.ingest import ingest_dedup_sink
 
+    # Cache key carries (basename, full-path hash, fixture version): two
+    # sf_dirs sharing a basename cannot collide, and a change to the
+    # staged fixture's shape bumps _SRC_FIXTURE_V instead of silently
+    # replaying stale files (ADVICE r12 #2).
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = os.path.join("/tmp", f"spark_graft_ingest_{tag}")
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(
+        "/tmp", f"spark_graft_ingest_{tag}_{key}_v{_SRC_FIXTURE_V}"
+    )
     src = os.path.join(base, "src")
     staged = staged_dup_docs(spark, sf_dir)
     corpus = staged.where(F.col("doc_id") % 4 != 0)
@@ -209,7 +222,13 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__tile", F.ntile(4).over(Window.orderBy("doc_id"))
             )
         )
-        os.makedirs(src, exist_ok=True)
+        # Stage into a scratch dir and rename into place only once all 4
+        # batch files have landed: a crash mid-staging can never leave a
+        # partial `src` that later runs would silently replay (the isdir
+        # check above gates on the COMPLETE fixture only).
+        staging = src + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
         now = 1_600_000_000
         for i in range(1, 5):
             part_dir = os.path.join(base, f"stage_{i}")
@@ -223,12 +242,13 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             part = [
                 n for n in os.listdir(part_dir) if n.endswith(".parquet")
             ][0]
-            dst = os.path.join(src, f"batch-{i:02d}.parquet")
+            dst = os.path.join(staging, f"batch-{i:02d}.parquet")
             os.replace(os.path.join(part_dir, part), dst)
             # distinct ascending mtimes: the file stream source orders by
             # modification time, and tick order IS the replay's semantics
             os.utime(dst, (now + i, now + i))
             shutil.rmtree(part_dir, ignore_errors=True)
+        os.rename(staging, src)
     state = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(state, ignore_errors=True)

@@ -277,12 +277,11 @@ def url_psl_snapshot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rules = parse_public_suffix_list(PSL_SNAPSHOT)
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    host = F.lit(None).cast("string")
-    expr = None
+    host = None
     for i, h in enumerate(_PSL_HOSTS):
         cond = F.col("doc_id") % 13 == i
-        expr = F.when(cond, h) if expr is None else expr.when(cond, h)
-    host = expr.otherwise(F.lit(None))
+        host = F.when(cond, h) if host is None else host.when(cond, h)
+    host = host.otherwise(F.lit(None))
     return (
         d.select("doc_id", host.alias("host"))
         .withColumn("domain", registrable_domain(F.col("host"), rules=rules))

@@ -67,6 +67,7 @@ def ingest_dedup_sink(
     quota_cap: int = 25,
     config: MinHashConfig = MinHashConfig(),
     threshold: float = 0.5,
+    max_bucket_size: int | None = 512,
 ):
     """Build the foreachBatch callback. ``corpus`` is the immutable
     standing corpus (never self-joined, never rewritten); each incoming
@@ -138,6 +139,7 @@ def ingest_dedup_sink(
             id_col,
             config,
             threshold,
+            max_bucket_size=max_bucket_size,
         ).join(admitted.select(id_col, "domain", "quota_rank"), id_col)
 
         new_index = (

@@ -166,3 +166,23 @@ def test_suffix_file_loader(tmp_path, spark):
             rules=PublicSuffixRules(),
             suffix_file=str(p),
         )
+
+
+def test_malformed_rules_rejected_at_parse_time():
+    """Rules compile into generated Spark/DuckDB expressions, so the
+    parser must reject anything outside the LDH charset — a quote in an
+    external suffix file would otherwise break or inject the oracle SQL
+    (ADVICE r12 #3)."""
+    for bad in ("foo'bar.com", 'a"b.com', "under_score.com", "semi;colon"):
+        with pytest.raises(ValueError):
+            parse_public_suffix_list(bad)
+
+
+def test_psl_sql_escapes_quotes_for_handbuilt_rules():
+    """psl_domain_sql doubles embedded quotes (defense in depth for rules
+    objects built directly, bypassing the parser's charset gate)."""
+    from datapipelines_spark.operators.urls import psl_domain_sql
+
+    rules = PublicSuffixRules(exact=frozenset({"o'k.example"}))
+    sql = psl_domain_sql(rules)
+    assert "'o''k.example'" in sql
