@@ -178,13 +178,15 @@ _GATE_TILED_CTES = f"""{_URL_SQL},
 )
 def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING corpus ingest (streaming/ingest.py:ingest_dedup_sink,
-    VERDICT r11 next #5): the crawl slice is staged as FOUR parquet files
-    in ascending doc_id order (ntile over the slice) and replayed one
-    file per micro-batch; every tick is URL-gated, quota'd against
-    standing per-domain admission counts, verdicted against the standing
-    corpus AND all previously admitted docs, and committed — verdict log
-    and standing index together — through the crash-safe staged-swap
-    protocol. The returned table is the final cumulative verdict log.
+    VERDICT r11 next #5, append-only since r13): the crawl slice is
+    staged as FOUR parquet files in ascending doc_id order (ntile over
+    the slice) and replayed one file per micro-batch; every tick is
+    URL-gated, quota'd against standing per-domain admission counts,
+    verdicted against the standing corpus AND all previously admitted
+    docs, and committed as an immutable O(batch) delta under one atomic
+    manifest replace — verdict log and standing index together. The
+    returned table is the final cumulative verdict log read across the
+    manifest's committed deltas.
 
     The oracle replays all four ticks in one SQL chain: the quota's
     arrival-order semantics compile to a rank over (tile, quota-hash,
@@ -200,7 +202,10 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from datapipelines_spark.streaming.ingest import ingest_dedup_sink
+    from datapipelines_spark.streaming.ingest import (
+        ingest_dedup_sink,
+        read_ingest_verdicts,
+    )
 
     # Cache key carries (basename, full-path hash, fixture version): two
     # sf_dirs sharing a basename cannot collide, and a change to the
@@ -275,7 +280,7 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return (
-        spark.read.parquet(os.path.join(state, "verdicts"))
+        read_ingest_verdicts(spark, state)
         .select(
             "doc_id",
             "verdict",

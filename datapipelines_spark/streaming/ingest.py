@@ -1,18 +1,30 @@
 """Streaming web-corpus ingest: the composed batch pipeline
 (queries/ingest.py — URL gate -> per-domain quota -> incremental dedup
-verdicts) run as a foreachBatch loop with durable, crash-safe state.
+verdicts) run as a foreachBatch loop with durable, crash-safe,
+APPEND-ONLY state.
 
-This is the production shape of day-2 ingest (VERDICT r11 next #5): the
-batch query proves one tick; this module proves the LOOP — each
-micro-batch is URL-gated (map-only), quota'd against STANDING per-domain
-admission counts, verdicted against the standing corpus AND everything
-previously admitted, and then the verdict log and the updated standing
-index commit ATOMICALLY through the same staged-swap protocol as the IVM
-state sink (operators/incremental.py): staging dir with _SUCCESS +
-``_applied-E`` marker, rename aside, rename in, delete last. A crash at
-any filesystem step leaves a recoverable state, re-delivered epochs are
-no-ops, and verdicts can never disagree with the index they were computed
-against (one rename commits both).
+This is the production shape of day-2 ingest (VERDICT r11 next #5; made
+append-only per VERDICT r12 next #2): the batch query proves one tick;
+this module proves the LOOP — each micro-batch is URL-gated (map-only),
+quota'd against STANDING per-domain admission counts, verdicted against
+the standing corpus AND everything previously admitted, and committed as
+an immutable per-epoch DELTA under a MANIFEST — the merge-on-read
+discipline of sinks/upsert.py applied to ingest state. Per tick the sink
+WRITES O(batch): only the tick's admitted docs and verdict rows land on
+disk; the standing index and the cumulative verdict log are never
+rewritten (the r12 design re-wrote both wholesale each epoch —
+O(total admitted) I/O per tick, the one shape that was not yet the
+100 TB shape).
+
+Commit protocol: the tick's delta directory is written first
+(``deltas/e=E/index`` + ``deltas/e=E/verdicts``), then ONE atomic
+``os.replace`` publishes a new ``_manifest`` naming every committed delta
+and the highest applied epoch. A crash before the manifest swap leaves
+the old manifest in force and the torn delta unreferenced (``_recover``
+deletes it at the next entry); a crash after is a completed commit; a
+re-delivered epoch at or below ``applied_epoch`` is a no-op. Verdicts can
+never disagree with the index they were computed against — one replace
+commits both lists.
 
 Quota semantics under streaming: a document is admitted iff its domain's
 admission count so far plus its (portable-hash, id) rank within the tick
@@ -23,38 +35,150 @@ equals the batch pipeline's quota exactly (tests/test_stream_ingest.py).
 
 State layout under ``state_dir``::
 
-    index/     (id, text, domain, quota_rank) of every ADMITTED document
-    verdicts/  the cumulative verdict log (id, verdict, match_id,
-               domain, quota_rank)
-    _applied-E highest epoch folded in (rides the atomic swap)
+    _manifest            JSON: {"applied_epoch": E,
+                                "index": [delta dirs with live index/],
+                                "verdicts": [delta dirs with verdicts/]}
+    deltas/e=E/index/    (id, text, domain, quota_rank) admitted AT tick E
+    deltas/e=E/verdicts/ the tick's verdict rows
+    deltas/compact-E/index/  a folded index base (compact_ingest_index)
 
 Scale notes: per tick the standing corpus pays one md5 + one signature
 scan and never self-joins (persist those as a real index at 100 TB); the
-admitted index is re-read and re-written per tick — admitted-volume
-bounded, and the rewrite is the price of atomic index+verdict commits on
-a filesystem without multi-dir transactions (an object-store deployment
-would commit a manifest instead, like sinks/upsert.py)."""
+standing index is READ across its committed deltas (planning is
+O(#deltas)) and ``compact_ingest_index`` folds them into one base —
+exactly the compaction story of sinks/upsert.py, with the manifest as
+the object-store-shaped commit its docstring promised."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipelines_spark.functions.hashing import portable_hash_seeded
 from datapipelines_spark.operators.dedup import MinHashConfig, ingest_tick_verdicts
-from datapipelines_spark.operators.incremental import (
-    _APPLIED_PREFIX,
-    _applied_epoch,
-    _recover_state,
-)
 from datapipelines_spark.operators.urls import (
     domain_blocklist_flag,
     parse_urls,
     registrable_domain,
 )
+
+_MANIFEST = "_manifest"
+_DELTAS = "deltas"
+
+
+def _read_manifest(root: str) -> dict | None:
+    path = os.path.join(root, _MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(root: str, manifest: dict) -> None:
+    """Atomic publish: the manifest IS the commit — everything it names
+    becomes visible in one ``os.replace``; everything it stops naming
+    becomes garbage for ``_recover``."""
+    tmp = os.path.join(root, f"{_MANIFEST}.tmp-{manifest['applied_epoch']}")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(manifest))
+    os.replace(tmp, os.path.join(root, _MANIFEST))
+
+
+def _recover(root: str) -> None:
+    """Delete anything the manifest does not vouch for: torn manifest
+    temps, delta dirs a crash left half-written or a commit stopped
+    referencing, and index/ subdirs dropped by compaction while their
+    sibling verdicts/ stays live. Never touches referenced state, so it
+    is safe (and run) at every entry point; single-writer per state dir,
+    as for every sink here."""
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        if name.startswith(f"{_MANIFEST}.tmp-"):
+            os.remove(os.path.join(root, name))
+    man = _read_manifest(root)
+    live_index = set(man["index"]) if man else set()
+    live_verdicts = set(man["verdicts"]) if man else set()
+    deltas = os.path.join(root, _DELTAS)
+    if not os.path.isdir(deltas):
+        return
+    for name in os.listdir(deltas):
+        d = os.path.join(deltas, name)
+        if name not in live_index and name not in live_verdicts:
+            shutil.rmtree(d, ignore_errors=True)
+        elif name not in live_index and os.path.isdir(os.path.join(d, "index")):
+            shutil.rmtree(os.path.join(d, "index"), ignore_errors=True)
+
+
+def _delta_paths(root: str, names: list[str], sub: str) -> list[str]:
+    return [os.path.join(root, _DELTAS, n, sub) for n in names]
+
+
+def read_ingest_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The standing admitted index: union of every committed index delta
+    (id, text, domain, quota_rank). Raises if nothing is committed."""
+    root = state_dir.rstrip("/")
+    _recover(root)
+    man = _read_manifest(root)
+    if not man or not man["index"]:
+        raise ValueError(f"no committed ingest state under {state_dir}")
+    return spark.read.parquet(*_delta_paths(root, man["index"], "index"))
+
+
+def read_ingest_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The cumulative verdict log: union of every committed per-tick
+    verdict delta (id, verdict, match_id, domain, quota_rank)."""
+    root = state_dir.rstrip("/")
+    _recover(root)
+    man = _read_manifest(root)
+    if not man or not man["verdicts"]:
+        raise ValueError(f"no committed ingest state under {state_dir}")
+    return spark.read.parquet(*_delta_paths(root, man["verdicts"], "verdicts"))
+
+
+def compact_ingest_index(spark: SparkSession, state_dir: str) -> int:
+    """Fold every committed index delta into one base so per-tick read
+    planning returns to O(1) dirs; returns the number of deltas folded.
+    The verdict log is untouched (it is the sink's OUTPUT, not its
+    working state — readers take its deltas as-is).
+
+    Crash-ordering: the folded base is written to a fresh
+    ``compact-<applied_epoch>`` dir, then one manifest replace points the
+    index list at it; the superseded index/ subdirs are deleted last (a
+    crash in between leaves them as garbage ``_recover`` removes). Reads
+    at any crash point see either the old delta list or the new base —
+    never a mix."""
+    root = state_dir.rstrip("/")
+    _recover(root)
+    man = _read_manifest(root)
+    if not man or not man["index"]:
+        raise ValueError(f"no committed ingest state under {state_dir}")
+    old = list(man["index"])
+    if len(old) <= 1:
+        return 0
+    base = f"compact-{man['applied_epoch']}"
+    base_dir = os.path.join(root, _DELTAS, base)
+    shutil.rmtree(base_dir, ignore_errors=True)
+    spark.read.parquet(*_delta_paths(root, old, "index")).write.parquet(
+        os.path.join(base_dir, "index")
+    )
+    _commit_manifest(
+        root,
+        {
+            "applied_epoch": man["applied_epoch"],
+            "index": [base],
+            "verdicts": man["verdicts"],
+        },
+    )
+    for name in old:
+        d = os.path.join(root, _DELTAS, name)
+        target = d if name not in man["verdicts"] else os.path.join(d, "index")
+        shutil.rmtree(target, ignore_errors=True)
+    return len(old)
 
 
 def ingest_dedup_sink(
@@ -68,26 +192,32 @@ def ingest_dedup_sink(
     config: MinHashConfig = MinHashConfig(),
     threshold: float = 0.5,
     max_bucket_size: int | None = 512,
+    compact_every: int | None = None,
 ):
     """Build the foreachBatch callback. ``corpus`` is the immutable
     standing corpus (never self-joined, never rewritten); each incoming
     micro-batch must carry (id_col, text_col, url_col). Reset
     ``state_dir`` and the stream's checkpointLocation together — they are
     one unit (a fresh checkpoint replays the source, so pairing it with
-    existing state would double-ingest)."""
+    existing state would double-ingest). ``compact_every`` folds the
+    index deltas into one base whenever their count reaches it (keeps
+    long-running ingest's read planning bounded); leave None to compact
+    on your own schedule via ``compact_ingest_index``."""
     root = state_dir.rstrip("/")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         epoch = int(epoch_id)
-        _recover_state(root)
-        prior = old_verdicts = None
-        if os.path.isdir(root):
-            last = _applied_epoch(root)
-            if last is not None and epoch <= last:
-                return  # re-delivery of an epoch already folded in
-            prior = spark.read.parquet(os.path.join(root, "index"))
-            old_verdicts = spark.read.parquet(os.path.join(root, "verdicts"))
+        os.makedirs(os.path.join(root, _DELTAS), exist_ok=True)
+        _recover(root)
+        man = _read_manifest(root)
+        if man is not None and epoch <= man["applied_epoch"]:
+            return  # re-delivery of an epoch already committed
+        prior = (
+            spark.read.parquet(*_delta_paths(root, man["index"], "index"))
+            if man and man["index"]
+            else None
+        )
 
         # 1. URL gate: parse -> registrable domain -> blocklist (map-only)
         parsed = parse_urls(batch_df, url_col).withColumn(
@@ -142,28 +272,25 @@ def ingest_dedup_sink(
             max_bucket_size=max_bucket_size,
         ).join(admitted.select(id_col, "domain", "quota_rank"), id_col)
 
-        new_index = (
-            prior.unionByName(admitted) if prior is not None else admitted
+        # 4. append-only commit: the tick's admissions and verdicts land
+        # as ONE immutable delta — O(batch) bytes — then a single atomic
+        # manifest replace publishes both. Old deltas are never touched.
+        delta = f"e={epoch}"
+        delta_dir = os.path.join(root, _DELTAS, delta)
+        shutil.rmtree(delta_dir, ignore_errors=True)  # torn re-delivery
+        admitted.write.parquet(os.path.join(delta_dir, "index"))
+        v.write.parquet(os.path.join(delta_dir, "verdicts"))
+        _commit_manifest(
+            root,
+            {
+                "applied_epoch": epoch,
+                "index": (man["index"] if man else []) + [delta],
+                "verdicts": (man["verdicts"] if man else []) + [delta],
+            },
         )
-        new_verdicts = (
-            old_verdicts.unionByName(v) if old_verdicts is not None else v
-        )
-
-        # 4. atomic commit: verdicts + index land in ONE rename. Writing
-        # the staging materializes every read of the old state BEFORE the
-        # old dir moves aside; _SUCCESS + the epoch marker make a torn
-        # staging detectable and a re-delivered epoch idempotent.
-        staging = f"{root}.staging-{epoch}"
-        shutil.rmtree(staging, ignore_errors=True)
-        new_index.write.parquet(os.path.join(staging, "index"))
-        new_verdicts.write.parquet(os.path.join(staging, "verdicts"))
-        open(os.path.join(staging, "_SUCCESS"), "w").close()
-        open(os.path.join(staging, f"{_APPLIED_PREFIX}{epoch}"), "w").close()
-        if os.path.isdir(root):
-            old = f"{root}.old-{epoch}"
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(root, old)
-        os.rename(staging, root)
-        shutil.rmtree(f"{root}.old-{epoch}", ignore_errors=True)
+        if compact_every is not None:
+            man2 = _read_manifest(root)
+            if man2 and len(man2["index"]) >= compact_every:
+                compact_ingest_index(spark, root)
 
     return process

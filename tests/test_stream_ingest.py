@@ -1,6 +1,7 @@
 """Streaming corpus ingest (streaming/ingest.py): replay equivalence —
-one tick equals the batch pipeline verbatim — and crash-safety of the
-atomic index+verdicts swap at every filesystem step."""
+one tick equals the batch pipeline verbatim — crash-safety of the
+append-only manifest commit at every filesystem step, O(batch) per-tick
+write volume (VERDICT r12 next #2), and index compaction."""
 
 import builtins
 import os
@@ -11,7 +12,12 @@ import pyspark.sql.functions as F
 from datapipelines_spark.queries.dedup import _MINHASH, staged_dup_docs
 from datapipelines_spark.queries.ingest import _QUOTA_CAP
 from datapipelines_spark.queries.urls import BLOCKLIST, _planted_urls
-from datapipelines_spark.streaming.ingest import ingest_dedup_sink
+from datapipelines_spark.streaming.ingest import (
+    compact_ingest_index,
+    ingest_dedup_sink,
+    read_ingest_index,
+    read_ingest_verdicts,
+)
 
 
 def _crawl(spark, sf_dir):
@@ -23,13 +29,14 @@ def _crawl(spark, sf_dir):
     return corpus, crawl
 
 
-def _sink(corpus, state):
+def _sink(corpus, state, **kw):
     return ingest_dedup_sink(
         corpus,
         state,
         blocklist=BLOCKLIST,
         quota_cap=_QUOTA_CAP,
         config=_MINHASH,
+        **kw,
     )
 
 
@@ -42,7 +49,7 @@ def _verdicts(spark, state):
             r["domain"],
             int(r["quota_rank"]),
         )
-        for r in spark.read.parquet(os.path.join(state, "verdicts")).collect()
+        for r in read_ingest_verdicts(spark, state).collect()
     )
 
 
@@ -73,31 +80,44 @@ def test_single_tick_equals_batch_pipeline(spark, sf_dir, tmp_path):
     assert got == want
 
 
-def test_two_ticks_marker_and_index(spark, sf_dir, tmp_path):
+def test_two_ticks_manifest_and_write_volume(spark, sf_dir, tmp_path):
+    """Two ticks: the manifest tracks both deltas, re-delivery of a
+    committed epoch is a no-op, and — the append-only contract — each
+    tick's delta holds ONLY that tick's rows, so per-tick write volume is
+    O(batch) instead of O(cumulative admitted) (VERDICT r12 next #2: the
+    r12 design rewrote index+verdicts wholesale every epoch)."""
     corpus, crawl = _crawl(spark, sf_dir)
     mid = crawl.approxQuantile("doc_id", [0.5], 0.0)[0]
     state = str(tmp_path / "state2")
     sink = _sink(corpus, state)
     sink(crawl.where(F.col("doc_id") <= mid), 0)
+    n_tick0 = read_ingest_index(spark, state).count()
     sink(crawl.where(F.col("doc_id") > mid), 1)
-    assert os.path.exists(os.path.join(state, "_applied-1"))
-    idx = spark.read.parquet(os.path.join(state, "index"))
-    v = spark.read.parquet(os.path.join(state, "verdicts"))
+    idx = read_ingest_index(spark, state)
+    v = read_ingest_verdicts(spark, state)
     # one verdict per admitted doc, index rows = admitted rows
     assert idx.count() == v.count()
     assert idx.where(F.col("quota_rank") > _QUOTA_CAP).count() == 0
-    # re-delivery of a folded epoch is a no-op
+    # O(batch) write volume: tick 1's delta carries exactly the rows
+    # admitted AFTER tick 0 — never a rewrite of tick 0's admissions —
+    # and the committed deltas partition the standing index.
+    d0 = spark.read.parquet(os.path.join(state, "deltas", "e=0", "index"))
+    d1 = spark.read.parquet(os.path.join(state, "deltas", "e=1", "index"))
+    assert d0.count() == n_tick0
+    assert d1.count() == idx.count() - n_tick0
+    assert d1.join(d0, "doc_id").count() == 0
+    # re-delivery of a committed epoch is a no-op
     before = _verdicts(spark, state)
     sink(crawl.where(F.col("doc_id") > mid), 1)
     assert _verdicts(spark, state) == before
 
 
-def test_crash_at_every_swap_step_recovers_exactly_once(
+def test_crash_at_every_commit_step_recovers_exactly_once(
     spark, sf_dir, tmp_path, monkeypatch
 ):
     """Kill the sink at EVERY filesystem mutation of the second tick's
-    commit (staging rmtree, the two marker/_SUCCESS writes, rename aside,
-    rename in, old delete), restart with a fresh sink instance, re-deliver
+    commit (leftover-delta rmtree, the manifest temp write, the atomic
+    manifest replace), restart with a fresh sink instance, re-deliver
     the epoch, and require the exact no-crash verdict log — no loss, no
     double-ingest, and verdicts never disagreeing with the index."""
     corpus, crawl = _crawl(spark, sf_dir)
@@ -111,7 +131,7 @@ def test_crash_at_every_swap_step_recovers_exactly_once(
     ref_sink(b1, 1)
     expected = _verdicts(spark, ref_state)
 
-    real_rename, real_rmtree, real_open = os.rename, shutil.rmtree, builtins.open
+    real_replace, real_rmtree, real_open = os.replace, shutil.rmtree, builtins.open
 
     for crash_at in range(1, 10):
         state = str(tmp_path / f"state-{crash_at}")
@@ -126,14 +146,13 @@ def test_crash_at_every_swap_step_recovers_exactly_once(
             return fn(*a, **kw)
 
         def counted_open(path, *a, **kw):
-            if isinstance(path, str) and (
-                "_applied-" in os.path.basename(path)
-                or os.path.basename(path) == "_SUCCESS"
-            ) and ".staging-" in path:
+            if isinstance(path, str) and "_manifest.tmp-" in os.path.basename(
+                path
+            ):
                 return counting(real_open, path, *a, **kw)
             return real_open(path, *a, **kw)
 
-        monkeypatch.setattr(os, "rename", lambda *a: counting(real_rename, *a))
+        monkeypatch.setattr(os, "replace", lambda *a: counting(real_replace, *a))
         monkeypatch.setattr(
             shutil, "rmtree", lambda *a, **kw: counting(real_rmtree, *a, **kw)
         )
@@ -148,6 +167,132 @@ def test_crash_at_every_swap_step_recovers_exactly_once(
         _sink(corpus, state)(b1, 1)  # restart + re-delivery
         assert _verdicts(spark, state) == expected, (
             f"crash point {crash_at} (crashed={crashed}) broke exactly-once"
+        )
+        if not crashed:
+            break  # fewer fs-ops than crash points: protocol fully swept
+
+
+def test_compaction_preserves_state_and_later_ticks(spark, sf_dir, tmp_path):
+    """Folding the index deltas into one base must not change the standing
+    index, the verdict log, or any LATER tick's decisions — ticks after a
+    compaction see exactly the counts and prior docs they would have seen
+    without it (compared against an uncompacted twin)."""
+    corpus, crawl = _crawl(spark, sf_dir)
+    qs = crawl.approxQuantile("doc_id", [0.33, 0.66], 0.0)
+    b0 = crawl.where(F.col("doc_id") <= qs[0]).localCheckpoint()
+    b1 = crawl.where(
+        (F.col("doc_id") > qs[0]) & (F.col("doc_id") <= qs[1])
+    ).localCheckpoint()
+    b2 = crawl.where(F.col("doc_id") > qs[1]).localCheckpoint()
+
+    plain = str(tmp_path / "plain")
+    sink_p = _sink(corpus, plain)
+    for i, b in enumerate((b0, b1, b2)):
+        sink_p(b, i)
+
+    folded = str(tmp_path / "folded")
+    sink_f = _sink(corpus, folded)
+    sink_f(b0, 0)
+    sink_f(b1, 1)
+    idx_before = sorted(
+        r["doc_id"] for r in read_ingest_index(spark, folded).collect()
+    )
+    assert compact_ingest_index(spark, folded) == 2
+    assert (
+        sorted(r["doc_id"] for r in read_ingest_index(spark, folded).collect())
+        == idx_before
+    )
+    sink_f(b2, 2)
+    assert _verdicts(spark, folded) == _verdicts(spark, plain)
+    # the folded state has ONE live index dir (the base) plus tick 2's
+    man_dirs = os.listdir(os.path.join(folded, "deltas"))
+    assert any(d.startswith("compact-") for d in man_dirs)
+
+
+def test_auto_compaction_keeps_index_dirs_bounded(spark, sf_dir, tmp_path):
+    """compact_every folds inside the loop: after 3 ticks at
+    compact_every=2 the manifest's index list stays bounded while the
+    verdict log keeps every tick's delta."""
+    import json
+
+    corpus, crawl = _crawl(spark, sf_dir)
+    qs = crawl.approxQuantile("doc_id", [0.33, 0.66], 0.0)
+    state = str(tmp_path / "auto")
+    sink = _sink(corpus, state, compact_every=2)
+    sink(crawl.where(F.col("doc_id") <= qs[0]), 0)
+    sink(crawl.where((F.col("doc_id") > qs[0]) & (F.col("doc_id") <= qs[1])), 1)
+    sink(crawl.where(F.col("doc_id") > qs[1]), 2)
+    with open(os.path.join(state, "_manifest")) as fh:
+        man = json.load(fh)
+    assert len(man["index"]) <= 2
+    assert man["verdicts"] == ["e=0", "e=1", "e=2"]
+    assert read_ingest_index(spark, state).count() == read_ingest_verdicts(
+        spark, state
+    ).count()
+
+
+def test_crash_during_compaction_recovers(spark, sf_dir, tmp_path, monkeypatch):
+    """Sweep a crash into every fs op of compact_ingest_index (base
+    rmtree, manifest temp write, manifest replace, superseded-subdir
+    deletes): at every point the next entry-point recovery must leave the
+    standing index and verdict log exactly as before the attempt, and a
+    re-run of compaction must complete."""
+    corpus, crawl = _crawl(spark, sf_dir)
+    mid = crawl.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b0 = crawl.where(F.col("doc_id") <= mid).localCheckpoint()
+    b1 = crawl.where(F.col("doc_id") > mid).localCheckpoint()
+
+    real_replace, real_rmtree, real_open = os.replace, shutil.rmtree, builtins.open
+
+    for crash_at in range(1, 10):
+        state = str(tmp_path / f"c-{crash_at}")
+        sink = _sink(corpus, state)
+        sink(b0, 0)
+        sink(b1, 1)
+        expected_v = _verdicts(spark, state)
+        expected_i = sorted(
+            r["doc_id"] for r in read_ingest_index(spark, state).collect()
+        )
+
+        calls = {"n": 0}
+
+        def counting(fn, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise RuntimeError(f"simulated crash at fs-op {crash_at}")
+            return fn(*a, **kw)
+
+        def counted_open(path, *a, **kw):
+            if isinstance(path, str) and "_manifest.tmp-" in os.path.basename(
+                path
+            ):
+                return counting(real_open, path, *a, **kw)
+            return real_open(path, *a, **kw)
+
+        monkeypatch.setattr(os, "replace", lambda *a: counting(real_replace, *a))
+        monkeypatch.setattr(
+            shutil, "rmtree", lambda *a, **kw: counting(real_rmtree, *a, **kw)
+        )
+        monkeypatch.setattr(builtins, "open", counted_open)
+        crashed = False
+        try:
+            compact_ingest_index(spark, state)
+        except RuntimeError:
+            crashed = True
+        monkeypatch.undo()
+
+        # recovery path: any entry point; then compaction completes
+        assert (
+            sorted(r["doc_id"] for r in read_ingest_index(spark, state).collect())
+            == expected_i
+        ), f"crash point {crash_at} lost index rows"
+        assert _verdicts(spark, state) == expected_v, (
+            f"crash point {crash_at} corrupted the verdict log"
+        )
+        compact_ingest_index(spark, state)
+        assert (
+            sorted(r["doc_id"] for r in read_ingest_index(spark, state).collect())
+            == expected_i
         )
         if not crashed:
             break  # fewer fs-ops than crash points: protocol fully swept
