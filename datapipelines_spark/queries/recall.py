@@ -8,9 +8,11 @@ One fixture (the ``embeddings`` table), one ground truth
 self excluded), six approximate arms across four families, every stage
 already oracle-checked on its own:
 
-  ivf_p1/p2/p4  ivf_topk_probe(p)    — 8 fixed cells, probes swept 1/2/4
-                                       (the probes-vs-recall curve as data;
-                                       recall must be monotone in probes)
+  ivf_p1/p2/p4/p8  ivf_topk_probe(p) — 8 fixed cells, probes swept
+                                       1/2/4/8 (the probes-vs-recall curve
+                                       as data; recall must be monotone in
+                                       probes, and p8 — every cell — is
+                                       the exhaustive anchor of the curve)
   pq            sim_pq_rerank_topk   — 4x4 codebooks, ADC shortlist 20, re-rank
   sq8           sim_sq8_rerank_topk  — byte codes, int-L2 shortlist 20, re-rank
   ivf_sq8       sim_ivf_sq8_topk     — IVF cells bounding an SQ8 shortlist 20
@@ -43,11 +45,17 @@ from datapipelines_spark.catalog import _REGISTRY, query
 from datapipelines_spark.queries import similarity as _qsim  # noqa: F401
 from datapipelines_spark.queries import vectors as _qvec  # noqa: F401
 
-#: IVF probe counts swept by the harness (VERDICT r11 next #3): the IVF
-#: operating question at 100 TB is "how many probes for recall X" — the
-#: arms measure the probes/recall curve at equal per-probe budgets, and
+#: IVF probe counts swept by the harness (VERDICT r11 next #3, extended
+#: to the 0.9 operating point per VERDICT r12 next #3): the IVF operating
+#: question at 100 TB is "how many probes for recall X" — the arms
+#: measure the probes/recall curve at equal per-probe budgets, and
 #: tests/test_recall_harness.py asserts recall is monotone in probes.
-_IVF_PROBES = (1, 2, 4)
+#: probes=8 probes every cell of the 8-cell fixture index (the exhaustive
+#: end of the curve), so the sweep now brackets any recall target a user
+#: can ask of this index; queries/vectors.py:choose_probes turns the
+#: measured curve into the probes-for-target answer, mirroring
+#: operators/dedup.py:choose_banding.
+_IVF_PROBES = (1, 2, 4, 8)
 
 
 def _family_specs() -> list[tuple[str, str, Callable, str]]:
