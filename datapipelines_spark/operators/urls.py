@@ -194,19 +194,66 @@ _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 _QUERY_RE = "[?]([^#]*)"
 
 
+#: Matches hosts containing only 7-bit characters — the JVM-side fast
+#: path of ``normalize_idn_host`` (virtually every host in a real crawl).
+_ASCII_RE = "^[\\x00-\\x7F]*$"
+
+
+def idn_ascii(host: str | None) -> str | None:
+    """Pure-Python IDNA/punycode normalization of one lowercased host:
+    ASCII hosts pass through untouched; internationalized hosts encode to
+    their ``xn--`` ASCII form (``bücher.de`` -> ``xn--bcher-kva.de``), so
+    the unicode and punycode spellings of the same registrable domain
+    compare, quota, and dedup as ONE domain (VERDICT r12 next #5). Hosts
+    the codec rejects (empty labels, oversized labels) pass through
+    unchanged — the documented fallback: a malformed host should gate on
+    its literal spelling rather than error the pipeline. This single
+    function backs both the Spark UDF and the generated oracle mapping,
+    so the two replays cannot drift."""
+    if host is None or host == "" or host.isascii():
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except UnicodeError:
+        return host
+
+
+def normalize_idn_host(host: Column) -> Column:
+    """``idn_ascii`` as a column: ASCII hosts short-circuit JVM-side (the
+    regex test and the coalesce never leave codegen), and ONLY non-ASCII
+    hosts reach Python — the Arrow batch ships a column that is NULL for
+    every ASCII row, because the UDF's argument is ``when(non_ascii,
+    host)``, so on an overwhelmingly-ASCII crawl the Python stage
+    transfers near-zero bytes and maps nulls. This is the hybrid shape
+    for a genuinely non-codegen-able scalar (punycode): keep the common
+    case whole-stage-codegen, pay Arrow only for the rows that need it."""
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the UDF inferrer can't resolve a module-local 'pd.Series';
+    # defaults to SCALAR eval
+    @F.pandas_udf("string")
+    def _idn(hosts):
+        return hosts.map(idn_ascii)
+
+    is_ascii = host.rlike(_ASCII_RE)
+    return F.coalesce(F.when(is_ascii, host), _idn(F.when(~is_ascii, host)))
+
+
 def parse_urls(df: DataFrame, url_col: str) -> DataFrame:
-    """Add ``scheme``, ``host`` (lowercased, userinfo/port stripped),
-    ``path`` and ``query`` columns parsed from ``url_col``. Pure anchored
-    ``regexp_extract`` — non-matching components come back as '' (both
-    engines' convention), so a relative or malformed URL yields empty
-    parts rather than an error; gate upstream if the domain requires
-    well-formed URLs."""
+    """Add ``scheme``, ``host`` (lowercased, userinfo/port stripped,
+    IDNA-normalized to punycode — see ``normalize_idn_host``), ``path``
+    and ``query`` columns parsed from ``url_col``. Anchored
+    ``regexp_extract`` throughout — non-matching components come back as
+    '' (both engines' convention), so a relative or malformed URL yields
+    empty parts rather than an error; gate upstream if the domain
+    requires well-formed URLs."""
     u = F.col(url_col)
     authority = F.regexp_extract(u, _AUTHORITY_RE, 1)
     return df.withColumns(
         {
             "scheme": F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
-            "host": F.lower(F.regexp_extract(authority, _HOST_RE, 1)),
+            "host": normalize_idn_host(
+                F.lower(F.regexp_extract(authority, _HOST_RE, 1))
+            ),
             "path": F.regexp_extract(u, _PATH_RE, 1),
             "query": F.regexp_extract(u, _QUERY_RE, 1),
         }
@@ -282,6 +329,13 @@ _RULE_RE = re.compile(r"^[a-z0-9-]+(\.[a-z0-9-]+)*$")
 
 
 def _validated_rule(rule: str) -> str:
+    """Normalize then validate one parsed rule: internationalized rules
+    IDNA-encode to their ``xn--`` ASCII form first (the real
+    public_suffix_list.dat carries unicode rules; hosts are normalized
+    the same way by ``normalize_idn_host``, so rule/host label equality
+    holds in punycode space), then anything still outside the LDH
+    charset is rejected."""
+    rule = idn_ascii(rule)
     if not _RULE_RE.fullmatch(rule):
         raise ValueError(
             f"PSL rule {rule!r} has characters outside [a-z0-9.-]; "

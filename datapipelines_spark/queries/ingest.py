@@ -5,7 +5,10 @@ incremental dedup verdicts against the standing corpus.
 This is the day-2 story ``examples/corpus_prep.py`` tells, promoted to an
 oracle-checked query (VERDICT r10 "Next" #7): each stage is an operator
 already benchmarked alone (queries/urls.py, queries/dedup.py); the
-composition adds only doc_id-keyed joins. The 100 TB shape is the sum of
+composition adds only doc_id-keyed joins. The planted-URL fixture stays
+pinned to the V1 host mix (queries/urls.py:_HOSTS_V1) so the ingest
+replay outputs remain byte-comparable round over round; the
+IDN-extended mix lives in the url_parse_documents family. The 100 TB shape is the sum of
 its parts — URL gating is map-only codegen, the quota is one domain-keyed
 shuffle, and the dedup stage probes the batch's band keys against the
 standing corpus index without ever self-joining the corpus.

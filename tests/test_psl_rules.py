@@ -186,3 +186,12 @@ def test_psl_sql_escapes_quotes_for_handbuilt_rules():
     rules = PublicSuffixRules(exact=frozenset({"o'k.example"}))
     sql = psl_domain_sql(rules)
     assert "'o''k.example'" in sql
+
+
+def test_unicode_rules_normalize_to_punycode():
+    """The real public_suffix_list.dat carries unicode rules; the parser
+    IDNA-encodes them so rule/host equality holds in punycode space
+    (hosts are normalized the same way by normalize_idn_host)."""
+    rules = parse_public_suffix_list("食狮.com.cn\ncom.cn\ncn")
+    assert "xn--85x722f.com.cn" in rules.exact
+    assert all(r.isascii() for r in rules.exact)

@@ -169,3 +169,49 @@ def test_parse_agrees_with_urllib_reference(spark):
         assert got["host"] == (ref.hostname or ""), u
         assert got["path"] == ref.path, u
         assert got["query"] == ref.query, u
+
+
+def test_idn_spellings_collapse_to_one_domain(spark):
+    """The unicode and punycode spellings of one internationalized host
+    must normalize to the SAME registrable domain (VERDICT r12 next #5) —
+    otherwise a real crawl quotas and dedups them as two domains."""
+    urls = [
+        "https://bücher.example/p/1",
+        "https://xn--bcher-kva.example/p/2",
+        "http://shop.BÜCHER.example:8080/p/3",  # subdomain + upper-case
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    out = parse_urls(df, "url").withColumn(
+        "domain", registrable_domain(F.col("host"))
+    )
+    doms = {r["domain"] for r in out.collect()}
+    assert doms == {"xn--bcher-kva.example"}
+
+
+def test_idn_ascii_reference_behavior():
+    from datapipelines_spark.operators.urls import idn_ascii
+
+    assert idn_ascii(None) is None
+    assert idn_ascii("") == ""
+    assert idn_ascii("plain.example.com") == "plain.example.com"  # untouched
+    assert idn_ascii("bücher.example") == "xn--bcher-kva.example"
+    assert idn_ascii("xn--bcher-kva.example") == "xn--bcher-kva.example"
+    # codec-rejected hosts pass through (documented fallback)
+    assert idn_ascii("bü..example") == "bü..example"
+
+
+def test_idn_normalization_fast_path_stays_jvm_side(spark):
+    """Plan shape: the ASCII fast path must not feed host strings to the
+    Python stage — the UDF's argument is NULL for ASCII rows, so the
+    Arrow transfer for an all-ASCII corpus carries a null column. Checked
+    structurally: the UDF input expression is a CASE WHEN on the
+    non-ASCII predicate, visible in the analyzed plan."""
+    df = spark.createDataFrame([("a.example.com",)], "h string")
+    from datapipelines_spark.operators.urls import normalize_idn_host
+
+    out = df.select(normalize_idn_host(F.col("h")).alias("host"))
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "CASE WHEN" in plan and "_idn" in plan
+    assert out.collect()[0]["host"] == "a.example.com"
