@@ -123,6 +123,27 @@ def choose_banding(
     return MinHashConfig(num_hashes=rows * bands, bands=bands, ngram=ngram)
 
 
+def _resolve_config(
+    config: MinHashConfig | None,
+    threshold: float,
+    target_recall: float | None,
+) -> MinHashConfig:
+    """Resolve the (config, target_recall) pair the ingest surfaces accept
+    (VERDICT r12 stretch #7: the measured-recall discipline reaches the
+    production ingest path): ``target_recall`` derives the banding via
+    ``choose_banding`` at the operator's own threshold; an explicit
+    ``config`` is taken verbatim; passing both is ambiguous and rejected;
+    neither falls back to the historical default banding."""
+    if target_recall is not None:
+        if config is not None:
+            raise ValueError(
+                "pass either config or target_recall, not both "
+                "(target_recall derives the banding via choose_banding)"
+            )
+        return choose_banding(threshold=threshold, target_recall=target_recall)
+    return config if config is not None else MinHashConfig()
+
+
 # ---------------------------------------------------------------------------
 # exact
 
@@ -1329,10 +1350,11 @@ def incremental_dedup_verdicts(
     batch: DataFrame,
     text_col: str,
     id_col: str,
-    config: MinHashConfig = MinHashConfig(),
+    config: MinHashConfig | None = None,
     threshold: float = 0.5,
     impl: str = "arrow",
     max_bucket_size: int | None = 512,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Ingest-time dedup verdicts: one row per ``batch`` document deciding
     whether it survives against an already-ingested ``corpus`` AND against
@@ -1360,7 +1382,12 @@ def incremental_dedup_verdicts(
     batch side broadcasts (minhash_lsh_join's corpus-vs-eval asymmetry).
     Within-batch work is the ordinary banded LSH on the batch alone, with
     ``max_bucket_size`` as its quadratic-bucket valve (pass None for the
-    cap-free exact mode the capless SQL replays assume)."""
+    cap-free exact mode the capless SQL replays assume).
+
+    Banding comes from ``config``, or — the measured-recall discipline —
+    from ``target_recall``, which solves the banding for this operator's
+    own ``threshold`` via ``choose_banding`` (``_resolve_config``)."""
+    config = _resolve_config(config, threshold, target_recall)
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     ch = corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
         F.min(id_col).alias("exact_corpus")
@@ -1421,10 +1448,11 @@ def ingest_tick_verdicts(
     batch: DataFrame,
     text_col: str,
     id_col: str,
-    config: MinHashConfig = MinHashConfig(),
+    config: MinHashConfig | None = None,
     threshold: float = 0.5,
     impl: str = "arrow",
     max_bucket_size: int | None = 512,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """One STREAMING tick of ``incremental_dedup_verdicts``: verdict each
     ``batch`` document against (a) the immutable standing ``corpus``,
@@ -1456,7 +1484,10 @@ def ingest_tick_verdicts(
     requires NO band bucket to overflow the cap at either granularity
     (a bucket may exceed the cap in the full batch while each tick's
     slice of it stays under) — the no-hot-bucket precondition; pass
-    ``max_bucket_size=None`` to both operators for cap-free parity."""
+    ``max_bucket_size=None`` to both operators for cap-free parity.
+    ``config``/``target_recall`` resolve as in the batch operator
+    (``_resolve_config``)."""
+    config = _resolve_config(config, threshold, target_recall)
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     ch = corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
         F.min(id_col).alias("exact_corpus")

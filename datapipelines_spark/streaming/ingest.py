@@ -59,7 +59,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipelines_spark.functions.hashing import portable_hash_seeded
-from datapipelines_spark.operators.dedup import MinHashConfig, ingest_tick_verdicts
+from datapipelines_spark.operators.dedup import (
+    MinHashConfig,
+    _resolve_config,
+    ingest_tick_verdicts,
+)
 from datapipelines_spark.operators.urls import (
     domain_blocklist_flag,
     parse_urls,
@@ -189,10 +193,11 @@ def ingest_dedup_sink(
     url_col: str = "url",
     blocklist: tuple[str, ...] = (),
     quota_cap: int = 25,
-    config: MinHashConfig = MinHashConfig(),
+    config: MinHashConfig | None = None,
     threshold: float = 0.5,
     max_bucket_size: int | None = 512,
     compact_every: int | None = None,
+    target_recall: float | None = None,
 ):
     """Build the foreachBatch callback. ``corpus`` is the immutable
     standing corpus (never self-joined, never rewritten); each incoming
@@ -202,8 +207,13 @@ def ingest_dedup_sink(
     existing state would double-ingest). ``compact_every`` folds the
     index deltas into one base whenever their count reaches it (keeps
     long-running ingest's read planning bounded); leave None to compact
-    on your own schedule via ``compact_ingest_index``."""
+    on your own schedule via ``compact_ingest_index``. Banding comes
+    from ``config`` or — the measured-recall discipline (VERDICT r12
+    stretch #7) — from ``target_recall``, which solves it for this
+    sink's ``threshold`` via choose_banding; resolved ONCE at build time
+    so every tick dedups under the same signature scheme."""
     root = state_dir.rstrip("/")
+    config = _resolve_config(config, threshold, target_recall)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -296,3 +296,54 @@ def test_crash_during_compaction_recovers(spark, sf_dir, tmp_path, monkeypatch):
         )
         if not crashed:
             break  # fewer fs-ops than crash points: protocol fully swept
+
+
+def test_tuned_banding_reaches_the_ingest_surface(spark, sf_dir, tmp_path):
+    """(threshold, target_recall) derives the banding via choose_banding
+    on both ingest surfaces (VERDICT r12 stretch #7): the tuned-config
+    run must produce EXACTLY the verdict table of the same config passed
+    explicitly, and mixing both parameters is rejected."""
+    import pytest
+
+    from datapipelines_spark.operators.dedup import (
+        choose_banding,
+        incremental_dedup_verdicts,
+    )
+
+    corpus, crawl = _crawl(spark, sf_dir)
+    cfg = choose_banding(threshold=0.5, target_recall=0.9)
+
+    # batch operator: explicit config == derived config, row for row
+    batch = crawl.select("doc_id", "text")
+    a = sorted(
+        map(tuple, incremental_dedup_verdicts(
+            corpus, batch, "text", "doc_id", cfg, threshold=0.5
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, incremental_dedup_verdicts(
+            corpus, batch, "text", "doc_id", threshold=0.5, target_recall=0.9
+        ).collect())
+    )
+    assert a == b
+
+    # streaming sink: one tick under target_recall == one tick under the
+    # equivalent explicit config
+    s1, s2 = str(tmp_path / "cfg"), str(tmp_path / "tuned")
+    _sink(corpus, s1)(crawl, 0)  # default banding baseline state exists
+    ingest_dedup_sink(
+        corpus, s2, blocklist=BLOCKLIST, quota_cap=_QUOTA_CAP,
+        threshold=0.5, target_recall=0.9,
+    )(crawl, 0)
+    s3 = str(tmp_path / "explicit")
+    ingest_dedup_sink(
+        corpus, s3, blocklist=BLOCKLIST, quota_cap=_QUOTA_CAP,
+        config=cfg, threshold=0.5,
+    )(crawl, 0)
+    assert _verdicts(spark, s2) == _verdicts(spark, s3)
+
+    with pytest.raises(ValueError):
+        incremental_dedup_verdicts(
+            corpus, batch, "text", "doc_id", cfg, threshold=0.5,
+            target_recall=0.9,
+        )
