@@ -96,84 +96,89 @@ def all_queries() -> dict[str, QuerySpec]:
 #: unbounded artifact read made the round's own invariants false the
 #: moment the driver wrote CORRECTNESS_r{WINDOW_ROUND}.json — the window
 #: constants must stay valid before AND after the round lands).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
-# Round-12 window:
-#   (a) CORRECTNESS_r11 was 50/50 green — no red block;
-#   (b) first driver verdicts: dedup_recall_harness (added late-r11 as
-#       PENDING_FIRST_VERDICT; this round it also gained the
-#       choose_banding tuned arms and the per-doc graded-variant tails)
-#       plus the 2 new r12 queries — the one-call OPTIMIZE verb composed
-#       end-to-end (layout_optimize_orders) and the streaming ingest loop
-#       with the crash-safe index+verdicts swap
-#       (stream_ingest_dedup_replay);
-#   (c) r12 behavior/plan changes re-confirmed: sim_recall_harness (the
-#       single ivf arm became the probes 1/2/4 sweep) and
-#       sim_ivf_topk_probe2 (body extracted into the parameterized
-#       ivf_topk_probe — output pinned byte-identical, plan rebuilt);
-#   (d) the rest is the computed staleness queue verbatim over r1..r11:
-#       the 42 r7-cohort names, then the r8 cohort head in name order.
+# Round-13 window:
+#   (a) CORRECTNESS_r12 was 50/50 green — no red block;
+#   (b) first driver verdict: url_psl_snapshot_domains (added after the
+#       r12 window was pinned; queued all round as PENDING_FIRST_VERDICT
+#       — VERDICT r12 next #1 says it must lead this window);
+#   (c) r13 behavior/plan changes re-confirmed:
+#       - stream_ingest_dedup_replay: the ingest state became append-only
+#         (manifest-committed MOR deltas, VERDICT r12 next #2) — output
+#         pinned byte-identical, commit protocol rebuilt;
+#       - sim_recall_harness: the IVF sweep gained the probes=8
+#         exhaustive arm (VERDICT r12 next #3) — one new output row;
+#       - url_parse_documents + domain_quota_sample_docs: IDN/punycode
+#         host normalization with planted unicode/punycode spellings
+#         (VERDICT r12 next #5) — outputs change with the new host mix;
+#       - corpus_ingest_pipeline: plan changed by parse_urls's
+#         normalization step (output byte-identical — its URL fixture is
+#         pinned to the ASCII V1 mix);
+#   (d) the rest is the computed staleness queue verbatim over r1..r12:
+#       exactly the 44 r8-cohort names (the full cohort drains, so the
+#       post-r13 staleness floor moves to r9 as VERDICT r12 projected).
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
-FIRST_VERDICTS_R12: tuple[str, ...] = (
-    "dedup_recall_harness",  # pending from late r11
-    "layout_optimize_orders",  # new r12
-    "stream_ingest_dedup_replay",  # new r12
+FIRST_VERDICTS_R13: tuple[str, ...] = (
+    "url_psl_snapshot_domains",  # pending from late r12
 )
 
-CHANGED_R12: tuple[str, ...] = (
+CHANGED_R13: tuple[str, ...] = (
+    "stream_ingest_dedup_replay",
     "sim_recall_harness",
-    "sim_ivf_topk_probe2",
+    "url_parse_documents",
+    "domain_quota_sample_docs",
+    "corpus_ingest_pipeline",
 )
 
-PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R12 + CHANGED_R12 + (
+PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R13 + CHANGED_R13 + (
     # --- computed staleness queue (rotation.reconfirm_queue() prefix) ---
-    "dedup_winnow_fingerprints",
-    "events_sliding_1h_30m",
-    "events_tumbling_1h",
-    "fuzzy_join_supplier_names",
-    "graph_triangle_interactions",
-    "kmeans_centroids_2iter",
-    "map_type_status_counts",
-    "mapper_einops_reduce_groups",
-    "mapper_square_crop",
-    "mix_temperature_sources",
-    "multimodal_adpcm_decode",
-    "multimodal_avi_frames",
-    "multimodal_flac_decode",
-    "multimodal_mjpeg_frames",
-    "multimodal_png_decode",
-    "multimodal_quarantine_decode",
-    "multimodal_wav_decode",
-    "multimodal_y4m_frames",
-    "null_semantics",
-    "partition_pruned_scan",
-    "pii_redact_documents",
-    "profile_orders_table",
-    "quality_constraint_checks",
-    "quality_lm_perplexity",
-    "sample_n_per_lang",
-    "sample_weighted_topk",
-    "scalar_from_json_typed",
-    "scalar_map_hof_funcs",
-    "sim_ivf_cell_assign",
-    "sim_pq_adc_topk",
-    "sim_topk_bruteforce",
-    "split_leakage_safe_eval",
-    "sql_exists_correlated",
-    "sql_recursive_region_chain",
-    "stream_minhash_bands_replay",
-    "stream_static_join_replay",
-    "tar_roundtrip_shards",
-    "text_build_vocab",
-    "text_heavy_hitter_tokens",
-    "text_repetition_signals",
-    "window_first_last_value",
-    "window_running_customer_spend",
-    "chunk_fixed_overlap",
-    "customer_rfm_segments",
-    "decontaminate_minhash_cross",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_repeated_ngram_spans",
+    "dedup_semantic_clusters",
+    "diag_join_key_skew",
+    "events_anomaly_mad",
+    "events_cohort_retention",
+    "events_daily_trend_slope",
+    "events_transition_matrix",
+    "fluent_pipeline_customers",
+    "histogram_equidepth_price",
+    "incremental_revenue_by_month",
+    "interval_open_orders_sweep",
+    "layout_zorder_orders",
+    "multimodal_dhash_neardup",
+    "profile_observed_orders",
+    "q1_pricing_summary",
+    "quality_gopher_rules",
+    "quality_percent_rank_norm",
+    "quality_source_length_drift",
+    "quality_token_budget_sample",
+    "quality_winsorize_outliers",
+    "sample_oversample_parity",
+    "scalar_conditional_funcs",
+    "scalar_date_funcs",
+    "scalar_fuzzy_string",
+    "scalar_math_funcs",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "sim_hard_negatives",
+    "sim_lsh_bucket_histogram",
+    "sim_pq_rerank_topk",
+    "stream_topk_types_replay",
+    "text_bpe_tokenize",
+    "text_fingerprint",
+    "text_gini_diversity",
+    "text_language_id",
+    "text_length_histogram",
+    "text_pmi_collocations",
+    "text_quality_score",
+    "text_token_stats",
+    "window_moving_avg_events",
+    "window_order_gaps",
+    "window_price_rank_in_brand",
 )
 
 
@@ -181,14 +186,13 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R12 + CHANGED_R12 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "url_psl_snapshot_domains",  # added after the r12 window was pinned
-)
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 
-# r13 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r12 (fix first, then pin);
+# r14 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r13 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r13;
-#   4. rotation.reconfirm_queue(before_round=13) verbatim for every
-#      remaining slot — after r12 lands, the queue starts with the r8
-#      cohort names that did not fit this window.
+#   3. queries whose plans/outputs change in r14;
+#   4. rotation.reconfirm_queue(before_round=14) verbatim for every
+#      remaining slot — after r13 lands, the queue starts with the r9
+#      cohort (head: agg_approx_distinct_parts,
+#      asof_join_last_order_before_event, ...).

@@ -14,8 +14,8 @@ window's own CORRECTNESS file cannot invalidate the window's invariants
 — the suite is green before AND after each round's artifact appears."""
 
 from datapipelines_spark.catalog import (
-    CHANGED_R12,
-    FIRST_VERDICTS_R12,
+    CHANGED_R13,
+    FIRST_VERDICTS_R13,
     PENDING_FIRST_VERDICT,
     PRIORITY_50,
     WINDOW_ROUND,
@@ -37,19 +37,19 @@ def test_priority_window_leads_registry_order():
 def test_first_verdict_block_is_exactly_the_never_verified_queries():
     """Block (b): every query with NO green driver verdict in any
     artifact from a round below WINDOW_ROUND must be declared in
-    FIRST_VERDICTS_R12 (window head) or PENDING_FIRST_VERDICT, and vice
+    FIRST_VERDICTS_R13 (window head) or PENDING_FIRST_VERDICT, and vice
     versa — first verdicts lead the window."""
     latest = latest_verdict_rounds(before_round=WINDOW_ROUND)
     if not latest:  # fresh checkout without round artifacts
         return
     never = {n for n in all_queries() if n not in latest}
-    declared = set(FIRST_VERDICTS_R12) | set(PENDING_FIRST_VERDICT)
+    declared = set(FIRST_VERDICTS_R13) | set(PENDING_FIRST_VERDICT)
     assert never == declared, (
-        "queries without any pre-window verdict must be FIRST_VERDICTS_R12 "
+        "queries without any pre-window verdict must be FIRST_VERDICTS_R13 "
         f"or PENDING_FIRST_VERDICT; mismatch: {never ^ declared}"
     )
-    n_fv = len(FIRST_VERDICTS_R12)
-    assert list(PRIORITY_50[:n_fv]) == list(FIRST_VERDICTS_R12)
+    n_fv = len(FIRST_VERDICTS_R13)
+    assert list(PRIORITY_50[:n_fv]) == list(FIRST_VERDICTS_R13)
 
 
 def test_reconfirm_tail_is_a_prefix_of_the_computed_staleness_queue():
@@ -61,11 +61,11 @@ def test_reconfirm_tail_is_a_prefix_of_the_computed_staleness_queue():
     queue = [
         n
         for n in reconfirm_queue(before_round=WINDOW_ROUND)
-        if n not in CHANGED_R12
+        if n not in CHANGED_R13
     ]
     if not queue:  # fresh checkout without round artifacts
         return
-    head = len(FIRST_VERDICTS_R12) + len(CHANGED_R12)
+    head = len(FIRST_VERDICTS_R13) + len(CHANGED_R13)
     tail = list(PRIORITY_50[head:])
     assert tail == queue[: len(tail)]
 
@@ -77,8 +77,8 @@ def test_changed_queries_have_prior_verdicts():
     latest = latest_verdict_rounds(before_round=WINDOW_ROUND)
     if not latest:
         return
-    missing = [n for n in CHANGED_R12 if n not in latest]
-    assert not missing, f"CHANGED_R12 entries with no prior verdict: {missing}"
+    missing = [n for n in CHANGED_R13 if n not in latest]
+    assert not missing, f"CHANGED_R13 entries with no prior verdict: {missing}"
 
 
 def test_staleness_invariant_after_this_window_lands():
