@@ -209,13 +209,44 @@ def idn_ascii(host: str | None) -> str | None:
     unchanged — the documented fallback: a malformed host should gate on
     its literal spelling rather than error the pipeline. This single
     function backs both the Spark UDF and the generated oracle mapping,
-    so the two replays cannot drift."""
+    so the two replays cannot drift.
+
+    Known limitation, accepted: the stdlib codec implements IDNA 2003,
+    which also folds the UTS-46 deviation characters (eszett -> 'ss',
+    final sigma, ZWJ/ZWNJ stripped) — under IDNA 2008 ``straße.de`` and
+    ``strasse.de`` are DISTINCT registrable domains, here they merge.
+    That matches UTS-46 transitional processing (what crawlers and
+    browsers historically did) and errs toward over-merging quota/dedup
+    identities; a deployment needing 2008 semantics swaps the encoder in
+    this one function (e.g. the ``idna`` package, not in this
+    container), and both replays follow automatically."""
     if host is None or host == "" or host.isascii():
         return host
     try:
         return host.encode("idna").decode("ascii")
     except UnicodeError:
         return host
+
+
+_IDN_UDF = None
+
+
+def _idn_udf():
+    """The punycode pandas UDF, created once per process (it closes over
+    nothing call-specific, and parse_urls runs per micro-batch inside
+    streaming sinks — re-decorating every call would churn plan objects).
+    No type hints: `from __future__ import annotations` stringifies them
+    and the UDF inferrer can't resolve a module-local 'pd.Series';
+    defaults to SCALAR eval."""
+    global _IDN_UDF
+    if _IDN_UDF is None:
+
+        @F.pandas_udf("string")
+        def _idn(hosts):
+            return hosts.map(idn_ascii)
+
+        _IDN_UDF = _idn
+    return _IDN_UDF
 
 
 def normalize_idn_host(host: Column) -> Column:
@@ -227,15 +258,10 @@ def normalize_idn_host(host: Column) -> Column:
     transfers near-zero bytes and maps nulls. This is the hybrid shape
     for a genuinely non-codegen-able scalar (punycode): keep the common
     case whole-stage-codegen, pay Arrow only for the rows that need it."""
-    # no type hints: `from __future__ import annotations` stringifies them
-    # and the UDF inferrer can't resolve a module-local 'pd.Series';
-    # defaults to SCALAR eval
-    @F.pandas_udf("string")
-    def _idn(hosts):
-        return hosts.map(idn_ascii)
-
     is_ascii = host.rlike(_ASCII_RE)
-    return F.coalesce(F.when(is_ascii, host), _idn(F.when(~is_ascii, host)))
+    return F.coalesce(
+        F.when(is_ascii, host), _idn_udf()(F.when(~is_ascii, host))
+    )
 
 
 def parse_urls(df: DataFrame, url_col: str) -> DataFrame:

@@ -319,7 +319,9 @@ def choose_probes(
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     curve = MEASURED_IVF_RECALL_BP if measured is None else measured
-    target_bp = target_recall * 10000
+    # round: 0.56 * 10000 is 5600.000000000001 in floats, which would
+    # reject a measured point that equals the target exactly
+    target_bp = round(target_recall * 10000)
     feasible = [p for p, bp in curve.items() if bp >= target_bp]
     if not feasible:
         raise ValueError(
@@ -333,7 +335,7 @@ def choose_probes(
 @query("sim_ivf_topk_probe2", oracle=ivf_topk_oracle(2))
 def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The probes=2 operating point of ``ivf_topk_probe`` — kept as the
-    catalog's named IVF search; the recall harness sweeps probes 1/2/4
+    catalog's named IVF search; the recall harness sweeps probes 1/2/4/8
     through the same parameterized pipeline."""
     return ivf_topk_probe(spark, sf_dir, probes=2)
 

@@ -85,10 +85,14 @@ def _read_manifest(root: str) -> dict | None:
 def _commit_manifest(root: str, manifest: dict) -> None:
     """Atomic publish: the manifest IS the commit — everything it names
     becomes visible in one ``os.replace``; everything it stops naming
-    becomes garbage for ``_recover``."""
+    becomes garbage for ``_recover``. The temp file is fsync'd before the
+    replace so a kernel crash/power loss cannot publish a torn manifest
+    (``os.replace`` alone is only atomic against process crashes)."""
     tmp = os.path.join(root, f"{_MANIFEST}.tmp-{manifest['applied_epoch']}")
     with open(tmp, "w") as fh:
         fh.write(json.dumps(manifest))
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(root, _MANIFEST))
 
 
@@ -96,9 +100,13 @@ def _recover(root: str) -> None:
     """Delete anything the manifest does not vouch for: torn manifest
     temps, delta dirs a crash left half-written or a commit stopped
     referencing, and index/ subdirs dropped by compaction while their
-    sibling verdicts/ stays live. Never touches referenced state, so it
-    is safe (and run) at every entry point; single-writer per state dir,
-    as for every sink here."""
+    sibling verdicts/ stays live. Never touches referenced state.
+    WRITER-ONLY: it runs at the sink/compaction entry points, never from
+    the read APIs — a reader running this concurrently with an in-flight
+    tick would delete the tick's not-yet-committed delta out from under
+    the writer (reads need only the manifest, which names committed
+    state exclusively). Single-writer per state dir, as for every sink
+    here."""
     if not os.path.isdir(root):
         return
     for name in os.listdir(root):
@@ -124,9 +132,10 @@ def _delta_paths(root: str, names: list[str], sub: str) -> list[str]:
 
 def read_ingest_index(spark: SparkSession, state_dir: str) -> DataFrame:
     """The standing admitted index: union of every committed index delta
-    (id, text, domain, quota_rank). Raises if nothing is committed."""
+    (id, text, domain, quota_rank). Raises if nothing is committed.
+    Pure read — consults only the manifest (committed state), never
+    cleans up, so it is safe to call while the sink is mid-tick."""
     root = state_dir.rstrip("/")
-    _recover(root)
     man = _read_manifest(root)
     if not man or not man["index"]:
         raise ValueError(f"no committed ingest state under {state_dir}")
@@ -135,9 +144,9 @@ def read_ingest_index(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def read_ingest_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
     """The cumulative verdict log: union of every committed per-tick
-    verdict delta (id, verdict, match_id, domain, quota_rank)."""
+    verdict delta (id, verdict, match_id, domain, quota_rank). Pure read
+    (see ``read_ingest_index``)."""
     root = state_dir.rstrip("/")
-    _recover(root)
     man = _read_manifest(root)
     if not man or not man["verdicts"]:
         raise ValueError(f"no committed ingest state under {state_dir}")
@@ -155,7 +164,12 @@ def compact_ingest_index(spark: SparkSession, state_dir: str) -> int:
     index list at it; the superseded index/ subdirs are deleted last (a
     crash in between leaves them as garbage ``_recover`` removes). Reads
     at any crash point see either the old delta list or the new base —
-    never a mix."""
+    never a mix. Caveat shared with ``sinks/upsert.py:compact``: the
+    superseded files are deleted in the same call, so a LAZY DataFrame
+    obtained from ``read_ingest_index`` before the compaction must be
+    re-read afterwards (materialize or re-call) — a production
+    deployment would retain superseded deltas for a grace window and
+    vacuum them separately, as lakehouse formats do."""
     root = state_dir.rstrip("/")
     _recover(root)
     man = _read_manifest(root)
@@ -290,17 +304,13 @@ def ingest_dedup_sink(
         shutil.rmtree(delta_dir, ignore_errors=True)  # torn re-delivery
         admitted.write.parquet(os.path.join(delta_dir, "index"))
         v.write.parquet(os.path.join(delta_dir, "verdicts"))
-        _commit_manifest(
-            root,
-            {
-                "applied_epoch": epoch,
-                "index": (man["index"] if man else []) + [delta],
-                "verdicts": (man["verdicts"] if man else []) + [delta],
-            },
-        )
-        if compact_every is not None:
-            man2 = _read_manifest(root)
-            if man2 and len(man2["index"]) >= compact_every:
-                compact_ingest_index(spark, root)
+        committed = {
+            "applied_epoch": epoch,
+            "index": (man["index"] if man else []) + [delta],
+            "verdicts": (man["verdicts"] if man else []) + [delta],
+        }
+        _commit_manifest(root, committed)
+        if compact_every is not None and len(committed["index"]) >= compact_every:
+            compact_ingest_index(spark, root)
 
     return process
