@@ -186,7 +186,9 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R13 + CHANGED_R13 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = ()
+PENDING_FIRST_VERDICT: tuple[str, ...] = (
+    "stream_ingest_asof_replay",  # added after the r13 window was pinned
+)
 
 # r14 rotation plan (build the next PRIORITY_50 from this, in order):
 #   1. any query red or errored in CORRECTNESS_r13 (fix first, then pin);

@@ -28,7 +28,11 @@ from datapipelines_spark.queries.dedup import (
 )
 from datapipelines_spark.queries.urls import _URL_SQL, BLOCKLIST, _planted_urls
 
-__all__ = ["corpus_ingest_pipeline", "stream_ingest_dedup_replay"]
+__all__ = [
+    "corpus_ingest_pipeline",
+    "stream_ingest_dedup_replay",
+    "stream_ingest_asof_replay",
+]
 
 _QUOTA_CAP = 25
 
@@ -36,6 +40,20 @@ _QUOTA_CAP = 25
 #: whenever staged_dup_docs/_planted_urls/the tiling change shape, so a
 #: cached /tmp fixture from an older code state is never replayed.
 _SRC_FIXTURE_V = 2
+
+
+def _ingest_base_dir(sf_dir: str) -> str:
+    """The streaming replay's /tmp working dir. The key carries
+    (basename, full-path hash, fixture version): two sf_dirs sharing a
+    basename cannot collide, and a change to the staged fixture's shape
+    bumps _SRC_FIXTURE_V instead of silently replaying stale files
+    (ADVICE r12 #2)."""
+    import hashlib
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join("/tmp", f"spark_graft_ingest_{tag}_{key}_v{_SRC_FIXTURE_V}")
 
 #: URL-gating CTEs spliced into the incremental-dedup replay: the crawl
 #: slice (doc_id % 4 = 0) keeps only unblocked registrable domains, then
@@ -150,7 +168,7 @@ _GATE_TILED_CTES = f"""{_URL_SQL},
         WHERE d.domain NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})
     ),
     ranked AS (
-        SELECT doc_id, domain,
+        SELECT doc_id, domain, tile,
                ROW_NUMBER() OVER (
                    PARTITION BY domain
                    ORDER BY tile,
@@ -162,7 +180,7 @@ _GATE_TILED_CTES = f"""{_URL_SQL},
         FROM gate
     ),
     gated AS (
-        SELECT doc_id, domain, quota_rank FROM ranked
+        SELECT doc_id, domain, tile, quota_rank FROM ranked
         WHERE quota_rank <= {_QUOTA_CAP}
     ),"""
 
@@ -199,7 +217,6 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence; a single-tick replay equals corpus_ingest_pipeline
     verbatim, pinned in tests/test_stream_ingest.py along with the
     crash-point sweep of the index swap)."""
-    import hashlib
     import os
     import shutil
 
@@ -210,15 +227,7 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_ingest_verdicts,
     )
 
-    # Cache key carries (basename, full-path hash, fixture version): two
-    # sf_dirs sharing a basename cannot collide, and a change to the
-    # staged fixture's shape bumps _SRC_FIXTURE_V instead of silently
-    # replaying stale files (ADVICE r12 #2).
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = os.path.join(
-        "/tmp", f"spark_graft_ingest_{tag}_{key}_v{_SRC_FIXTURE_V}"
-    )
+    base = _ingest_base_dir(sf_dir)
     src = os.path.join(base, "src")
     staged = staged_dup_docs(spark, sf_dir)
     corpus = staged.where(F.col("doc_id") % 4 != 0)
@@ -284,6 +293,57 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (
         read_ingest_verdicts(spark, state)
+        .select(
+            "doc_id",
+            "verdict",
+            "match_id",
+            "domain",
+            F.col("quota_rank").cast("bigint").alias("quota_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stream_ingest_asof_replay",
+    oracle=_incremental_oracle(
+        batch_member=(
+            "{d} % 4 = 0 AND {d} IN (SELECT doc_id FROM gated WHERE tile <= 2)"
+        ),
+        prefix_ctes=_GATE_TILED_CTES,
+        extra_select=(
+            ",\n           g.domain AS domain,"
+            "\n           CAST(g.quota_rank AS BIGINT) AS quota_rank"
+        ),
+        extra_joins="\n    JOIN gated g ON g.doc_id = e.doc_id",
+    ),
+)
+def stream_ingest_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the streaming ingest state (the audit face of the
+    r13 manifest protocol): run the full 4-tick replay, then read the
+    verdict log AS OF epoch 1 — the exact decision table after the first
+    TWO ticks committed, reconstructed from the manifest's epoch deltas
+    without replaying anything.
+
+    The oracle is the same spliced incremental-dedup chain with batch
+    membership restricted to the first two tiles. That restriction is
+    sound because the quota rank is PREFIX-STABLE: ranks order by
+    (tile, hash, id), so a tile-1/2 doc's rank is identical whether or
+    not tiles 3/4 exist — "state as of tick N" is a pure predicate on
+    the full replay's gating, which is exactly what makes the manifest
+    read equal a batch recomputation. Verdict deltas are never
+    compacted, so this read works at any retained epoch even after
+    compact_ingest_index folds the search index."""
+    import os
+
+    from datapipelines_spark.streaming.ingest import read_ingest_verdicts
+
+    # (re)build the 4-tick state — the replay builder stages the fixture,
+    # resets state+checkpoint as one unit, and runs the stream to the end
+    stream_ingest_dedup_replay(spark, sf_dir)
+    state = os.path.join(_ingest_base_dir(sf_dir), "state")
+    return (
+        read_ingest_verdicts(spark, state, as_of_epoch=1)
         .select(
             "doc_id",
             "verdict",

@@ -130,27 +130,73 @@ def _delta_paths(root: str, names: list[str], sub: str) -> list[str]:
     return [os.path.join(root, _DELTAS, n, sub) for n in names]
 
 
-def read_ingest_index(spark: SparkSession, state_dir: str) -> DataFrame:
+def _as_of(names: list[str], epoch: int | None) -> list[str]:
+    """Restrict a manifest delta list to epochs <= ``epoch`` — TIME
+    TRAVEL, exactly sinks/upsert.py's ``as_of_version`` discipline: the
+    snapshot as of that commit, by filtering the FILE LIST (later deltas'
+    footers are never consulted). ``e=N`` deltas filter on N; a
+    ``compact-M`` base folds epochs <= M, so it satisfies any request at
+    or above M and makes requests BELOW M unanswerable (below the
+    compaction horizon — raise, mirroring upsert.py's vacuum horizon)."""
+    if epoch is None:
+        return names
+    keep = []
+    for n in names:
+        if n.startswith("e="):
+            if int(n[2:]) <= epoch:
+                keep.append(n)
+        elif n.startswith("compact-"):
+            folded = int(n.rsplit("-", 1)[1])
+            if folded > epoch:
+                raise ValueError(
+                    f"epoch {epoch} is below the compaction horizon "
+                    f"({n} folds epochs <= {folded}); compaction discards "
+                    "per-epoch index granularity"
+                )
+            keep.append(n)
+        else:  # future-proofing: never silently drop unknown state
+            raise ValueError(f"unrecognized delta dir {n!r} in manifest")
+    return keep
+
+
+def read_ingest_index(
+    spark: SparkSession, state_dir: str, as_of_epoch: int | None = None
+) -> DataFrame:
     """The standing admitted index: union of every committed index delta
-    (id, text, domain, quota_rank). Raises if nothing is committed.
-    Pure read — consults only the manifest (committed state), never
-    cleans up, so it is safe to call while the sink is mid-tick."""
+    (id, text, domain, quota_rank). ``as_of_epoch`` time-travels to the
+    state after that tick committed (raises below the compaction
+    horizon — see ``_as_of``). Raises if nothing is committed. Pure
+    read — consults only the manifest (committed state), never cleans
+    up, so it is safe to call while the sink is mid-tick."""
     root = state_dir.rstrip("/")
     man = _read_manifest(root)
-    if not man or not man["index"]:
-        raise ValueError(f"no committed ingest state under {state_dir}")
-    return spark.read.parquet(*_delta_paths(root, man["index"], "index"))
+    names = _as_of(man["index"], as_of_epoch) if man else []
+    if not names:
+        raise ValueError(
+            f"no committed ingest state under {state_dir}"
+            + (f" at or before epoch {as_of_epoch}" if as_of_epoch is not None else "")
+        )
+    return spark.read.parquet(*_delta_paths(root, names, "index"))
 
 
-def read_ingest_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_ingest_verdicts(
+    spark: SparkSession, state_dir: str, as_of_epoch: int | None = None
+) -> DataFrame:
     """The cumulative verdict log: union of every committed per-tick
     verdict delta (id, verdict, match_id, domain, quota_rank). Pure read
-    (see ``read_ingest_index``)."""
+    (see ``read_ingest_index``). Verdict deltas are never compacted, so
+    ``as_of_epoch`` works at ANY retained epoch — the audit question
+    "what had the ingest decided as of tick N" answered from the
+    manifest alone."""
     root = state_dir.rstrip("/")
     man = _read_manifest(root)
-    if not man or not man["verdicts"]:
-        raise ValueError(f"no committed ingest state under {state_dir}")
-    return spark.read.parquet(*_delta_paths(root, man["verdicts"], "verdicts"))
+    names = _as_of(man["verdicts"], as_of_epoch) if man else []
+    if not names:
+        raise ValueError(
+            f"no committed ingest state under {state_dir}"
+            + (f" at or before epoch {as_of_epoch}" if as_of_epoch is not None else "")
+        )
+    return spark.read.parquet(*_delta_paths(root, names, "verdicts"))
 
 
 def compact_ingest_index(spark: SparkSession, state_dir: str) -> int:

@@ -347,3 +347,60 @@ def test_tuned_banding_reaches_the_ingest_surface(spark, sf_dir, tmp_path):
             corpus, batch, "text", "doc_id", cfg, threshold=0.5,
             target_recall=0.9,
         )
+
+
+def test_as_of_epoch_reads_equal_the_shorter_run(spark, sf_dir, tmp_path):
+    """Time travel: the 3-tick state read as_of_epoch=1 must equal a
+    2-tick twin's final state — verdicts AND index reconstructed from the
+    manifest's epoch deltas without replaying anything; reads past the
+    last epoch return the full state; reads before the first raise."""
+    import pytest
+
+    from datapipelines_spark.streaming.ingest import (
+        read_ingest_index,
+        read_ingest_verdicts,
+    )
+
+    corpus, crawl = _crawl(spark, sf_dir)
+    qs = crawl.approxQuantile("doc_id", [0.33, 0.66], 0.0)
+    b0 = crawl.where(F.col("doc_id") <= qs[0]).localCheckpoint()
+    b1 = crawl.where(
+        (F.col("doc_id") > qs[0]) & (F.col("doc_id") <= qs[1])
+    ).localCheckpoint()
+    b2 = crawl.where(F.col("doc_id") > qs[1]).localCheckpoint()
+
+    full, twin = str(tmp_path / "full"), str(tmp_path / "twin")
+    sink_f, sink_t = _sink(corpus, full), _sink(corpus, twin)
+    for i, b in enumerate((b0, b1, b2)):
+        sink_f(b, i)
+    for i, b in enumerate((b0, b1)):
+        sink_t(b, i)
+
+    asof_v = sorted(
+        map(tuple, read_ingest_verdicts(spark, full, as_of_epoch=1).collect())
+    )
+    twin_v = sorted(map(tuple, read_ingest_verdicts(spark, twin).collect()))
+    assert asof_v == twin_v
+    asof_i = sorted(
+        r["doc_id"]
+        for r in read_ingest_index(spark, full, as_of_epoch=1).collect()
+    )
+    twin_i = sorted(r["doc_id"] for r in read_ingest_index(spark, twin).collect())
+    assert asof_i == twin_i
+    # past the last epoch -> the full state; before the first -> raises
+    assert (
+        read_ingest_verdicts(spark, full, as_of_epoch=99).count()
+        == read_ingest_verdicts(spark, full).count()
+    )
+    with pytest.raises(ValueError):
+        read_ingest_verdicts(spark, full, as_of_epoch=-1)
+
+    # compaction keeps verdict time travel at any epoch but moves the
+    # INDEX horizon: an as-of below the folded epoch must raise
+    compact_ingest_index(spark, full)
+    assert sorted(
+        map(tuple, read_ingest_verdicts(spark, full, as_of_epoch=1).collect())
+    ) == twin_v
+    assert read_ingest_index(spark, full, as_of_epoch=2).count() > 0
+    with pytest.raises(ValueError):
+        read_ingest_index(spark, full, as_of_epoch=1)
