@@ -124,6 +124,10 @@ def _recover(root: str) -> None:
             shutil.rmtree(d, ignore_errors=True)
         elif name not in live_index and os.path.isdir(os.path.join(d, "index")):
             shutil.rmtree(os.path.join(d, "index"), ignore_errors=True)
+        elif name not in live_verdicts and os.path.isdir(
+            os.path.join(d, "verdicts")
+        ):
+            shutil.rmtree(os.path.join(d, "verdicts"), ignore_errors=True)
 
 
 def _delta_paths(root: str, names: list[str], sub: str) -> list[str]:
@@ -187,9 +191,17 @@ def read_ingest_verdicts(
     (see ``read_ingest_index``). Verdict deltas are never compacted, so
     ``as_of_epoch`` works at ANY retained epoch — the audit question
     "what had the ingest decided as of tick N" answered from the
-    manifest alone."""
+    manifest alone. After ``expire_ingest_verdicts`` the log is the
+    RETAINED SUFFIX; an ``as_of_epoch`` below the retention horizon
+    raises instead of silently answering from a partial log."""
     root = state_dir.rstrip("/")
     man = _read_manifest(root)
+    floor = (man or {}).get("verdicts_floor", 0)
+    if as_of_epoch is not None and as_of_epoch < floor:
+        raise ValueError(
+            f"epoch {as_of_epoch} is below the verdict retention horizon "
+            f"({floor}); expire_ingest_verdicts discarded those deltas"
+        )
     names = _as_of(man["verdicts"], as_of_epoch) if man else []
     if not names:
         raise ValueError(
@@ -197,6 +209,51 @@ def read_ingest_verdicts(
             + (f" at or before epoch {as_of_epoch}" if as_of_epoch is not None else "")
         )
     return spark.read.parquet(*_delta_paths(root, names, "verdicts"))
+
+
+def expire_ingest_verdicts(state_dir: str, before_epoch: int) -> int:
+    """Retention for the verdict log: DISCARD verdict deltas of epochs
+    strictly below ``before_epoch`` (no fold — unlike index compaction,
+    expiry is the bounded-audit-log verb: a 100 TB ingest cannot keep
+    every decision forever) and record the new retention horizon in the
+    manifest, so time-travel reads below it fail loudly instead of
+    answering from a partial log. The standing INDEX is untouched —
+    admitted docs stay admitted. Returns the number of deltas dropped.
+
+    Same commit discipline as compaction: one manifest replace publishes
+    the trimmed list + horizon, THEN the dropped verdicts/ subdirs are
+    deleted (dirs whose index/ is still live survive with the subdir
+    removed; ``_recover`` finishes the job after a crash in between).
+    Pure filesystem — no SparkSession needed."""
+    root = state_dir.rstrip("/")
+    _recover(root)
+    man = _read_manifest(root)
+    if not man:
+        raise ValueError(f"no committed ingest state under {state_dir}")
+    keep, drop = [], []
+    for n in man["verdicts"]:
+        (drop if int(n[2:]) < before_epoch else keep).append(n)
+    if not keep:
+        raise ValueError(
+            f"expiry at {before_epoch} would discard the ENTIRE verdict "
+            "log; keep at least the newest epoch"
+        )
+    if not drop:
+        return 0
+    _commit_manifest(
+        root,
+        {
+            **man,
+            "verdicts": keep,
+            "verdicts_floor": max(before_epoch, man.get("verdicts_floor", 0)),
+        },
+    )
+    live_index = set(man["index"])
+    for n in drop:
+        d = os.path.join(root, _DELTAS, n)
+        target = os.path.join(d, "verdicts") if n in live_index else d
+        shutil.rmtree(target, ignore_errors=True)
+    return len(drop)
 
 
 def compact_ingest_index(spark: SparkSession, state_dir: str) -> int:

@@ -404,3 +404,75 @@ def test_as_of_epoch_reads_equal_the_shorter_run(spark, sf_dir, tmp_path):
     assert read_ingest_index(spark, full, as_of_epoch=2).count() > 0
     with pytest.raises(ValueError):
         read_ingest_index(spark, full, as_of_epoch=1)
+
+
+def test_expire_verdicts_bounds_the_log_and_moves_the_horizon(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Retention: expiring epochs < 1 drops exactly tick 0's verdict
+    rows, leaves the standing index whole, makes time travel below the
+    horizon fail loudly, and — crash between the manifest commit and the
+    subdir deletes — recovery finishes the cleanup without losing
+    retained state."""
+    import pytest
+
+    from datapipelines_spark.streaming.ingest import (
+        expire_ingest_verdicts,
+        read_ingest_index,
+        read_ingest_verdicts,
+    )
+
+    corpus, crawl = _crawl(spark, sf_dir)
+    qs = crawl.approxQuantile("doc_id", [0.33, 0.66], 0.0)
+    batches = [
+        crawl.where(F.col("doc_id") <= qs[0]).localCheckpoint(),
+        crawl.where(
+            (F.col("doc_id") > qs[0]) & (F.col("doc_id") <= qs[1])
+        ).localCheckpoint(),
+        crawl.where(F.col("doc_id") > qs[1]).localCheckpoint(),
+    ]
+    state = str(tmp_path / "exp")
+    sink = _sink(corpus, state)
+    for i, b in enumerate(batches):
+        sink(b, i)
+    n_index = read_ingest_index(spark, state).count()
+    tick0 = read_ingest_verdicts(spark, state, as_of_epoch=0).count()
+    total = read_ingest_verdicts(spark, state).count()
+
+    assert expire_ingest_verdicts(state, before_epoch=1) == 1
+    assert read_ingest_verdicts(spark, state).count() == total - tick0
+    assert read_ingest_index(spark, state).count() == n_index  # untouched
+    with pytest.raises(ValueError):
+        read_ingest_verdicts(spark, state, as_of_epoch=0)
+    assert read_ingest_verdicts(spark, state, as_of_epoch=2).count() == total - tick0
+    assert expire_ingest_verdicts(state, before_epoch=1) == 0  # idempotent
+    with pytest.raises(ValueError):  # never discard the whole log
+        expire_ingest_verdicts(state, before_epoch=99)
+
+    # crash between manifest commit and subdir deletion: retained state
+    # intact, horizon in force, recovery (at the next writer entry)
+    # finishes deleting the dropped subdir
+    import shutil as _sh
+
+    state2 = str(tmp_path / "exp2")
+    sink2 = _sink(corpus, state2)
+    for i, b in enumerate(batches):
+        sink2(b, i)
+    real_rmtree = _sh.rmtree
+    calls = {"armed": False}
+
+    def crashing_rmtree(*a, **kw):
+        if calls["armed"]:
+            calls["armed"] = False
+            raise RuntimeError("simulated crash after manifest commit")
+        return real_rmtree(*a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+    calls["armed"] = True
+    with pytest.raises(RuntimeError):
+        expire_ingest_verdicts(state2, before_epoch=1)
+    monkeypatch.undo()
+    after = read_ingest_verdicts(spark, state2).count()
+    assert after == total - tick0  # manifest already committed the trim
+    expire_ingest_verdicts(state2, before_epoch=1)  # re-run cleans up
+    assert read_ingest_verdicts(spark, state2).count() == after
