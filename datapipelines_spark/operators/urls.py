@@ -228,25 +228,32 @@ def idn_ascii(host: str | None) -> str | None:
         return host
 
 
-_IDN_UDF = None
+_IDN_UDF = None  # (SparkContext, udf) — see _idn_udf
 
 
 def _idn_udf():
-    """The punycode pandas UDF, created once per process (it closes over
-    nothing call-specific, and parse_urls runs per micro-batch inside
-    streaming sinks — re-decorating every call would churn plan objects).
-    No type hints: `from __future__ import annotations` stringifies them
-    and the UDF inferrer can't resolve a module-local 'pd.Series';
-    defaults to SCALAR eval."""
+    """The punycode pandas UDF, created once per SparkContext (it closes
+    over nothing call-specific, and parse_urls runs per micro-batch
+    inside streaming sinks — re-decorating every call would churn plan
+    objects). Keyed on the ACTIVE context, not the process: pyspark
+    caches the compiled _judf against the context that first used it, so
+    a process-lifetime cache would hand a stopped context's UDF to a
+    restarted session (session.py supports stop + re-create in one
+    process). No type hints: `from __future__ import annotations`
+    stringifies them and the UDF inferrer can't resolve a module-local
+    'pd.Series'; defaults to SCALAR eval."""
     global _IDN_UDF
-    if _IDN_UDF is None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if _IDN_UDF is None or _IDN_UDF[0] is not sc:
 
         @F.pandas_udf("string")
         def _idn(hosts):
             return hosts.map(idn_ascii)
 
-        _IDN_UDF = _idn
-    return _IDN_UDF
+        _IDN_UDF = (sc, _idn)
+    return _IDN_UDF[1]
 
 
 def normalize_idn_host(host: Column) -> Column:

@@ -42,6 +42,29 @@ _QUOTA_CAP = 25
 _SRC_FIXTURE_V = 2
 
 
+#: (applicationId, base dir) pairs whose 4-tick replay state this session
+#: already built — the layout.py:_WRITTEN precedent: reuse WITHIN a
+#: session (deterministic state, pure manifest read), rebuild across
+#: sessions (stale /tmp state from older code can never serve a run).
+_REPLAYED: set[tuple[str, str]] = set()
+
+
+def _read_replay_verdicts(spark: SparkSession, state: str) -> DataFrame:
+    from datapipelines_spark.streaming.ingest import read_ingest_verdicts
+
+    return (
+        read_ingest_verdicts(spark, state)
+        .select(
+            "doc_id",
+            "verdict",
+            "match_id",
+            "domain",
+            F.col("quota_rank").cast("bigint").alias("quota_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _ingest_base_dir(sf_dir: str) -> str:
     """The streaming replay's /tmp working dir. The key carries
     (basename, full-path hash, fixture version): two sf_dirs sharing a
@@ -216,7 +239,14 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop's net effect must equal a batch decision table (replay
     equivalence; a single-tick replay equals corpus_ingest_pipeline
     verbatim, pinned in tests/test_stream_ingest.py along with the
-    crash-point sweep of the index swap)."""
+    crash-point sweep of the index swap).
+
+    The built state is memoized per (Spark application, base dir): the
+    first call in a session streams all four ticks; later calls — its
+    own repeats, and stream_ingest_asof_replay's reuse — are pure
+    manifest reads of the identical deterministic state. A new session
+    always rebuilds (the memo key carries the applicationId), so stale
+    /tmp state from older code can never serve a fresh run."""
     import os
     import shutil
 
@@ -229,6 +259,10 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _ingest_base_dir(sf_dir)
     src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    memo = (spark.sparkContext.applicationId, base)
+    if memo in _REPLAYED:
+        return _read_replay_verdicts(spark, state)
     staged = staged_dup_docs(spark, sf_dir)
     corpus = staged.where(F.col("doc_id") % 4 != 0)
     if not os.path.isdir(src):
@@ -266,7 +300,6 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (now + i, now + i))
             shutil.rmtree(part_dir, ignore_errors=True)
         os.rename(staging, src)
-    state = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")
     shutil.rmtree(state, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -291,17 +324,8 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
-        read_ingest_verdicts(spark, state)
-        .select(
-            "doc_id",
-            "verdict",
-            "match_id",
-            "domain",
-            F.col("quota_rank").cast("bigint").alias("quota_rank"),
-        )
-        .orderBy("doc_id")
-    )
+    _REPLAYED.add(memo)  # only after a fully successful stream run
+    return _read_replay_verdicts(spark, state)
 
 
 @query(
@@ -338,8 +362,8 @@ def stream_ingest_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datapipelines_spark.streaming.ingest import read_ingest_verdicts
 
-    # (re)build the 4-tick state — the replay builder stages the fixture,
-    # resets state+checkpoint as one unit, and runs the stream to the end
+    # ensure the 4-tick state exists: first call in the session streams
+    # it, later calls are satisfied by the builder's session memo
     stream_ingest_dedup_replay(spark, sf_dir)
     state = os.path.join(_ingest_base_dir(sf_dir), "state")
     return (

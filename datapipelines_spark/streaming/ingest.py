@@ -86,8 +86,14 @@ def _commit_manifest(root: str, manifest: dict) -> None:
     """Atomic publish: the manifest IS the commit — everything it names
     becomes visible in one ``os.replace``; everything it stops naming
     becomes garbage for ``_recover``. The temp file is fsync'd before the
-    replace so a kernel crash/power loss cannot publish a torn manifest
-    (``os.replace`` alone is only atomic against process crashes)."""
+    replace so a kernel crash/power loss cannot publish a torn MANIFEST
+    (``os.replace`` alone is only atomic against process crashes). Scope:
+    this protects the manifest file itself — the delta parquet data it
+    names is written by Spark without fsync, so full power-loss
+    durability of a tick needs a syncing filesystem or an object store
+    (where PUT visibility implies durability); against process crashes,
+    the protocol is exact (the crash sweeps in tests/test_stream_ingest
+    cover every step)."""
     tmp = os.path.join(root, f"{_MANIFEST}.tmp-{manifest['applied_epoch']}")
     with open(tmp, "w") as fh:
         fh.write(json.dumps(manifest))
@@ -196,13 +202,15 @@ def read_ingest_verdicts(
     raises instead of silently answering from a partial log."""
     root = state_dir.rstrip("/")
     man = _read_manifest(root)
-    floor = (man or {}).get("verdicts_floor", 0)
+    if man is None or not man["verdicts"]:
+        raise ValueError(f"no committed ingest state under {state_dir}")
+    floor = man.get("verdicts_floor", 0)
     if as_of_epoch is not None and as_of_epoch < floor:
         raise ValueError(
             f"epoch {as_of_epoch} is below the verdict retention horizon "
             f"({floor}); expire_ingest_verdicts discarded those deltas"
         )
-    names = _as_of(man["verdicts"], as_of_epoch) if man else []
+    names = _as_of(man["verdicts"], as_of_epoch)
     if not names:
         raise ValueError(
             f"no committed ingest state under {state_dir}"
@@ -287,14 +295,9 @@ def compact_ingest_index(spark: SparkSession, state_dir: str) -> int:
     spark.read.parquet(*_delta_paths(root, old, "index")).write.parquet(
         os.path.join(base_dir, "index")
     )
-    _commit_manifest(
-        root,
-        {
-            "applied_epoch": man["applied_epoch"],
-            "index": [base],
-            "verdicts": man["verdicts"],
-        },
-    )
+    # {**man}: carry every other manifest field (verdicts list,
+    # verdicts_floor retention horizon) through the commit untouched
+    _commit_manifest(root, {**man, "index": [base]})
     for name in old:
         d = os.path.join(root, _DELTAS, name)
         target = d if name not in man["verdicts"] else os.path.join(d, "index")
@@ -407,7 +410,11 @@ def ingest_dedup_sink(
         shutil.rmtree(delta_dir, ignore_errors=True)  # torn re-delivery
         admitted.write.parquet(os.path.join(delta_dir, "index"))
         v.write.parquet(os.path.join(delta_dir, "verdicts"))
+        # {**(man or {})}: preserve fields other commits own (the
+        # verdicts_floor retention horizon) — rebuilding from explicit
+        # keys silently erased it at the first post-expiry tick
         committed = {
+            **(man or {}),
             "applied_epoch": epoch,
             "index": (man["index"] if man else []) + [delta],
             "verdicts": (man["verdicts"] if man else []) + [delta],

@@ -476,3 +476,33 @@ def test_expire_verdicts_bounds_the_log_and_moves_the_horizon(
     assert after == total - tick0  # manifest already committed the trim
     expire_ingest_verdicts(state2, before_epoch=1)  # re-run cleans up
     assert read_ingest_verdicts(spark, state2).count() == after
+
+
+def test_retention_horizon_survives_later_commits(spark, sf_dir, tmp_path):
+    """The verdicts_floor recorded by expiry must ride through BOTH other
+    commit sites — a later tick and an index compaction — not be erased
+    by a manifest rebuilt from explicit keys."""
+    import json
+
+    import pytest
+
+    from datapipelines_spark.streaming.ingest import (
+        expire_ingest_verdicts,
+        read_ingest_verdicts,
+    )
+
+    corpus, crawl = _crawl(spark, sf_dir)
+    qs = crawl.approxQuantile("doc_id", [0.33, 0.66], 0.0)
+    state = str(tmp_path / "hz")
+    sink = _sink(corpus, state)
+    sink(crawl.where(F.col("doc_id") <= qs[0]), 0)
+    sink(crawl.where((F.col("doc_id") > qs[0]) & (F.col("doc_id") <= qs[1])), 1)
+    expire_ingest_verdicts(state, before_epoch=1)
+    # a LATER tick commits; then compaction commits
+    sink(crawl.where(F.col("doc_id") > qs[1]), 2)
+    compact_ingest_index(spark, state)
+    with open(os.path.join(state, "_manifest")) as fh:
+        assert json.load(fh)["verdicts_floor"] == 1
+    with pytest.raises(ValueError):
+        read_ingest_verdicts(spark, state, as_of_epoch=0)
+    assert read_ingest_verdicts(spark, state, as_of_epoch=2).count() > 0
