@@ -49,11 +49,13 @@ _SRC_FIXTURE_V = 2
 _REPLAYED: set[tuple[str, str]] = set()
 
 
-def _read_replay_verdicts(spark: SparkSession, state: str) -> DataFrame:
+def _read_replay_verdicts(
+    spark: SparkSession, state: str, as_of_epoch: int | None = None
+) -> DataFrame:
     from datapipelines_spark.streaming.ingest import read_ingest_verdicts
 
     return (
-        read_ingest_verdicts(spark, state)
+        read_ingest_verdicts(spark, state, as_of_epoch=as_of_epoch)
         .select(
             "doc_id",
             "verdict",
@@ -67,15 +69,22 @@ def _read_replay_verdicts(spark: SparkSession, state: str) -> DataFrame:
 
 def _ingest_base_dir(sf_dir: str) -> str:
     """The streaming replay's /tmp working dir. The key carries
-    (basename, full-path hash, fixture version): two sf_dirs sharing a
-    basename cannot collide, and a change to the staged fixture's shape
-    bumps _SRC_FIXTURE_V instead of silently replaying stale files
-    (ADVICE r12 #2)."""
+    (basename, hash of full path + source-data fingerprint, fixture
+    version): two sf_dirs sharing a basename cannot collide, a change to
+    the staged fixture's shape bumps _SRC_FIXTURE_V, and regenerating
+    the sf_dir's documents table IN PLACE (new mtime/size) changes the
+    fingerprint — so cached src files can never mix with a corpus read
+    from newer data (ADVICE r12 #2 + r13 review)."""
     import hashlib
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    ident = os.path.abspath(sf_dir)
+    doc = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(doc):
+        st = os.stat(doc)
+        ident += f"|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.sha256(ident.encode()).hexdigest()[:8]
     return os.path.join("/tmp", f"spark_graft_ingest_{tag}_{key}_v{_SRC_FIXTURE_V}")
 
 #: URL-gating CTEs spliced into the incremental-dedup replay: the crawl
@@ -360,20 +369,8 @@ def stream_ingest_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_ingest_index folds the search index."""
     import os
 
-    from datapipelines_spark.streaming.ingest import read_ingest_verdicts
-
     # ensure the 4-tick state exists: first call in the session streams
     # it, later calls are satisfied by the builder's session memo
     stream_ingest_dedup_replay(spark, sf_dir)
     state = os.path.join(_ingest_base_dir(sf_dir), "state")
-    return (
-        read_ingest_verdicts(spark, state, as_of_epoch=1)
-        .select(
-            "doc_id",
-            "verdict",
-            "match_id",
-            "domain",
-            F.col("quota_rank").cast("bigint").alias("quota_rank"),
-        )
-        .orderBy("doc_id")
-    )
+    return _read_replay_verdicts(spark, state, as_of_epoch=1)

@@ -197,9 +197,12 @@ def read_ingest_verdicts(
     (see ``read_ingest_index``). Verdict deltas are never compacted, so
     ``as_of_epoch`` works at ANY retained epoch — the audit question
     "what had the ingest decided as of tick N" answered from the
-    manifest alone. After ``expire_ingest_verdicts`` the log is the
-    RETAINED SUFFIX; an ``as_of_epoch`` below the retention horizon
-    raises instead of silently answering from a partial log."""
+    manifest alone. After ``expire_ingest_verdicts`` every read answers
+    from the RETAINED SUFFIX only — expiry is a discard verb, so an
+    ``as_of_epoch`` at or above the horizon returns the retained portion
+    of that epoch's log (epochs [floor..as_of], NOT the full historical
+    cumulative table), and a read strictly below the horizon raises
+    because not even a partial answer exists there."""
     root = state_dir.rstrip("/")
     man = _read_manifest(root)
     if man is None or not man["verdicts"]:
@@ -240,6 +243,8 @@ def expire_ingest_verdicts(state_dir: str, before_epoch: int) -> int:
         raise ValueError(f"no committed ingest state under {state_dir}")
     keep, drop = [], []
     for n in man["verdicts"]:
+        if not n.startswith("e="):  # same guard as _as_of: never silently
+            raise ValueError(f"unrecognized delta dir {n!r} in manifest")
         (drop if int(n[2:]) < before_epoch else keep).append(n)
     if not keep:
         raise ValueError(
@@ -327,7 +332,13 @@ def ingest_dedup_sink(
     existing state would double-ingest). ``compact_every`` folds the
     index deltas into one base whenever their count reaches it (keeps
     long-running ingest's read planning bounded); leave None to compact
-    on your own schedule via ``compact_ingest_index``. Banding comes
+    on your own schedule via ``compact_ingest_index`` — note that
+    auto-compaction deletes superseded index files from INSIDE the tick,
+    so with ``compact_every`` set, an external reader's in-flight lazy
+    job over ``read_ingest_index`` can lose files mid-scan (the
+    compaction grace-window caveat, triggered by the sink instead of the
+    caller); readers that cannot tolerate a re-read should compact at
+    quiet points instead. Banding comes
     from ``config`` or — the measured-recall discipline (VERDICT r12
     stretch #7) — from ``target_recall``, which solves it for this
     sink's ``threshold`` via choose_banding; resolved ONCE at build time
@@ -376,6 +387,12 @@ def ingest_dedup_sink(
             )
         else:
             ranked = ranked.withColumn("__n_before", F.lit(0))
+        # localCheckpoint: the admitted set feeds the index write AND
+        # five scans inside the verdict lineage (md5, signatures, bands,
+        # within-tick pairs, the final join) — materialize the gate +
+        # window subplan once per tick instead of 5-6 times (batch-sized,
+        # lineage-truncating; correctness never depended on the re-execs,
+        # the (hash, id) rank is deterministic)
         admitted = (
             ranked.withColumn(
                 "quota_rank",
@@ -383,6 +400,7 @@ def ingest_dedup_sink(
             )
             .where(F.col("quota_rank") <= quota_cap)
             .select(id_col, text_col, "domain", "quota_rank")
+            .localCheckpoint()
         )
 
         # 3. dedup verdicts vs corpus + prior admissions + within tick
