@@ -28,10 +28,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
-#: Enough headroom that one composed pipeline (corpus cleaning chains two
-#: near-dup stages) keeps all its intermediates hot, small enough that a
-#: 50-query driver session holds single-digit cached tables, not dozens.
-_MAX_LIVE = 6
+#: Enough headroom that one composed pipeline keeps ALL its intermediates
+#: hot, small enough that a 50-query driver session holds a bounded set of
+#: cached tables, not dozens. r13 raised 6 -> 16: the accuracy harnesses
+#: (queries/recall.py) legitimately register 8-14 persists while building
+#: one plan (7 ANN family arms / 4 LSH arms sharing signature tables), and
+#: at 6 the registry evicted the earliest arms' caches BEFORE the plan ever
+#: executed — the final sim_recall_harness plan scanned parquet 83 times
+#: (plans/r13/sim_recall_harness_before.txt) because the shared
+#: e/ranked/signature subtrees it was built around were no longer cached.
+#: The eviction-on-overflow discipline itself is unchanged: whatever a
+#: harness forgets to release still dies after 16 newer persists.
+_MAX_LIVE = 16
 
 
 def _unpersist_quietly(df: DataFrame) -> None:

@@ -984,6 +984,22 @@ def minhash_lsh_join(
     rdocs = managed_persist(
         _docs_with_signatures(right, text_col, id_col, config, impl)
     )
+    return _lsh_join_from_docs(ldocs, rdocs, id_col, config, threshold)
+
+
+def _lsh_join_from_docs(
+    ldocs: DataFrame,
+    rdocs: DataFrame,
+    id_col: str,
+    config: MinHashConfig,
+    threshold: float,
+) -> DataFrame:
+    """``minhash_lsh_join`` over PRECOMPUTED signature tables (the output
+    of ``_docs_with_signatures``, persisted by the caller). Split out so
+    composed operators that probe one batch against several standing sides
+    (incremental/tick verdicts) pay ONE signature pass per side instead of
+    one per probe — each signature stage is a full Arrow shingle+minhash
+    pass over its corpus, the dominant cost of every LSH pipeline here."""
     lb = lsh_band_keys(ldocs, id_col, config).withColumnRenamed(id_col, "doc_a")
     rb = lsh_band_keys(rdocs, id_col, config).withColumnRenamed(id_col, "doc_b")
     cand = (
@@ -1386,7 +1402,16 @@ def incremental_dedup_verdicts(
 
     Banding comes from ``config``, or — the measured-recall discipline —
     from ``target_recall``, which solves the banding for this operator's
-    own ``threshold`` via ``choose_banding`` (``_resolve_config``)."""
+    own ``threshold`` via ``choose_banding`` (``_resolve_config``).
+
+    r13 plan note: the batch and corpus signature tables are computed ONCE
+    each (persisted) and shared by the corpus probe and the within-batch
+    stage — previously each stage re-derived its own signature pipeline,
+    so one verdict table paid three Arrow shingle+minhash passes over the
+    batch and the plan tree blew up combinatorially (guide §5 caching /
+    §2.4 shared exchanges). Results are bit-identical: the signature
+    stage is deterministic and the cache only changes where it is read
+    from."""
     config = _resolve_config(config, threshold, target_recall)
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     ch = corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
@@ -1402,22 +1427,23 @@ def incremental_dedup_verdicts(
     exact = exact.withColumn("exact_batch", F.min(id_col).over(w)).select(
         id_col, "exact_corpus", "exact_batch"
     )
+    bdocs = managed_persist(
+        _docs_with_signatures(batch, text_col, id_col, config, impl)
+    )
+    cdocs = managed_persist(
+        _docs_with_signatures(corpus, text_col, id_col, config, impl)
+    )
     near_c = (
-        minhash_lsh_join(
-            corpus, batch, text_col, id_col, config, threshold, impl
-        )
+        _lsh_join_from_docs(cdocs, bdocs, id_col, config, threshold)
         .groupBy(F.col("doc_b").alias(id_col))
         .agg(F.min("doc_a").alias("near_corpus"))
     )
     near_b = (
-        minhash_lsh_pairs(
-            batch,
-            text_col,
+        _pair_jaccard(
+            _lsh_candidate_pairs(bdocs, id_col, config, max_bucket_size),
+            bdocs,
             id_col,
-            config,
             threshold,
-            max_bucket_size=max_bucket_size,
-            impl=impl,
         )
         .groupBy(F.col("doc_b").alias(id_col))
         .agg(F.min("doc_a").alias("near_batch"))
@@ -1453,6 +1479,8 @@ def ingest_tick_verdicts(
     impl: str = "arrow",
     max_bucket_size: int | None = 512,
     target_recall: float | None = None,
+    corpus_hashes: DataFrame | None = None,
+    corpus_sig_docs: DataFrame | None = None,
 ) -> DataFrame:
     """One STREAMING tick of ``incremental_dedup_verdicts``: verdict each
     ``batch`` document against (a) the immutable standing ``corpus``,
@@ -1486,11 +1514,26 @@ def ingest_tick_verdicts(
     slice of it stays under) — the no-hot-bucket precondition; pass
     ``max_bucket_size=None`` to both operators for cap-free parity.
     ``config``/``target_recall`` resolve as in the batch operator
-    (``_resolve_config``)."""
+    (``_resolve_config``).
+
+    ``corpus_hashes`` / ``corpus_sig_docs`` are the STANDING-INDEX hooks
+    (r13): a long-running ingest loop verdicts every tick against the same
+    immutable corpus, so the sink precomputes the corpus md5 table
+    (``corpus.groupBy(md5(text)).agg(min(id))`` aliased ``exact_corpus``)
+    and signature table (``_docs_with_signatures``) once, persists them,
+    and passes them here — each tick then pays ZERO corpus passes instead
+    of two. Omitted, both derive from ``corpus`` as before. The batch and
+    prior signature tables are likewise computed once per call and shared
+    across the probe and within-tick stages (the
+    ``incremental_dedup_verdicts`` r13 plan note)."""
     config = _resolve_config(config, threshold, target_recall)
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
-    ch = corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
-        F.min(id_col).alias("exact_corpus")
+    ch = (
+        corpus_hashes
+        if corpus_hashes is not None
+        else corpus.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+            F.min(id_col).alias("exact_corpus")
+        )
     )
     ph = prior_batch.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
         F.min(id_col).alias("__exact_prior")
@@ -1511,29 +1554,35 @@ def ingest_tick_verdicts(
             F.least("__exact_prior", "__exact_within").alias("exact_batch"),
         )
     )
-    near_c = (
-        minhash_lsh_join(
-            corpus, batch, text_col, id_col, config, threshold, impl
+    bdocs = managed_persist(
+        _docs_with_signatures(batch, text_col, id_col, config, impl)
+    )
+    cdocs = (
+        corpus_sig_docs
+        if corpus_sig_docs is not None
+        else managed_persist(
+            _docs_with_signatures(corpus, text_col, id_col, config, impl)
         )
+    )
+    pdocs = managed_persist(
+        _docs_with_signatures(prior_batch, text_col, id_col, config, impl)
+    )
+    near_c = (
+        _lsh_join_from_docs(cdocs, bdocs, id_col, config, threshold)
         .groupBy(F.col("doc_b").alias(id_col))
         .agg(F.min("doc_a").alias("near_corpus"))
     )
     near_p = (
-        minhash_lsh_join(
-            prior_batch, batch, text_col, id_col, config, threshold, impl
-        )
+        _lsh_join_from_docs(pdocs, bdocs, id_col, config, threshold)
         .groupBy(F.col("doc_b").alias(id_col))
         .agg(F.min("doc_a").alias("__near_prior"))
     )
     near_w = (
-        minhash_lsh_pairs(
-            batch,
-            text_col,
+        _pair_jaccard(
+            _lsh_candidate_pairs(bdocs, id_col, config, max_bucket_size),
+            bdocs,
             id_col,
-            config,
             threshold,
-            max_bucket_size=max_bucket_size,
-            impl=impl,
         )
         .groupBy(F.col("doc_b").alias(id_col))
         .agg(F.min("doc_a").alias("__near_within"))

@@ -13,9 +13,11 @@ candidate's approximate distance is M table lookups — no float vector is
 ever touched at scan time.
 
 Spark shape:
-- TRAIN: M independent Lloyd runs (operators/clustering.py:kmeans_fit) over
-  array slices — each is the O(partitions x k) partial-sum shuffle, the
-  corpus never shuffles; codebooks are (M, k, D/M) driver-side floats.
+- TRAIN: all M subspace Lloyd runs FUSED into one pass per iteration (one
+  seed collect + one mapInPandas partial-sum job computes every subspace's
+  partials; the corpus never shuffles); codebooks are (M, k, D/M)
+  driver-side floats. Arithmetic per subspace equals an independent
+  kmeans_fit run (operators/clustering.py contract).
 - ENCODE: ONE fused Arrow pass computes all M argmins per batch against the
   broadcast codebooks (same fused-stage discipline as the minhash
   signatures); output is (id, codes array<int>) — the compressed index.
@@ -36,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import types as T
 
-from datapipelines_spark.operators.clustering import _assign_batch, kmeans_fit
+from datapipelines_spark.operators.clustering import _assign_batch
 
 
 def pq_fit(
@@ -50,8 +52,24 @@ def pq_fit(
     """Train per-subspace codebooks; returns (m, k, dim//m) float64.
 
     The vector dimension must divide evenly by ``m`` (checked against the
-    first row). Each subspace trains independently with the deterministic
-    kmeans contract (lowest-id init, ``tol=0`` fixed iterations)."""
+    first row). Each subspace trains with the deterministic kmeans
+    contract (lowest-id init, ``tol=0`` fixed iterations).
+
+    r13 plan shape: all ``m`` subspaces train in ONE fused pass — one
+    seed collect and one mapInPandas partial-aggregate job per Lloyd
+    iteration, instead of ``m`` independent ``kmeans_fit`` runs (each with
+    its own persist, seed collect, and per-iteration job: 4 subspaces cost
+    ~12 serial driver jobs before, 3 after — guide §1.2 step 1, the
+    dominant cost of the PQ queries was the serial job ladder, not
+    compute). Arithmetic per subspace is unchanged (same argmin, same
+    np.add.at partial accumulation, same driver-side partial reduce in
+    collect order); only the grouping of rows into tasks can shift the
+    last-ulp float accumulation, which sits ~1e-13 relative — far inside
+    the 9-significant-digit canonicalization both the driver and the
+    DuckDB oracles compare at (testing.py `.9g`), re-verified per query."""
+    from datapipelines_spark.functions.caching import managed_persist
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
     first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not first:
         raise ValueError("pq_fit: empty input")
@@ -59,17 +77,81 @@ def pq_fit(
     if dim % m:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub"),
+    proj = managed_persist(
+        parallelize_small(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
         )
-        cents, _ = kmeans_fit(
-            sliced, "__sub", id_col, k=k, max_iter=max_iter, tol=0.0
-        )
-        books.append(cents)
-    return np.stack(books)  # (m, k, sub)
+    )
+    seed_rows = proj.orderBy("__id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"pq_fit: need at least k={k} vectors, got {len(seed_rows)}")
+    seeds = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    # (m, k, sub): subspace j's init = the k lowest-id vectors' j-th slice —
+    # exactly kmeans_fit's lowest-id init applied per subspace
+    books = np.stack([seeds[:, j * sub : (j + 1) * sub] for j in range(m)])
+    spark = df.sparkSession
+    fused_schema = T.StructType(
+        [
+            T.StructField("j", T.IntegerType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(max_iter):
+        bc = spark.sparkContext.broadcast(books)
+
+        def partials(batches, _bc=bc):
+            cents = _bc.value  # (m, k, sub)
+            mm, kk, ss = cents.shape
+            counts = np.zeros((mm, kk), dtype=np.int64)
+            sums = np.zeros((mm, kk, ss), dtype=np.float64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                mat = np.array(list(pdf["v"]), dtype=np.float64)
+                for j in range(mm):
+                    smat = mat[:, j * ss : (j + 1) * ss]
+                    a = _assign_batch(smat, cents[j])
+                    np.add.at(counts[j], a, 1)
+                    np.add.at(sums[j], a, smat)
+            if not seen:
+                return
+            out_j, out_c, out_n, out_s = [], [], [], []
+            for j in range(mm):
+                live = np.nonzero(counts[j])[0]
+                out_j.append(np.full(len(live), j, dtype=np.int32))
+                out_c.append(live.astype(np.int32))
+                out_n.append(counts[j][live])
+                out_s.extend(list(sums[j][live]))
+            yield pd.DataFrame(
+                {
+                    "j": np.concatenate(out_j),
+                    "cluster": np.concatenate(out_c),
+                    "n": np.concatenate(out_n),
+                    "s": out_s,
+                }
+            )
+
+        parts = proj.mapInPandas(partials, fused_schema).collect()
+        new_books = books.copy()
+        for j in range(m):
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, sub), dtype=np.float64)
+            for r in parts:  # collect order, same reduce as kmeans_fit
+                if r["j"] != j:
+                    continue
+                counts[r["cluster"]] += r["n"]
+                sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            live = counts > 0
+            new_books[j][live] = sums[live] / counts[live, None]
+        books = new_books
+    return books  # (m, k, sub)
 
 
 def pq_encode(

@@ -911,7 +911,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join work — candidate generation is the batch's band keys
     broadcast against the corpus index; within-batch dedup is the banded
     LSH on the (small) batch alone."""
-    staged = staged_dup_docs(spark, sf_dir)
+    from datapipelines_spark.functions.caching import managed_persist
+
+    # staged feeds both the corpus and batch branches, each of which scans
+    # it 2-3 times (md5 table, signature table, final join): persist the
+    # planted fixture once instead of re-running its 3-scan self-join plan
+    # per consumer (r13, guide §5)
+    staged = managed_persist(staged_dup_docs(spark, sf_dir))
     corpus = staged.where(F.col("doc_id") % 4 != 0)
     batch = staged.where(F.col("doc_id") % 4 == 0)
     return ops.incremental_dedup_verdicts(

@@ -152,7 +152,15 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         registrable_domain,
     )
 
-    staged = staged_dup_docs(spark, sf_dir)
+    from datapipelines_spark.functions.caching import managed_persist
+
+    # staged feeds the corpus branch (md5 + signature tables) AND the
+    # crawl/gate branch; the quota-gated batch feeds the verdict operator's
+    # exact/signature stages AND the final join. Persist both so the
+    # staged fixture's 3-scan self-join plan and the URL-parse + quota
+    # window run once, not once per consumer (r13, guide §5; the before
+    # plan re-derived them ~5x: plans/r13/corpus_ingest_pipeline_before.txt)
+    staged = managed_persist(staged_dup_docs(spark, sf_dir))
     corpus = staged.where(F.col("doc_id") % 4 != 0)
     crawl = staged.where(F.col("doc_id") % 4 == 0)
 
@@ -164,7 +172,9 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(lambda df: domain_blocklist_flag(df, "domain", BLOCKLIST))
         .where(~F.col("is_blocked"))
     )
-    batch = domain_quota_sample(gate, "domain", "doc_id", cap=_QUOTA_CAP)
+    batch = managed_persist(
+        domain_quota_sample(gate, "domain", "doc_id", cap=_QUOTA_CAP)
+    )
 
     verdicts = ops.incremental_dedup_verdicts(
         corpus, batch, "text", "doc_id", _MINHASH, threshold=0.5
@@ -281,6 +291,10 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(
                 "__tile", F.ntile(4).over(Window.orderBy("doc_id"))
             )
+            # four per-tile writes follow: materialize the staged join +
+            # global ntile window once instead of re-running it per write
+            # (r13; values are deterministic, staging output unchanged)
+            .localCheckpoint()
         )
         # Stage into a scratch dir and rename into place only once all 4
         # batch files have landed: a crash mid-staging can never leave a

@@ -310,6 +310,11 @@ def dedup_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on (doc_a, doc_b) and a 5-row aggregate."""
     from datapipelines_spark.functions.caching import managed_persist
     from datapipelines_spark.operators import dedup as dops
+    from datapipelines_spark.operators.dedup import (
+        _docs_with_signatures,
+        _lsh_candidate_pairs,
+        _pair_jaccard,
+    )
     from datapipelines_spark.queries.dedup import _MINHASH
     from datapipelines_spark.sources.parquet import load_table
 
@@ -336,6 +341,24 @@ def dedup_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
             aug, text_col="text", id_col="doc_id", n=3, threshold=0.5
         ).select("doc_a", "doc_b")
     )
+    # r13 plan shape: ONE signature pass and ONE candidate computation per
+    # banding config, shared by the bands arm and the verified arm — the
+    # previous per-arm operator calls re-derived the Arrow shingle+minhash
+    # pipeline four times and the band buckets twice per config (guide §5:
+    # persist what is reused; outputs are identical, candidates are a
+    # deterministic set).
+    sig_docs = {
+        cfg: managed_persist(
+            _docs_with_signatures(aug, "text", "doc_id", cfg)
+        )
+        for cfg in (_MINHASH, tuned)
+    }
+    cands = {
+        cfg: managed_persist(
+            _lsh_candidate_pairs(sig_docs[cfg], "doc_id", cfg, None)
+        )
+        for cfg in (_MINHASH, tuned)
+    }
     arms = [
         ("lsh_bands", _MINHASH, False),
         ("lsh_bands_tuned", tuned, False),
@@ -345,22 +368,9 @@ def dedup_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = exact.select(F.lit("exact_jaccard").alias("stage"), "doc_a", "doc_b")
     for stage, cfg, verified in arms:
         if verified:
-            r = dops.minhash_lsh_pairs(
-                aug,
-                text_col="text",
-                id_col="doc_id",
-                config=cfg,
-                threshold=0.5,
-                max_bucket_size=None,
-            )
+            r = _pair_jaccard(cands[cfg], sig_docs[cfg], "doc_id", 0.5)
         else:
-            r = dops.minhash_lsh_candidates(
-                aug,
-                text_col="text",
-                id_col="doc_id",
-                config=cfg,
-                max_bucket_size=None,
-            )
+            r = cands[cfg]
         tagged = tagged.unionByName(
             r.select(F.lit(stage).alias("stage"), "doc_a", "doc_b")
         )
@@ -404,17 +414,29 @@ def sim_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped), and hits against the exact brute-force top-5 are counted.
     Output: (family, n_queries, n_hits, recall_bp) — recall in basis
     points, integer arithmetic only."""
-    exact = (
+    from datapipelines_spark.functions.caching import managed_persist
+    from datapipelines_spark.queries.vectors import ivf_topk_multiprobe
+
+    # exact feeds the hits join AND the n_queries aggregate: persist, or
+    # the brute-force ground-truth pipeline executes twice (r13, guide §5)
+    exact = managed_persist(
         _REGISTRY["sim_topk_bruteforce"]
         .builder(spark, sf_dir)
         .select("query_id", "neighbor_id")
     )
+    # The four IVF probe arms share ONE scored candidate table
+    # (ivf_topk_multiprobe, r13): identical pairs to the per-arm
+    # ivf_topk_probe builders the oracle replays, one scoring pass.
+    ivf_arms = ivf_topk_multiprobe(spark, sf_dir, _IVF_PROBES)
     specs = _family_specs()
     tagged = None
     for fam, _sql, builder, ncol in specs:
+        if fam.startswith("ivf_p"):
+            r = ivf_arms[int(fam[len("ivf_p"):])]
+        else:
+            r = builder(spark, sf_dir)
         r = (
-            builder(spark, sf_dir)
-            .where(
+            r.where(
                 (F.col("query_id") % 100 == 0)
                 & (F.col(ncol) != F.col("query_id"))
             )

@@ -292,6 +292,93 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str, probes: int = 2) -> DataFra
     )
 
 
+def ivf_topk_multiprobe(
+    spark: SparkSession, sf_dir: str, probes: tuple[int, ...] = (1, 2, 4, 8)
+) -> dict[int, DataFrame]:
+    """Every probe arm of ``ivf_topk_probe`` from ONE shared scored table
+    (r13, guide §1.2 "the distributed algorithm"): the arms differ only in
+    how many of each query's ranked cells are probed, and the probed-cell
+    sets are NESTED (arm p's candidates ⊂ arm max(probes)'s), so the exact
+    scoring join runs ONCE at the largest probe count with each
+    candidate's probe rank attached, and every smaller arm is a filter +
+    its own top-5 window over the persisted scored table. Bit-identical to
+    per-arm ``ivf_topk_probe`` calls: the candidate set per arm is the
+    same set, ``cos_raw`` is the same sequential-fold expression over the
+    same arrays, and the per-arm window ranks the same rows in the same
+    order — only the number of scoring passes changes (1 instead of
+    len(probes)). Used by queries/recall.py:sim_recall_harness, which
+    previously paid the probe-join + scoring + window pipeline four
+    times."""
+    from datapipelines_spark.operators.dedup import _dot, _norm
+    from datapipelines_spark.functions.partitioning import parallelize_small
+
+    max_p = max(probes)
+    e = (
+        parallelize_small(
+            load_table(spark, sf_dir, "embeddings").where(
+                F.col("embedding").isNotNull()
+            )
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+    )
+    e = managed_persist(e)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("cell_id"))
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell_id",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias("cos_raw"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    ranked = managed_persist(ranked)
+    corpus_cells = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("c_id"), "cell_id"
+    )
+    probe_cells = ranked.where(
+        (F.col("rn") <= max_p) & (F.col("vec_id") % 100 == 0)
+    ).select(F.col("vec_id").alias("q_id"), "cell_id", F.col("rn").alias("__probe_rn"))
+    cand = (
+        F.broadcast(probe_cells)
+        .join(corpus_cells, "cell_id")
+        .where(F.col("q_id") != F.col("c_id"))
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    cv = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv2"), F.col("nrm").alias("cn2"))
+    scored = managed_persist(
+        cand.join(F.broadcast(qv), "q_id")
+        .join(F.broadcast(cv), "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            "__probe_rn",
+            (_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2"))).alias("cos_raw"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("c_id"))
+    out: dict[int, DataFrame] = {}
+    for p in probes:
+        out[p] = (
+            scored.where(F.col("__probe_rn") <= p)
+            .withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= 5)
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                F.round("cos_raw", 6).alias("cosine"),
+                "rank",
+            )
+            .orderBy("query_id", "rank")
+        )
+    return out
+
+
 #: The probes -> recall@5 curve MEASURED by sim_recall_harness
 #: (queries/recall.py) on the sf0.01 embeddings fixture, in basis points
 #: (driver-verified integers, r13). probes=8 probes every cell of the

@@ -346,6 +346,34 @@ def ingest_dedup_sink(
     root = state_dir.rstrip("/")
     config = _resolve_config(config, threshold, target_recall)
 
+    # Standing-index artifacts (r13): the corpus is immutable for the life
+    # of the sink, so its md5 table and signature table are computed once,
+    # persisted, and reused by EVERY tick — previously each tick re-ran
+    # both corpus passes (the Arrow shingle+minhash scan being the
+    # dominant per-tick cost), which is exactly the "persist those as a
+    # real index at 100 TB" note in the module docstring, now done.
+    # Plain .persist(), not managed_persist: these must outlive every
+    # tick's own bounded persists; they die with the streaming query's
+    # session (or an explicit clearCache), the same lifetime a production
+    # deployment gives its standing index.
+    _standing: dict[str, DataFrame] = {}
+
+    def _corpus_artifacts(id_col_: str, text_col_: str):
+        if "hashes" not in _standing:
+            from datapipelines_spark.operators.dedup import (
+                _docs_with_signatures,
+            )
+
+            _standing["hashes"] = (
+                corpus.groupBy(F.md5(F.col(text_col_)).alias("__h"))
+                .agg(F.min(id_col_).alias("exact_corpus"))
+                .persist()
+            )
+            _standing["docs"] = _docs_with_signatures(
+                corpus, text_col_, id_col_, config
+            ).persist()
+        return _standing["hashes"], _standing["docs"]
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         epoch = int(epoch_id)
@@ -409,6 +437,7 @@ def ingest_dedup_sink(
             if prior is not None
             else admitted.select(id_col, text_col).limit(0)
         )
+        c_hashes, c_docs = _corpus_artifacts(id_col, text_col)
         v = ingest_tick_verdicts(
             corpus,
             prior_docs,
@@ -418,6 +447,8 @@ def ingest_dedup_sink(
             config,
             threshold,
             max_bucket_size=max_bucket_size,
+            corpus_hashes=c_hashes,
+            corpus_sig_docs=c_docs,
         ).join(admitted.select(id_col, "domain", "quota_rank"), id_col)
 
         # 4. append-only commit: the tick's admissions and verdicts land

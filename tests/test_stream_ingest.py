@@ -506,3 +506,43 @@ def test_retention_horizon_survives_later_commits(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError):
         read_ingest_verdicts(spark, state, as_of_epoch=0)
     assert read_ingest_verdicts(spark, state, as_of_epoch=2).count() > 0
+
+
+def test_tick_verdicts_with_precomputed_corpus_artifacts_equal(
+    spark, sf_dir
+):
+    """r13: the sink precomputes the standing corpus's md5 and signature
+    tables once and passes them into every tick
+    (ingest_tick_verdicts(corpus_hashes=, corpus_sig_docs=)); the verdict
+    table must be IDENTICAL to the derive-from-corpus path — the
+    artifacts are the same deterministic plans, just persisted."""
+    from datapipelines_spark.operators.dedup import (
+        _docs_with_signatures,
+        ingest_tick_verdicts,
+    )
+
+    corpus, crawl = _crawl(spark, sf_dir)
+    batch = crawl.select("doc_id", "text")
+    prior = batch.limit(0)
+    plain = ingest_tick_verdicts(
+        corpus, prior, batch, "text", "doc_id", _MINHASH, 0.5
+    )
+    hashes = corpus.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min("doc_id").alias("exact_corpus")
+    )
+    docs = _docs_with_signatures(corpus, "text", "doc_id", _MINHASH)
+    pre = ingest_tick_verdicts(
+        corpus,
+        prior,
+        batch,
+        "text",
+        "doc_id",
+        _MINHASH,
+        0.5,
+        corpus_hashes=hashes,
+        corpus_sig_docs=docs,
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["verdict"], r["match_id"]) for r in df.collect()
+    )
+    assert rows(plain) == rows(pre)
