@@ -50,11 +50,42 @@ def _unpersist_quietly(df: DataFrame) -> None:
         pass
 
 
+#: (applicationId, canonicalized-plan sha256) already registered, parallel
+#: to _LIVE. Spark's CacheManager dedupes STORAGE by plan equivalence, but
+#: the registry previously appended a fresh entry per call — so a bench
+#: repeat loop (or a harness that rebuilds the same subplan per arm)
+#: re-registered the same cache entry over and over, blew through
+#: _MAX_LIVE, and the "oldest" eviction unpersisted the very cache every
+#: live consumer shared (r13: sim_ivf_sq8_topk registers 3 persists per
+#: build x 5 bench repeats = 15 registrations of 3 caches). Deduping by
+#: plan fingerprint makes registration idempotent: a re-persist of an
+#: already-registered plan just refreshes its LRU position.
+_KEYS: list[tuple[str, str] | None] = []
+
+
 def managed_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` with registration in the bounded live set."""
+    """``df.persist()`` with idempotent registration in the bounded live
+    set: one registry slot per distinct (session, canonicalized plan)."""
     persisted = df.persist()
+    key: tuple[str, str] | None
+    try:
+        from datapipelines_spark.functions.partitioning import plan_fingerprint
+
+        key = (
+            persisted.sparkSession.sparkContext.applicationId,
+            plan_fingerprint(persisted),
+        )
+    except Exception:
+        key = None  # unfingerprintable plan: fall back to append-always
+    if key is not None and key in _KEYS:
+        i = _KEYS.index(key)
+        _KEYS.append(_KEYS.pop(i))
+        _LIVE.append(_LIVE.pop(i))
+        return persisted
     _LIVE.append(persisted)
+    _KEYS.append(key)
     while len(_LIVE) > _MAX_LIVE:
+        _KEYS.pop(0)
         _unpersist_quietly(_LIVE.pop(0))
     return persisted
 
@@ -62,4 +93,5 @@ def managed_persist(df: DataFrame) -> DataFrame:
 def release_persists() -> None:
     """Unpersist every registered intermediate (bench/driver hygiene hook)."""
     while _LIVE:
+        _KEYS.pop()
         _unpersist_quietly(_LIVE.pop())

@@ -49,11 +49,21 @@ def connected_components(
     exploratory use where approximate clusters are acceptable)."""
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
+    from datapipelines_spark.functions.caching import managed_persist
+
     # the edge list is re-joined every iteration: persist it, or each round
-    # re-runs the whole upstream pair pipeline (LSH, verification, ...)
-    edges = (
+    # re-runs the whole upstream pair pipeline (LSH, verification, ...).
+    # The undirected pair list is persisted FIRST (r13): the two union
+    # branches below are different projections of the same pair plan, and
+    # without the persist each branch re-executed the upstream
+    # candidate-join pipeline past its last exchange.
+    pairs_p = managed_persist(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    )
+    edges = (
+        pairs_p.unionByName(
+            pairs_p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         .distinct()
         .persist()
     )

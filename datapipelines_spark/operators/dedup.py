@@ -220,7 +220,7 @@ def _doc_sig_udf(config: MinHashConfig):
                 continue
             hs = np.fromiter(
                 (
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
                     for s in sh
                 ),
                 dtype=np.int64,
@@ -557,7 +557,7 @@ def _simhash_udf(bits: int):
             cnt = Counter(t.split(" "))
             hs = np.fromiter(
                 (
-                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:4], "big")
                     for tok in cnt
                 ),
                 dtype=np.int64,

@@ -410,12 +410,15 @@ def knn_graph(
 
         m = k + int(shortlist_margin)
         eps = float(shortlist_eps)
-        # Sub-block sizing: if the WHOLE corpus fits one block (a count on
-        # the already-persisted cache — no assignment re-run), no cell can
+        # Sub-block sizing: if the WHOLE corpus fits one block, no cell can
         # need splitting; only past that bound pay the per-cell counts
         # aggregate (one bounded n_cells-row collect, the centroid-partials
         # precedent) and teach each row its block count via a map literal.
-        if e.count() <= int(cell_block):
+        # The probe is the memoized early-stopping count (r13): one
+        # bounded job per distinct corpus plan per session instead of a
+        # full count per build — bench repeats and composed callers skip
+        # the job entirely.
+        if _bounded_count(e.select(F.lit(1)), int(cell_block) + 1) <= int(cell_block):
             n_blocks = {}
         else:
             cell_counts = {

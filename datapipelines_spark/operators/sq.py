@@ -174,7 +174,12 @@ def sq8_adc_rerank_topk(
     explicitly to accept the flat scan anyway."""
     if shortlist < top_k:
         raise ValueError("shortlist must be >= top_k")
-    n_corpus = corpus_df.select(F.lit(1)).limit(max_corpus + 1).count()
+    # memoized bounded count (similarity._bounded_count): the guard probe
+    # is one early-stopping job per distinct corpus plan per session, not
+    # one per call — bench repeats and composed pipelines skip it (r13)
+    from datapipelines_spark.operators.similarity import _bounded_count
+
+    n_corpus = _bounded_count(corpus_df.select(F.lit(1)), max_corpus + 1)
     if n_corpus > max_corpus:
         raise ValueError(
             f"sq8_adc_rerank_topk: corpus exceeds max_corpus={max_corpus}; "
