@@ -182,7 +182,18 @@ def contamination_overlap_bloom(
     # items — it only oversizes the filter (lower fpp), never undersizes.
     ev = word_shingles(eval_df, text_col, id_col, n).select("s")
     if expected_items is None:
-        expected_items = ev.count()
+        # Sizing needs only an UPPER BOUND on the n-gram count, so compute
+        # max(len(words)-n+1, 0) per doc in one narrow JVM scan instead of
+        # counting the exploded Arrow shingle pass — the eval side is then
+        # shingled exactly once (the bitmap build). greatest() skips the
+        # NULL that a NULL text produces, so those rows bound to 0.
+        words = F.split(F.col(text_col), " ")
+        bound = eval_df.select(
+            F.sum(
+                F.greatest(F.size(words) - F.lit(n - 1), F.lit(0)).cast("long")
+            ).alias("__n")
+        ).collect()[0][0]
+        expected_items = int(bound or 0)
     num_bits = optimal_bits(expected_items, fpp)
     num_hashes = optimal_hashes(num_bits, expected_items)
     bits = build_bloom(ev, "s", num_bits, num_hashes)

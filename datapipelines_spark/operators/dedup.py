@@ -1225,17 +1225,26 @@ def remove_duplicate_substrings(
     delimiter is the identity, so pass-through equals rebuild verbatim) —
     at 100 TB the rebuild shuffle is duplicate-density-sized, not
     corpus-sized."""
+    from datapipelines_spark.functions.caching import managed_persist
+
     df = df.where(F.col(text_col).isNotNull())
     spans = duplicate_substring_spans(
         df, text_col, id_col, min_len=min_len, min_count=min_count
     )
-    covered = spans.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(
-                F.col("span_start"), F.col("span_start") + F.col("span_len") - 1
-            )
-        ).alias("pos"),
+    # covered feeds THREE consumers (the semi-join id probe, the anti-join
+    # subtraction, and the removed-token count): persist it, or each one
+    # re-executes the whole spans pipeline — the corpus-wide window-hash
+    # aggregate included. It is duplicate-density-sized (covered positions
+    # of flagged docs only), never corpus-sized.
+    covered = managed_persist(
+        spans.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("span_start"), F.col("span_start") + F.col("span_len") - 1
+                )
+            ).alias("pos"),
+        )
     )
     covered_ids = covered.select(id_col).distinct()
     toks = df.join(covered_ids, id_col, "left_semi").select(

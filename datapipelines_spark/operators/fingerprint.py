@@ -30,7 +30,7 @@ aggregation, carrying ~1/window of the shingle volume.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def winnow_fingerprints(
@@ -96,11 +96,19 @@ def fingerprint_overlap_pairs(
     boilerplate — a quadratic hot key that belongs to the chunk-dedup
     pipeline, not the pair detector; same cap discipline as
     operators/dedup.py)."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, window)
-    small = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).where(
-        F.col("n_docs") <= max_fp_docs
+    # pre-partition the inverted index on the join key (the
+    # ngram_jaccard_pairs discipline): the doc-frequency cap becomes a
+    # window over the already-partitioned data (sort within partitions, no
+    # new exchange) and both self-join sides arrive co-partitioned — one
+    # shuffle of the fingerprint table instead of a count aggregate plus a
+    # filter join, and the winnow codegen stage feeds a single exchange
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).repartition("fp")
+    w = Window.partitionBy("fp")
+    fps = (
+        fps.withColumn("__nd", F.count(F.lit(1)).over(w))
+        .where(F.col("__nd") <= max_fp_docs)
+        .drop("__nd")
     )
-    fps = fps.join(small.select("fp"), "fp")
     a = fps.select(F.col("fp"), F.col(id_col).alias("doc_a"))
     b = fps.select(F.col("fp"), F.col(id_col).alias("doc_b"))
     return (

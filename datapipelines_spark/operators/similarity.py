@@ -595,6 +595,12 @@ def knn_graph(
     )
     if not mutual:
         return knn.select("src", "dst", F.round("cos_raw", 6).alias("cosine"))
+    # the reciprocal check self-joins the top-k edge list: persist it, or
+    # both join sides re-execute the whole shortlist+score+rank pipeline
+    # (the static plan carries the FlatMapGroupsInPandas subtree twice).
+    # The edge list is corpus×k (id, id, double) rows — cache-sized at any
+    # corpus the cell-blocked shortlist itself can handle.
+    knn = managed_persist(knn)
     rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (
         knn.join(rev, ["src", "dst"])  # reciprocal: both directions ranked
