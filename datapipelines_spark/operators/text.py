@@ -253,7 +253,7 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def bm25_search(
     docs: DataFrame,
-    query_terms: DataFrame,
+    query_terms,
     text_col: str,
     id_col: str,
     k1: float = 1.2,
@@ -272,7 +272,13 @@ def bm25_search(
     to 6 decimals BEFORE the per-doc sum (exact decimal aggregation — the
     same cross-engine reproducibility discipline as operators/nbayes.py).
 
-    ``query_terms``: single-column DataFrame of terms (column ``term``).
+    ``query_terms``: single-column DataFrame of terms (column ``term``),
+    or a callable ``(tf: DataFrame) -> DataFrame`` receiving the persisted
+    ``(id, term, tf)`` term-frequency table — the hook for data-derived
+    queries (e.g. "the corpus's most frequent terms") to aggregate from
+    the index that is already built instead of paying a second tokenize
+    pass over the corpus (guide §2.4/§5; at 100 TB the query derivation
+    must never rescan the collection).
     """
     from datapipelines_spark.functions.caching import managed_persist
 
@@ -282,6 +288,8 @@ def bm25_search(
     tf = managed_persist(
         toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     )
+    if callable(query_terms):
+        query_terms = query_terms(tf)
     # doc length = sum of its term frequencies: reuses tf's shuffle instead
     # of a second explode pass over the corpus
     doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("len"))

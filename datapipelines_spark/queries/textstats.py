@@ -280,21 +280,29 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, tf saturation and length normalization are all aggregates
     and broadcast joins (operators/text.py:bm25_search); per-term partials
     round to 6 decimals before the per-doc sum so both engines aggregate
-    identical decimals."""
+    identical decimals.
+
+    The query terms are derived from the operator's own persisted
+    ``(doc_id, term, tf)`` index instead of a second tokenize pass over the
+    corpus (r14, guide §5): the en-slice token count of a term is exactly
+    ``SUM(tf)`` over en doc_ids, so the before-plan's second scan→explode→
+    aggregate subtree collapses to a broadcast semi-join on the index."""
     d = load_table(spark, sf_dir, "documents")
-    toks_en = (
-        d.where(F.col("lang") == "en")
-        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
-        .where(F.col("term") != "")
-    )
-    qterms = (
-        toks_en.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("term"))
-        .limit(3)
-        .select("term")
-    )
-    return ops.bm25_search(d, qterms, "text", "doc_id", top_k=10).orderBy("rank")
+    en_ids = d.where(F.col("lang") == "en").select("doc_id")
+
+    def qterms_from_index(tf: DataFrame) -> DataFrame:
+        return (
+            tf.join(en_ids, "doc_id")
+            .groupBy("term")
+            .agg(F.sum("tf").alias("c"))
+            .orderBy(F.desc("c"), F.asc("term"))
+            .limit(3)
+            .select("term")
+        )
+
+    return ops.bm25_search(
+        d, qterms_from_index, "text", "doc_id", top_k=10
+    ).orderBy("rank")
 
 
 @query(
@@ -485,8 +493,15 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram-count table itself (vocabulary-sized partial aggregates over
     # bc, never a second pass over the corpus) — the textbook bigram-PMI
     # sample space, and at scale the difference between scanning 100 TB
-    # once or twice
-    bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # once or twice. The persist is what MAKES it one scan (r14): bc has
+    # four consumers (ma, mb, tot, the scored join) and the static plan
+    # duplicated the whole scan→explode→aggregate subtree into each —
+    # the r14 before-capture shows 4 parquet scans and 4 Generate nodes,
+    # and the 8-core bench beat the 32-core one (0.36 ratio) because the
+    # duplicated explodes dominated. Guide §5: persist what is reused.
+    from datapipelines_spark.functions.caching import managed_persist
+
+    bc = managed_persist(bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")))
     ma = bc.groupBy("a").agg(F.sum("c_ab").alias("ca"))
     mb = bc.groupBy("b").agg(F.sum("c_ab").alias("cb"))
     tot = bc.agg(F.sum("c_ab").alias("nb_total"))
