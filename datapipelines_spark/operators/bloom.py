@@ -155,6 +155,44 @@ def might_contain(
     return probe(hash_col)
 
 
+def count_contained(
+    bloom_bits: np.ndarray, hashes_col: Column, num_bits: int, num_hashes: int, spark
+) -> Column:
+    """Per-row COUNT of ``array<long>`` hash entries present in the
+    broadcast bitmap — the fused per-document probe. One Arrow batch
+    carries a document's whole (already distinct) hash array, the count
+    comes back as a scalar, and the flattened probe matrix is the same
+    total volume the exploded per-row probe shipped — minus the explode
+    and minus any downstream per-doc aggregation shuffle.
+
+    Non-deterministic marking is an optimizer fence (guide §4.4): callers
+    filter on this count, and a pushed-down filter would otherwise clone
+    the ArrowEvalPython node, probing every document twice."""
+    bc = spark.sparkContext.broadcast(bloom_bits)
+
+    @F.pandas_udf("long")
+    def probe_count(harr: pd.Series) -> pd.Series:
+        bits = bc.value
+        lens = np.fromiter((len(a) for a in harr), dtype=np.int64, count=len(harr))
+        out = np.zeros(len(lens), dtype=np.int64)
+        if len(lens) == 0 or int(lens.sum()) == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in harr if len(a)]
+        )
+        pos = _probe_positions(flat, num_bits, num_hashes)
+        word = bits[pos // 64]
+        mask = np.uint64(1) << (pos % 64).astype(np.uint64)
+        hit = ((word & mask) != 0).all(axis=1).astype(np.int64)
+        nz = lens > 0
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out[nz] = np.add.reduceat(hit, starts[nz])
+        return pd.Series(out)
+
+    return probe_count.asNondeterministic()(hashes_col)
+
+
 def contamination_overlap_bloom(
     train: DataFrame,
     eval_df: DataFrame,
@@ -198,13 +236,24 @@ def contamination_overlap_bloom(
     num_hashes = optimal_hashes(num_bits, expected_items)
     bits = build_bloom(ev, "s", num_bits, num_hashes)
 
-    tr = word_shingles(train, text_col, id_col, n)
-    hit = might_contain(
-        bits, F.xxhash64(F.col("s")), num_bits, num_hashes, train.sparkSession
+    # Fused per-document probe (r14, guide §4.1/§2.4): a document's
+    # (already per-doc-distinct) shingles are born together in one array,
+    # so the overlap count never needs them apart — hash the array in
+    # place JVM-side and count bitmap hits per doc in one Arrow crossing.
+    # The r13 shape exploded to one row per shingle, probed row-wise, and
+    # shuffled every hit into a per-doc count aggregate; the explode, the
+    # per-row probe column and the count exchange all collapse — the
+    # training corpus now never shuffles at all.
+    from datapipelines_spark.operators.dedup import doc_shingles
+
+    tr = doc_shingles(train, text_col, id_col, n)
+    n_hits = count_contained(
+        bits,
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)),
+        num_bits,
+        num_hashes,
+        train.sparkSession,
     )
-    return (
-        tr.where(hit)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .where(F.col("n_overlap") >= min_overlap)
+    return tr.select(F.col(id_col), n_hits.alias("n_overlap")).where(
+        F.col("n_overlap") >= max(min_overlap, 1)
     )

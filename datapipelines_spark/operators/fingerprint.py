@@ -30,7 +30,7 @@ aggregation, carrying ~1/window of the shingle volume.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 def winnow_fingerprints(
@@ -84,7 +84,7 @@ def fingerprint_overlap_pairs(
     k: int = 7,
     window: int = 4,
     min_shared: int = 2,
-    max_fp_docs: int = 1000,
+    max_fp_docs: int | None = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared): document pairs sharing >= ``min_shared``
     fingerprints — the MOSS-style local-plagiarism / shared-boilerplate
@@ -95,20 +95,43 @@ def fingerprint_overlap_pairs(
     by more than ``max_fp_docs`` documents are dropped first (corpus-wide
     boilerplate — a quadratic hot key that belongs to the chunk-dedup
     pipeline, not the pair detector; same cap discipline as
-    operators/dedup.py)."""
-    # pre-partition the inverted index on the join key (the
-    # ngram_jaccard_pairs discipline): the doc-frequency cap becomes a
-    # window over the already-partitioned data (sort within partitions, no
-    # new exchange) and both self-join sides arrive co-partitioned — one
-    # shuffle of the fingerprint table instead of a count aggregate plus a
-    # filter join, and the winnow codegen stage feeds a single exchange
-    fps = winnow_fingerprints(df, text_col, id_col, k, window).repartition("fp")
-    w = Window.partitionBy("fp")
-    fps = (
-        fps.withColumn("__nd", F.count(F.lit(1)).over(w))
-        .where(F.col("__nd") <= max_fp_docs)
-        .drop("__nd")
-    )
+    operators/dedup.py). ``None`` disables the cap AND its machinery —
+    the same ``is not None`` gate as ngram_jaccard_pairs' max_doc_freq
+    (r14: the r13 shape paid a per-posting window count even when the
+    caller's cap could never engage)."""
+    # Hot-key guard (r14, guide §2.5): the r13 shape computed the
+    # doc-frequency cap as a count over Window.partitionBy("fp") after one
+    # repartition("fp") — minimal exchanges, but the window exec BUFFERS
+    # each fp's whole posting list in one task before the cap can drop it,
+    # so a corpus-boilerplate fingerprint (billions of postings at 100 TB)
+    # recreates exactly the hot-key pattern the cap exists to kill (AQE
+    # skew handling cannot split window partitions). Same single exchange
+    # now, different consumers: the inverted index is persisted AFTER the
+    # fp repartition, the over-cap keys come from a partial-aggregating
+    # count that RIDES the cached partitioning (hot keys collapse map-side;
+    # no second exchange, no buffering), and a broadcast anti-join against
+    # that tiny hot set drops their postings while streaming the cache —
+    # no task ever holds an uncapped key's postings in memory. Both
+    # self-join sides still arrive co-partitioned on fp (the
+    # ngram_jaccard_pairs discipline), and the winnow codegen stage (the
+    # CPU of this operator) runs once into the cache.
+    if max_fp_docs is None:
+        # no cap → no count pass at all; one repartition positions the
+        # inverted index so both self-join sides arrive co-partitioned
+        fps = winnow_fingerprints(df, text_col, id_col, k, window).repartition("fp")
+    else:
+        from datapipelines_spark.functions.caching import managed_persist
+
+        fps_all = managed_persist(
+            winnow_fingerprints(df, text_col, id_col, k, window).repartition("fp")
+        )
+        hot = (
+            fps_all.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .where(F.col("__nd") > max_fp_docs)
+            .select("fp")
+        )
+        fps = fps_all.join(F.broadcast(hot), "fp", "left_anti")
     a = fps.select(F.col("fp"), F.col(id_col).alias("doc_a"))
     b = fps.select(F.col("fp"), F.col(id_col).alias("doc_b"))
     return (

@@ -417,7 +417,10 @@ def knn_graph(
         # The probe is the memoized early-stopping count (r13): one
         # bounded job per distinct corpus plan per session instead of a
         # full count per build — bench repeats and composed callers skip
-        # the job entirely.
+        # the job entirely. Memo keyed on (appId, plan fingerprint): an
+        # in-place-growing source under an identical plan would reuse a
+        # stale block-sizing decision (mis-sized blocks, never wrong
+        # results); sources are immutable snapshots here (r14, ADVICE).
         if _bounded_count(e.select(F.lit(1)), int(cell_block) + 1) <= int(cell_block):
             n_blocks = {}
         else:

@@ -176,7 +176,13 @@ def sq8_adc_rerank_topk(
         raise ValueError("shortlist must be >= top_k")
     # memoized bounded count (similarity._bounded_count): the guard probe
     # is one early-stopping job per distinct corpus plan per session, not
-    # one per call — bench repeats and composed pipelines skip it (r13)
+    # one per call — bench repeats and composed pipelines skip it (r13).
+    # ASSUMPTION (r14, ADVICE): the memo key is (appId, plan fingerprint),
+    # so a source that GROWS in-place within one session under an identical
+    # plan (parquet dir appended between calls) would reuse a stale count
+    # and could slip past this cap. Sources here are immutable snapshots
+    # (the bench fixtures and any sane table layout); pass cache=False to
+    # _bounded_count if that ever changes.
     from datapipelines_spark.operators.similarity import _bounded_count
 
     n_corpus = _bounded_count(corpus_df.select(F.lit(1)), max_corpus + 1)

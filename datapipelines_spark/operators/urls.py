@@ -278,18 +278,50 @@ def parse_urls(df: DataFrame, url_col: str) -> DataFrame:
     ``regexp_extract`` throughout — non-matching components come back as
     '' (both engines' convention), so a relative or malformed URL yields
     empty parts rather than an error; gate upstream if the domain
-    requires well-formed URLs."""
+    requires well-formed URLs.
+
+    IDN normalization shape (r14, guide §4.1): punycode runs over the
+    DISTINCT non-ASCII hosts only — a UDF pass over a near-empty dimension
+    — and rejoins as a broadcast hash join, so the corpus-sized pass has
+    NO Python node at all (the r13 hybrid kept ASCII bytes out of Arrow
+    but still walked every row through ArrowEvalPython). The distinct
+    non-ASCII host set of a crawl is bounded by vocabulary, not corpus
+    size (~1-2% of distinct hosts; a few MB broadcast at web scale).
+    Streaming plans keep the inline hybrid — a per-row expression — since
+    an unbounded source admits no distinct-then-broadcast."""
     u = F.col(url_col)
     authority = F.regexp_extract(u, _AUTHORITY_RE, 1)
-    return df.withColumns(
+    raw_host = F.lower(F.regexp_extract(authority, _HOST_RE, 1))
+    if df.isStreaming:
+        return df.withColumns(
+            {
+                "scheme": F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
+                "host": normalize_idn_host(raw_host),
+                "path": F.regexp_extract(u, _PATH_RE, 1),
+                "query": F.regexp_extract(u, _QUERY_RE, 1),
+            }
+        )
+    out = df.withColumns(
         {
             "scheme": F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
-            "host": normalize_idn_host(
-                F.lower(F.regexp_extract(authority, _HOST_RE, 1))
-            ),
+            "host": raw_host,
             "path": F.regexp_extract(u, _PATH_RE, 1),
             "query": F.regexp_extract(u, _QUERY_RE, 1),
         }
+    )
+    cols = out.columns
+    mapping = (
+        out.where(~F.col("host").rlike(_ASCII_RE))
+        .select(F.col("host").alias("__raw_host"))
+        .distinct()
+        .withColumn("__idn_host", _idn_udf()(F.col("__raw_host")))
+    )
+    return (
+        out.join(
+            F.broadcast(mapping), out["host"] == mapping["__raw_host"], "left"
+        )
+        .withColumn("host", F.coalesce(F.col("__idn_host"), F.col("host")))
+        .select(*cols)
     )
 
 

@@ -366,7 +366,7 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fingerprint_overlap_pairs(
             both, "text", "doc_id", k=7, window=4, min_shared=2,
-            max_fp_docs=10_000_000,
+            max_fp_docs=None,
         )
         .select("doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared"))
         .orderBy("doc_a", "doc_b")

@@ -293,7 +293,12 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # four per-tile writes follow: materialize the staged join +
             # global ntile window once instead of re-running it per write
-            # (r13; values are deterministic, staging output unchanged)
+            # (r13; values are deterministic, staging output unchanged).
+            # localCheckpoint blocks are non-replicated and sever lineage:
+            # an executor loss mid-staging fails this job instead of
+            # recomputing (r14, ADVICE) — acceptable because staging is a
+            # one-shot fixture build into a scratch dir; the crash-safe
+            # rename below means a failed attempt just re-stages
             .localCheckpoint()
         )
         # Stage into a scratch dir and rename into place only once all 4
@@ -332,21 +337,24 @@ def stream_ingest_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    sink = ingest_dedup_sink(
+        corpus,
+        state,
+        blocklist=BLOCKLIST,
+        quota_cap=_QUOTA_CAP,
+        config=_MINHASH,
+    )
     q = (
-        stream.writeStream.foreachBatch(
-            ingest_dedup_sink(
-                corpus,
-                state,
-                blocklist=BLOCKLIST,
-                quota_cap=_QUOTA_CAP,
-                config=_MINHASH,
-            )
-        )
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    # the standing-corpus caches are the sink's, not the session's: drop
+    # them now that the stream is done (r14, ADVICE — repeated replays in
+    # one session would otherwise stack two cached tables per run)
+    sink.release_standing()
     _REPLAYED.add(memo)  # only after a fully successful stream run
     return _read_replay_verdicts(spark, state)
 

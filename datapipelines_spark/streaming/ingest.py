@@ -472,4 +472,17 @@ def ingest_dedup_sink(
         if compact_every is not None and len(committed["index"]) >= compact_every:
             compact_ingest_index(spark, root)
 
+    def release_standing() -> None:
+        """Drop the standing-corpus caches. Call after the streaming query
+        stops — a session that builds many sinks (test suites, repeated
+        replays) would otherwise accumulate two cached tables per sink for
+        the session lifetime (r14, ADVICE)."""
+        while _standing:
+            _, cached = _standing.popitem()
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
+
+    process.release_standing = release_standing
     return process

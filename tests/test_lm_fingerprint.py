@@ -115,6 +115,31 @@ def test_winnow_fingerprints_plan_is_row_local(spark):
     assert "EvalPython" not in plan
 
 
+def test_overlap_hot_fingerprint_dropped_before_join(spark):
+    """r14 hot-key guard: a boilerplate fingerprint held by more than
+    ``max_fp_docs`` documents is removed by a broadcast anti-join against a
+    partially-aggregated hot-key set BEFORE the inverted index is
+    positioned on fp — no task ever buffers an uncapped key's postings
+    (the r13 shape counted inside a Window over the fp partition, which
+    shipped every occurrence of the hot key to one task first)."""
+    boiler = "x1 x2 x3 x4 x5 x6"  # identical in every doc -> hot bucket
+    priv = "p1 p2 p3 p4 p5 p6"  # shared by exactly two docs -> kept
+    rows = [(i, boiler) for i in range(1, 7)]
+    rows += [(10, boiler + " " + priv), (11, priv + " " + boiler)]
+    df = _df(spark, rows)
+    out = fingerprint_overlap_pairs(
+        df, "text", "doc_id", k=3, window=2, min_shared=1, max_fp_docs=3
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    # boilerplate fps live in 6-8 docs (> cap) and are dropped, so the
+    # identical docs 1-6 pair with nobody; the private run (>= window+k-1
+    # tokens) guarantees docs 10/11 one shared surviving fingerprint
+    assert got == {(10, 11)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     texts=st.lists(
