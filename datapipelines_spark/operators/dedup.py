@@ -1166,7 +1166,13 @@ def duplicate_substring_spans(
         F.sequence(F.lit(0), F.size("toks") - min_len),
         lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, min_len)),
     )
-    pos = (
+    # pos feeds TWO consumers (the corpus-wide frequency count and the
+    # flagged-position join): persist it, or the gram construction — a
+    # concat_ws string per window over every token of the corpus, the CPU
+    # of this operator — runs twice (r14, guide §5). Cached rows are
+    # (id, pos, gh): three longs per token position, far smaller than the
+    # window strings they replace.
+    pos = managed_persist(
         toks.where(F.size("toks") >= min_len)
         .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
         .select(id_col, "pos", F.xxhash64("gram").alias("gh"))

@@ -163,20 +163,52 @@ def contamination_overlap(
     """Benchmark decontamination: train docs sharing ≥ ``min_overlap``
     distinct word ``n``-grams with ANY eval document.
 
-    The eval n-gram set is deduplicated then broadcast (eval sets are tiny
-    next to a training corpus), so the check is a map-side hash join over
-    the train corpus — no shuffle of the 100 TB side; one final aggregate
-    on the surviving (train doc, shingle) hits.
+    Fused per-document probe (r14, guide §4.1/§2.4): the distinct eval
+    n-gram set is collected and broadcast as a Python set (eval sets are
+    tiny next to a training corpus — the operator's standing contract),
+    and ONE Arrow stage takes each train document's text and returns its
+    overlap count directly: shingle construction and set membership fuse
+    into a single crossing that ships one int64 back per document. The
+    r13 shape built the shingle arrays in Arrow, shipped them back,
+    exploded to one row per shingle, hash-joined against a broadcast
+    DataFrame, and shuffled the hits into a per-doc count — same result,
+    plus an explode, a join and an exchange that all scale with corpus
+    size. The training corpus now never shuffles and never ships its
+    shingles anywhere. Exact string membership — no hashing, no false
+    positives (``contamination_overlap_bloom`` is the approximate
+    variant when the eval set outgrows the driver).
     """
-    from datapipelines_spark.operators.dedup import word_shingles
+    from datapipelines_spark.functions.partitioning import parallelize_small
+    from datapipelines_spark.operators.dedup import _shingle_list_py, word_shingles
 
-    tr = word_shingles(train, text_col, id_col, n)
-    ev = word_shingles(eval_df, text_col, id_col, n).select("s").distinct()
-    return (
-        tr.join(F.broadcast(ev), "s")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .where(F.col("n_overlap") >= min_overlap)
+    ev = frozenset(
+        r[0]
+        for r in word_shingles(eval_df, text_col, id_col, n)
+        .select("s")
+        .distinct()
+        .collect()
+    )
+    bc = train.sparkSession.sparkContext.broadcast(ev)
+
+    @F.pandas_udf("long")
+    def overlap_count(texts: pd.Series) -> pd.Series:
+        evs = bc.value
+        return texts.map(
+            lambda t: sum(1 for s in _shingle_list_py(t, n) if s in evs)
+        )
+
+    # same row gate as doc_shingles: docs with < n words have no n-grams
+    # (and the split-size test drops NULL text before it reaches Python)
+    words = F.split(F.col(text_col), " ")
+    base = parallelize_small(train.select(F.col(id_col), F.col(text_col))).where(
+        F.size(words) >= n
+    )
+    # asNondeterministic: the caller filters on the count, and a pushed
+    # predicate would clone the ArrowEvalPython node (guide §4.4) —
+    # every document would shingle twice
+    probe = overlap_count.asNondeterministic()(F.col(text_col))
+    return base.select(F.col(id_col), probe.alias("n_overlap")).where(
+        F.col("n_overlap") >= max(min_overlap, 1)
     )
 
 
