@@ -376,6 +376,34 @@ def _with_signature_columns(docs: DataFrame, config: MinHashConfig) -> DataFrame
     return hashed.drop("__sh_hash")
 
 
+#: (applicationId, site key) -> Column (or tuple of Columns). PLAN-BUILD
+#: memo (r14, guide §1.2 applied to the driver): every ``F.*`` call is a
+#: py4j round trip, and the banding/signature expression trees are ~8000
+#: such calls per ``ingest_tick_verdicts`` build — 1.2-1.9 s of pure
+#: driver time per streaming tick, re-spent on IDENTICAL expressions.
+#: Columns are unresolved, name-based, immutable expression objects —
+#: reusable across DataFrames and plans within one JVM; keying on the
+#: applicationId (the ``_COUNT_CACHE`` discipline) means a fresh context
+#: never sees another application's entries.
+_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def _expr_memo(key: tuple, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    k = (sc.applicationId,) + key
+    expr = _EXPR_CACHE.get(k)
+    if expr is None:
+        if len(_EXPR_CACHE) > 1024:
+            _EXPR_CACHE.clear()
+        expr = build()
+        _EXPR_CACHE[k] = expr
+    return expr
+
+
 def _docs_with_signatures(
     df: DataFrame,
     text_col: str,
@@ -395,17 +423,23 @@ def _docs_with_signatures(
         base = parallelize_small(df.select(F.col(id_col), F.col(text_col))).where(
             F.size(words) >= config.ngram
         )
-        ds = base.select(
-            F.col(id_col), _doc_sig_udf(config)(F.col(text_col)).alias("__ds")
+        sig_call = _expr_memo(
+            ("doc_sig_call", config, text_col),
+            lambda: _doc_sig_udf(config)(F.col(text_col)).alias("__ds"),
+        )
+        ds = base.select(F.col(id_col), sig_call)
+        extract = _expr_memo(
+            ("sig_extract", config.num_hashes),
+            lambda: tuple(
+                F.col("__ds.sig").getItem(i).alias(f"h{i}")
+                for i in range(config.num_hashes)
+            ),
         )
         return ds.select(
             F.col(id_col),
             F.col("__ds.shingles").alias("shingles"),
             F.size("__ds.shingles").alias("n_sh"),
-            *[
-                F.col("__ds.sig").getItem(i).alias(f"h{i}")
-                for i in range(config.num_hashes)
-            ],
+            *extract,
         )
     return _with_signature_columns(
         doc_shingles(df, text_col, id_col, config.ngram, impl="expr"), config
@@ -425,24 +459,31 @@ def minhash_signatures(
 
 
 def _band_struct(config: MinHashConfig) -> Column:
-    rows_per_band = config.num_hashes // config.bands
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[
-                            F.col(f"h{i}").cast("string")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(config.bands)
-        ]
-    )
+    def build() -> Column:
+        rows_per_band = config.num_hashes // config.bands
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"h{i}").cast("string")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(config.bands)
+            ]
+        )
+
+    # pure function of config over fixed column names — memoized, the
+    # deepest expression tree on the minhash plan-build path (_EXPR_CACHE)
+    return _expr_memo(("band_struct", config.num_hashes, config.bands), build)
 
 
 def lsh_band_keys(sig: DataFrame, id_col: str, config: MinHashConfig) -> DataFrame:

@@ -271,7 +271,9 @@ def normalize_idn_host(host: Column) -> Column:
     )
 
 
-def parse_urls(df: DataFrame, url_col: str) -> DataFrame:
+def parse_urls(
+    df: DataFrame, url_col: str, idn_mapping: bool | None = None
+) -> DataFrame:
     """Add ``scheme``, ``host`` (lowercased, userinfo/port stripped,
     IDNA-normalized to punycode — see ``normalize_idn_host``), ``path``
     and ``query`` columns parsed from ``url_col``. Anchored
@@ -288,11 +290,19 @@ def parse_urls(df: DataFrame, url_col: str) -> DataFrame:
     non-ASCII host set of a crawl is bounded by vocabulary, not corpus
     size (~1-2% of distinct hosts; a few MB broadcast at web scale).
     Streaming plans keep the inline hybrid — a per-row expression — since
-    an unbounded source admits no distinct-then-broadcast."""
+    an unbounded source admits no distinct-then-broadcast.
+
+    ``idn_mapping``: None (default) picks by plan kind — mapping for batch,
+    inline hybrid for streaming. Pass False on SMALL batch inputs (a
+    foreachBatch micro-batch tick) where the mapping's extra
+    distinct+broadcast job costs more than it saves; both paths compute
+    identical hosts."""
     u = F.col(url_col)
     authority = F.regexp_extract(u, _AUTHORITY_RE, 1)
     raw_host = F.lower(F.regexp_extract(authority, _HOST_RE, 1))
-    if df.isStreaming:
+    if idn_mapping is None:
+        idn_mapping = not df.isStreaming
+    if df.isStreaming or not idn_mapping:
         return df.withColumns(
             {
                 "scheme": F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),

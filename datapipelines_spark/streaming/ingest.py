@@ -389,7 +389,10 @@ def ingest_dedup_sink(
         )
 
         # 1. URL gate: parse -> registrable domain -> blocklist (map-only)
-        parsed = parse_urls(batch_df, url_col).withColumn(
+        # idn_mapping=False: a micro-batch tick is small, so the inline
+        # per-row IDN hybrid beats paying the mapping's extra
+        # distinct+broadcast job every tick (identical hosts either way)
+        parsed = parse_urls(batch_df, url_col, idn_mapping=False).withColumn(
             "domain", registrable_domain(F.col("host"))
         )
         gate = parsed.transform(

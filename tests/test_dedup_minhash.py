@@ -151,3 +151,36 @@ def test_incremental_verdicts_precedence_and_match_ids(spark):
     assert got[18] == ("near_batch", 16)
     assert got[20] == ("keep", None)
     assert len(got) == 6
+
+
+def test_band_struct_expression_memoized_per_config(spark):
+    """r14 plan-build memo: the banding expression tree is a pure function
+    of (num_hashes, bands) over fixed column names, so repeated builds in
+    one application return the SAME Column object (thousands of py4j
+    round trips per verdict build collapse to a dict hit), while a
+    different config builds its own tree — and the memoized expression
+    still yields correct, config-distinct band keys."""
+    from datapipelines_spark.operators.dedup import (
+        MinHashConfig,
+        _band_struct,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    a = MinHashConfig(num_hashes=16, bands=4, ngram=3)
+    b = MinHashConfig(num_hashes=16, bands=8, ngram=3)
+    assert _band_struct(a) is _band_struct(a)
+    assert _band_struct(a) is not _band_struct(b)
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", a)
+    keys = lsh_band_keys(sigs, "doc_id", a).collect()
+    assert len(keys) == 2 * a.bands
+    # identical docs -> identical band keys per band, under the memo too
+    by_band = {}
+    for r in keys:
+        by_band.setdefault(r["band_id"], set()).add(r["band_key"])
+    assert all(len(v) == 1 for v in by_band.values())
