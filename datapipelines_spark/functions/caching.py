@@ -95,3 +95,35 @@ def release_persists() -> None:
     while _LIVE:
         _KEYS.pop()
         _unpersist_quietly(_LIVE.pop())
+
+
+#: (applicationId, site key) -> Column (or tuple of Columns). PLAN-BUILD
+#: memo (r14, guide §1.2 applied to the driver): every ``F.*`` call is a
+#: py4j round trip, and the engine's deep expression trees — minhash
+#: banding/signatures (~8000 calls per ingest-tick build), the Hilbert
+#: FST chains, the LSH hyperplane sums — re-spend 0.5-2 s of pure driver
+#: time per plan build on IDENTICAL expressions. Columns are unresolved,
+#: name-based, immutable expression objects — reusable across DataFrames
+#: and plans within one JVM; keying on the applicationId (the
+#: ``_COUNT_CACHE`` discipline) means a fresh context never sees another
+#: application's entries. Memoized trees must reference columns by FIXED
+#: names only — data-dependent literals (quantization bounds, counts)
+#: stay OUT of the memoized fragment and ride separate placeholder
+#: columns at the call site.
+_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def expr_memo(key: tuple, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    k = (sc.applicationId,) + key
+    expr = _EXPR_CACHE.get(k)
+    if expr is None:
+        if len(_EXPR_CACHE) > 1024:
+            _EXPR_CACHE.clear()
+        expr = build()
+        _EXPR_CACHE[k] = expr
+    return expr

@@ -39,8 +39,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 
+# expr_memo: plan-build memo for the banding/signature expression trees
+# (~8000 py4j calls per ingest_tick_verdicts build — 1.2-1.9 s of pure
+# driver time per streaming tick re-spent on IDENTICAL expressions); see
+# functions/caching.py:expr_memo for the discipline (r14)
+from datapipelines_spark.functions.caching import expr_memo as _expr_memo
 from datapipelines_spark.functions.caching import managed_persist
-
 from datapipelines_spark.functions.hashing import portable_hash64
 
 #: 2^31 - 1; modulus for the universal-hash family. Coefficients are kept
@@ -374,34 +378,6 @@ def _with_signature_columns(docs: DataFrame, config: MinHashConfig) -> DataFrame
             f"h{i}", F.array_min(F.transform(F.col("__sh_hash"), _permute(a, b)))
         )
     return hashed.drop("__sh_hash")
-
-
-#: (applicationId, site key) -> Column (or tuple of Columns). PLAN-BUILD
-#: memo (r14, guide §1.2 applied to the driver): every ``F.*`` call is a
-#: py4j round trip, and the banding/signature expression trees are ~8000
-#: such calls per ``ingest_tick_verdicts`` build — 1.2-1.9 s of pure
-#: driver time per streaming tick, re-spent on IDENTICAL expressions.
-#: Columns are unresolved, name-based, immutable expression objects —
-#: reusable across DataFrames and plans within one JVM; keying on the
-#: applicationId (the ``_COUNT_CACHE`` discipline) means a fresh context
-#: never sees another application's entries.
-_EXPR_CACHE: dict[tuple, object] = {}
-
-
-def _expr_memo(key: tuple, build):
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    if sc is None:
-        return build()
-    k = (sc.applicationId,) + key
-    expr = _EXPR_CACHE.get(k)
-    if expr is None:
-        if len(_EXPR_CACHE) > 1024:
-            _EXPR_CACHE.clear()
-        expr = build()
-        _EXPR_CACHE[k] = expr
-    return expr
 
 
 def _docs_with_signatures(

@@ -30,14 +30,33 @@ def hyperplane(j: int, dim: int) -> list[int]:
     ]
 
 
-def lsh_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
-    """Random-hyperplane signature: bit j = 1 iff dot(v, plane_j) >= 0."""
-    sig = F.lit(0).cast("long")
-    for j in range(num_planes):
-        plane = F.array(*[F.lit(float(w)) for w in hyperplane(j, dim)])
-        bit = F.when(_dot(vec, plane) >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-        sig = sig + bit
-    return sig
+def lsh_signature(vec: Column | str, dim: int, num_planes: int = 16) -> Column:
+    """Random-hyperplane signature: bit j = 1 iff dot(v, plane_j) >= 0.
+
+    Pass a column NAME to take the memoized plan-build path (r14, guide
+    §1.2 on the driver): the plane literals alone are dim*num_planes py4j
+    round trips (~1 s of build at 64x16), and the tree is a pure function
+    of (name, dim, num_planes); the name form casts to array<double>
+    itself. A Column argument builds inline, as before."""
+
+    def build(v: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for j in range(num_planes):
+            plane = F.array(*[F.lit(float(w)) for w in hyperplane(j, dim)])
+            bit = F.when(_dot(v, plane) >= 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0)
+            )
+            sig = sig + bit
+        return sig
+
+    if isinstance(vec, str):
+        from datapipelines_spark.functions.caching import expr_memo
+
+        return expr_memo(
+            ("lsh_signature", vec, dim, num_planes),
+            lambda: build(F.col(vec).cast("array<double>")),
+        )
+    return build(vec)
 
 
 def lsh_signatures(
@@ -46,9 +65,8 @@ def lsh_signatures(
     """(id, sig) per vector — the bucketing key for approximate search."""
     from datapipelines_spark.functions.partitioning import parallelize_small
 
-    v = F.col(vec_col).cast("array<double>")
     return parallelize_small(df.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col), lsh_signature(v, dim, num_planes).alias("sig")
+        F.col(id_col), lsh_signature(vec_col, dim, num_planes).alias("sig")
     )
 
 

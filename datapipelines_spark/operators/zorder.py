@@ -29,6 +29,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from datapipelines_spark.functions.caching import expr_memo as _expr_memo
+
 
 def _quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """floor(((v - lo) * 2^bits) / (hi - lo + 1)) — integer quantization to
@@ -237,6 +239,34 @@ def _fst_expr(qcols: list[Column], bits: int, out: list[int], nxt: list[int]) ->
     return d
 
 
+def _with_fst_code(
+    df: DataFrame,
+    qexprs: list[Column],
+    bits: int,
+    out: list[int],
+    nxt: list[int],
+    dest: str,
+    fst_key: str,
+) -> DataFrame:
+    """Attach an FST code column with the chain expression MEMOIZED
+    (r14, guide §1.2 applied to the driver): the per-bit-level lookup
+    chain is hundreds of py4j calls per build, but it is a pure function
+    of (tables, dims, bits) over column NAMES — the data-dependent
+    quantization bounds ride separate placeholder columns so the
+    memoized fragment never embeds a stats literal. Measured:
+    layout_hilbert_orders spent 0.7-1.2 s building vs 0.07 s executing."""
+    names = [f"__fstq{j}" for j in range(len(qexprs))]
+    code = _expr_memo(
+        ("fst_code", fst_key, len(qexprs), bits),
+        lambda: _fst_expr([F.col(n) for n in names], bits, out, nxt),
+    )
+    return (
+        df.withColumns(dict(zip(names, qexprs)))
+        .withColumn(dest, code)
+        .drop(*names)
+    )
+
+
 def hilbert_code(qa: Column, qb: Column, bits: int = 8) -> Column:
     """Hilbert index of two ``bits``-bit quantized columns — pure codegen
     hex-string table lookups, one per bit level."""
@@ -257,7 +287,9 @@ def hilbert_codes(
     ).collect()[0]
     qa = _quantize(F.col(a_col), F.lit(stats["amin"]), F.lit(stats["amax"]), bits)
     qb = _quantize(F.col(b_col), F.lit(stats["bmin"]), F.lit(stats["bmax"]), bits)
-    return df.withColumn("hilbert", hilbert_code(qa, qb, bits))
+    return _with_fst_code(
+        df, [qa, qb], bits, _HILBERT_OUT, _HILBERT_NXT, "hilbert", "h2"
+    )
 
 
 def hilbert_layout(
@@ -334,7 +366,9 @@ def hilbert3_codes(
     qa = _quantize(F.col(a_col), F.lit(stats["amin"]), F.lit(stats["amax"]), bits)
     qb = _quantize(F.col(b_col), F.lit(stats["bmin"]), F.lit(stats["bmax"]), bits)
     qc = _quantize(F.col(c_col), F.lit(stats["cmin"]), F.lit(stats["cmax"]), bits)
-    return df.withColumn("hilbert3", hilbert3_code(qa, qb, qc, bits))
+    return _with_fst_code(
+        df, [qa, qb, qc], bits, _HILBERT3_OUT, _HILBERT3_NXT, "hilbert3", "h3"
+    )
 
 
 def hilbert3_layout(
@@ -423,13 +457,22 @@ def layout_advisor(
                 F.struct(
                     F.lit("morton").alias("layout"),
                     seg(
-                        morton_code(F.col("qa"), F.col("qb"), bits), 2 * bits
+                        # fixed ("qa","qb") names -> memoizable directly
+                        _expr_memo(
+                            ("adv_morton", bits),
+                            lambda: morton_code(F.col("qa"), F.col("qb"), bits),
+                        ),
+                        2 * bits,
                     ).alias("seg"),
                 ),
                 F.struct(
                     F.lit("hilbert").alias("layout"),
                     seg(
-                        hilbert_code(F.col("qa"), F.col("qb"), bits), 2 * bits
+                        _expr_memo(
+                            ("adv_h2", bits),
+                            lambda: hilbert_code(F.col("qa"), F.col("qb"), bits),
+                        ),
+                        2 * bits,
                     ).alias("seg"),
                 ),
             )
@@ -634,4 +677,5 @@ def hilbertd_codes(df: DataFrame, cols: list[str], bits: int = 4) -> DataFrame:
         )
         for c in cols
     ]
-    return df.withColumn("hilbertd", hilbertd_code(qcols, bits))
+    out, nxt, _ = hilbert_fst_tables(len(cols))
+    return _with_fst_code(df, qcols, bits, out, nxt, "hilbertd", f"hd{len(cols)}")

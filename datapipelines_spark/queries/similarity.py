@@ -135,7 +135,8 @@ def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature + norm stage runs once, not twice
     sigs = (
         e.withColumn("nrm", _norm(F.col("v")))
-        .withColumn("sig", ops.lsh_signature(F.col("v"), _DIM, _PLANES))
+        # name form -> memoized plane expression (r14 plan-build path)
+        .withColumn("sig", ops.lsh_signature("v", _DIM, _PLANES))
     )
     sigs = managed_persist(sigs)
     a = sigs.select(
