@@ -143,6 +143,12 @@ CHANGED_R14: tuple[str, ...] = (
     "text_bm25_search",
     "domain_quota_sample_docs",
     "stream_ingest_dedup_replay",
+    # late-r14 plan changes (IDN distinct-host mapping lands in both):
+    # added mid-round, displacing the two queue names at exactly the
+    # relaxed staleness floor (multimodal_mp4_probe, pack_sequences_budget
+    # — r9 verdicts survive to r15 at floor = WINDOW_ROUND - 5)
+    "url_parse_documents",
+    "corpus_ingest_pipeline",
 )
 
 PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R14 + CHANGED_R14 + (
@@ -172,8 +178,6 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R14 + CHANGED_R14 + (
     "multimodal_dhash_near_pairs",
     "multimodal_image_dedup_pipeline",
     "multimodal_jpeg_decode",
-    "multimodal_mp4_probe",
-    "pack_sequences_budget",
 )
 
 
