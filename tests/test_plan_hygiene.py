@@ -91,11 +91,15 @@ def test_q21_single_fact_scan(spark):
     assert plan.count("InMemoryTableScan") >= 2
 
 
-def test_decontaminate_broadcasts_eval_side(spark):
-    """The eval n-gram set must broadcast; the training side must never
-    build a shuffle exchange for the contamination join."""
+def test_decontaminate_fused_probe_never_shuffles_train(spark):
+    """r14 fused shape: the eval n-gram set rides a Python broadcast into
+    ONE Arrow probe per training document — no join, no per-shingle
+    explode, and no aggregation exchange on the training side (the only
+    exchanges are input widening and the presentation sort)."""
     plan = _plan(all_queries()["decontaminate_ngram_overlap"].builder(spark, SF))
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("ArrowEvalPython") == 1
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "Generate", "HashAggregate"):
+        assert node not in plan, node
 
 
 def test_pack_sequences_single_window_exchange(spark):
