@@ -25,7 +25,18 @@ intermediates must die with the query that needed them.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+#: Registry mutations keep _LIVE and _KEYS as PAIRED lists; builders may
+#: register persists from concurrent driver threads (queries/recall.py
+#: builds its independent family arms from a thread pool — guide §2.6), so
+#: the check-then-mutate sequences below run under one lock. Misordered
+#: interleaving could only mispair an eviction (a perf bug, never a
+#: correctness one — unpersist falls back to recompute), but cheap to rule
+#: out entirely.
+_REG_LOCK = threading.Lock()
 
 _LIVE: list[DataFrame] = []
 #: Enough headroom that one composed pipeline keeps ALL its intermediates
@@ -77,24 +88,29 @@ def managed_persist(df: DataFrame) -> DataFrame:
         )
     except Exception:
         key = None  # unfingerprintable plan: fall back to append-always
-    if key is not None and key in _KEYS:
-        i = _KEYS.index(key)
-        _KEYS.append(_KEYS.pop(i))
-        _LIVE.append(_LIVE.pop(i))
-        return persisted
-    _LIVE.append(persisted)
-    _KEYS.append(key)
-    while len(_LIVE) > _MAX_LIVE:
-        _KEYS.pop(0)
-        _unpersist_quietly(_LIVE.pop(0))
+    with _REG_LOCK:
+        if key is not None and key in _KEYS:
+            i = _KEYS.index(key)
+            _KEYS.append(_KEYS.pop(i))
+            _LIVE.append(_LIVE.pop(i))
+            return persisted
+        _LIVE.append(persisted)
+        _KEYS.append(key)
+        evict = []
+        while len(_LIVE) > _MAX_LIVE:
+            _KEYS.pop(0)
+            evict.append(_LIVE.pop(0))
+    for df_old in evict:
+        _unpersist_quietly(df_old)
     return persisted
 
 
 def release_persists() -> None:
     """Unpersist every registered intermediate (bench/driver hygiene hook)."""
-    while _LIVE:
-        _KEYS.pop()
-        _unpersist_quietly(_LIVE.pop())
+    with _REG_LOCK:
+        drop, _LIVE[:], _KEYS[:] = list(_LIVE), [], []
+    for df_old in drop:
+        _unpersist_quietly(df_old)
 
 
 #: (applicationId, site key) -> Column (or tuple of Columns). PLAN-BUILD

@@ -414,27 +414,60 @@ def sim_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped), and hits against the exact brute-force top-5 are counted.
     Output: (family, n_queries, n_hits, recall_bp) — recall in basis
     points, integer arithmetic only."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from datapipelines_spark.functions.caching import managed_persist
     from datapipelines_spark.queries.vectors import ivf_topk_multiprobe
 
+    specs = _family_specs()
+
     # exact feeds the hits join AND the n_queries aggregate: persist, or
     # the brute-force ground-truth pipeline executes twice (r13, guide §5)
-    exact = managed_persist(
-        _REGISTRY["sim_topk_bruteforce"]
-        .builder(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-    )
+    def _build_exact() -> DataFrame:
+        return managed_persist(
+            _REGISTRY["sim_topk_bruteforce"]
+            .builder(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+        )
+
     # The four IVF probe arms share ONE scored candidate table
     # (ivf_topk_multiprobe, r13): identical pairs to the per-arm
     # ivf_topk_probe builders the oracle replays, one scoring pass.
-    ivf_arms = ivf_topk_multiprobe(spark, sf_dir, _IVF_PROBES)
-    specs = _family_specs()
+    def _build_ivf() -> dict[int, DataFrame]:
+        return ivf_topk_multiprobe(spark, sf_dir, _IVF_PROBES)
+
+    # The five arms are independent until the final union, but each runs
+    # BLOCKING driver jobs while its plan is BUILT (the exact router's
+    # count probes, two sq8_fit min/max collects, pq_fit's fused Lloyd
+    # partials, the query-code collect) — ~8 serial jobs. Build the arms
+    # from a thread pool (guide §2.6: overlap independent jobs) so those
+    # jobs overlap; the assembled plan is IDENTICAL (same spec order, same
+    # union — plans/r14 captures diff empty), only build latency changes.
+    # Measured: 9.92 -> 6.91 s median, interleaved same-JVM A/B
+    # (plans/r14/profile_recall_thr.py), identical 7-row result.
+    fam_builders = {
+        fam: b for fam, _s, b, _n in specs if not fam.startswith("ivf_p")
+    }
+    with ThreadPoolExecutor(max_workers=2 + len(fam_builders)) as pool:
+        f_exact = pool.submit(inheritable_thread_target(_build_exact))
+        f_ivf = pool.submit(inheritable_thread_target(_build_ivf))
+        f_fam = {
+            fam: pool.submit(
+                inheritable_thread_target(lambda b=b: b(spark, sf_dir))
+            )
+            for fam, b in fam_builders.items()
+        }
+        exact = f_exact.result()
+        ivf_arms = f_ivf.result()
+        fams = {fam: f.result() for fam, f in f_fam.items()}
     tagged = None
-    for fam, _sql, builder, ncol in specs:
+    for fam, _sql, _builder, ncol in specs:
         if fam.startswith("ivf_p"):
             r = ivf_arms[int(fam[len("ivf_p"):])]
         else:
-            r = builder(spark, sf_dir)
+            r = fams[fam]
         r = (
             r.where(
                 (F.col("query_id") % 100 == 0)

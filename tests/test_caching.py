@@ -33,6 +33,37 @@ def test_release_unpersists_everything(spark):
     assert b.storageLevel == StorageLevel.NONE
 
 
+def test_concurrent_registration_keeps_registry_paired(spark):
+    """Builders register persists from concurrent driver threads
+    (queries/recall.py builds its family arms from a thread pool, guide
+    §2.6): racing registrations — including idempotent re-registrations of
+    the same plan — must leave _LIVE/_KEYS paired, bounded, and every
+    returned DataFrame usable."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    release_persists()
+
+    def register(i):
+        # half the threads re-register the SAME plan (the LRU-refresh
+        # path), half register distinct plans (the append/evict path)
+        df = managed_persist(spark.range(1000 if i % 2 else 1000 + i))
+        return df.count()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        counts = list(
+            pool.map(inheritable_thread_target(register), range(32))
+        )
+    assert all(
+        c == 1000 or c > 1000 for c in counts
+    )
+    assert len(caching._LIVE) == len(caching._KEYS)
+    assert len(caching._LIVE) <= caching._MAX_LIVE
+    release_persists()
+    assert len(caching._LIVE) == len(caching._KEYS) == 0
+
+
 def test_eviction_only_costs_recompute(spark):
     """A consumer holding an evicted DataFrame still computes correct
     results — eviction falls back to recompute, never to wrong answers."""
