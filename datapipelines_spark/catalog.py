@@ -149,6 +149,12 @@ CHANGED_R14: tuple[str, ...] = (
     # — r9 verdicts survive to r15 at floor = WINDOW_ROUND - 5)
     "url_parse_documents",
     "corpus_ingest_pipeline",
+    # late-r14 sq8 normalize reshape (zip_with/array_repeat instead of the
+    # O(D²) inlined-norm transform) changes the harness's sq8 subtrees too;
+    # pinned so the changed plan gets an r14 verdict (the VERDICT r13 #1
+    # debt class), displacing multimodal_jpeg_decode from the queue tail
+    # (r9 verdict, survives to r15 at the same relaxed floor)
+    "sim_recall_harness",
 )
 
 PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R14 + CHANGED_R14 + (
@@ -177,7 +183,6 @@ PRIORITY_50: tuple[str, ...] = FIRST_VERDICTS_R14 + CHANGED_R14 + (
     "multimodal_binary_stats",
     "multimodal_dhash_near_pairs",
     "multimodal_image_dedup_pipeline",
-    "multimodal_jpeg_decode",
 )
 
 

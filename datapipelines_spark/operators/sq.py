@@ -53,16 +53,30 @@ from datapipelines_spark.operators.dedup import _dot, _norm
 
 
 def _normalized_vec(df: DataFrame, vec_col: str, normalize: bool) -> DataFrame:
-    """``__v``: the double vector, L2-normalized when asked. The norm is a
-    separate column so its fold runs ONCE per row (not once per element);
-    fold order matches the SQL oracle's ``list_sum`` (sequential
-    left-to-right) — sqrt and divide are correctly rounded, so normalized
-    values are engine-portable bit-for-bit."""
+    """``__v``: the double vector, L2-normalized when asked. Fold order
+    matches the SQL oracle's ``list_sum`` (sequential left-to-right) —
+    sqrt and divide are correctly rounded, so normalized values are
+    engine-portable bit-for-bit.
+
+    Shape note (r14): the obvious ``transform(v, x -> x / nrm_col)`` is an
+    O(D²)-per-row trap — Catalyst's CollapseProject inlines the single-use
+    ``nrm`` alias INTO the lambda body, and higher-order functions never
+    codegen, so the whole 64-step norm fold re-ran (interpreted) for every
+    element; measured ~1 s per pass over a 2000-row fixture. ``zip_with``
+    against ``array_repeat(nrm, size(v))`` keeps the fold in plain argument
+    position — inlining leaves it evaluated ONCE per row — and the
+    per-position division ``v[i] / nrm`` is value-identical to the
+    transform it replaces (same operands, same IEEE ops)."""
     v = F.col(vec_col).cast("array<double>")
     if not normalize:
         return df.withColumn("__v", v)
     return df.withColumn("__nrm", _norm(v)).withColumn(
-        "__v", F.transform(v, lambda x: x / F.col("__nrm"))
+        "__v",
+        F.zip_with(
+            v,
+            F.array_repeat(F.col("__nrm"), F.size(v)),
+            lambda x, n: x / n,
+        ),
     )
 
 

@@ -192,6 +192,38 @@ def test_guards(spark):
         )
 
 
+def test_normalized_vec_edge_values_match_transform_shape(spark):
+    """_normalized_vec switched from transform-with-inlined-norm (an
+    O(D²)-per-row CollapseProject trap, r14) to zip_with/array_repeat —
+    per-position division is value-identical; pin the edges where the two
+    shapes could conceivably diverge: NULL vector, empty vector, NULL
+    element, zero-norm vector."""
+    from datapipelines_spark.operators.sq import _normalized_vec
+
+    rows = [
+        (0, [3.0, 4.0]),
+        (1, None),
+        (2, []),
+        (3, [1.0, None]),
+        (4, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["__v"]
+        for r in _normalized_vec(df, "embedding", True).collect()
+    }
+    assert got[0] == [0.6, 0.8]
+    assert got[1] is None
+    assert got[2] == []
+    # a NULL element nulls the norm FOLD, so every position divides by
+    # NULL — the same in both shapes (the fold is shared, only its
+    # evaluation count changed)
+    assert got[3] == [None, None]
+    # Spark's Divide yields NULL on a zero divisor (ANSI off) — the same
+    # Divide expression in both shapes (callers filter zero-norm upstream)
+    assert got[4] == [None, None]
+
+
 def test_fit_rejects_ragged_vector_lengths(spark):
     # a vector SHORTER than the rest yields contiguous 0..D-1 positions,
     # so only the per-dimension count check can catch it (ADVICE r10 #4)
