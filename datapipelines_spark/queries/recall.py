@@ -450,13 +450,12 @@ def sim_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam_builders = {
         fam: b for fam, _s, b, _n in specs if not fam.startswith("ivf_p")
     }
+    wrap = inheritable_thread_target(spark)
     with ThreadPoolExecutor(max_workers=2 + len(fam_builders)) as pool:
-        f_exact = pool.submit(inheritable_thread_target(_build_exact))
-        f_ivf = pool.submit(inheritable_thread_target(_build_ivf))
+        f_exact = pool.submit(wrap(_build_exact))
+        f_ivf = pool.submit(wrap(_build_ivf))
         f_fam = {
-            fam: pool.submit(
-                inheritable_thread_target(lambda b=b: b(spark, sf_dir))
-            )
+            fam: pool.submit(wrap(lambda b=b: b(spark, sf_dir)))
             for fam, b in fam_builders.items()
         }
         exact = f_exact.result()

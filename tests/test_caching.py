@@ -53,7 +53,7 @@ def test_concurrent_registration_keeps_registry_paired(spark):
 
     with ThreadPoolExecutor(max_workers=8) as pool:
         counts = list(
-            pool.map(inheritable_thread_target(register), range(32))
+            pool.map(inheritable_thread_target(spark)(register), range(32))
         )
     assert all(
         c == 1000 or c > 1000 for c in counts
