@@ -198,5 +198,6 @@ PENDING_FIRST_VERDICT: tuple[str, ...] = ()
 #   3. queries whose plans/outputs change in r15;
 #   4. rotation.reconfirm_queue(before_round=15) verbatim for every
 #      remaining slot — after r14 lands, the queue starts with the 19
-#      remaining r9-cohort names (head: percentile_order_values,
-#      pivot_status_by_priority, ...).
+#      remaining r9-cohort names (head: the three displaced at the relaxed
+#      floor — multimodal_jpeg_decode, multimodal_mp4_probe,
+#      pack_sequences_budget — then percentile_order_values, ...).
